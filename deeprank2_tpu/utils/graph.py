@@ -1,0 +1,344 @@
+"""Array-first featured graphs.
+
+The reference builds graphs as dicts of per-node/per-edge Python objects
+(deeprank2/utils/graph.py); here a :class:`Graph` holds index arrays into a
+``StructureArrays`` plus dense feature matrices, so feature modules are
+vectorized and batching for TPU is a concatenation of arrays.
+
+Behavioral parity points (vs deeprank2/utils/graph.py:320-381):
+- nodes are residues or atoms; an edge connects nodes whose (atom) distance is
+  below ``max_edge_length``; residue graphs derive edges from atom pairs mapped
+  to residue pairs;
+- nodes that end up without any edge are dropped, and node order equals first
+  appearance in the lexicographically sorted edge list (this matches the
+  reference's dict-insertion order, so HDF5 files are byte-comparable);
+- HDF5 layout: ``<id>/node_features/*``, ``<id>/edge_features/*``,
+  ``<id>/target_values/*`` with ``_name``/``_chain_id``/``_index`` metadata.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, field
+
+import h5py
+import numpy as np
+
+from deeprank2_tpu.domain import edgestorage as Efeat
+from deeprank2_tpu.domain import nodestorage as Nfeat
+from deeprank2_tpu.domain import targetstorage as targets
+from deeprank2_tpu.molstruct.structure import StructureArrays
+
+_log = logging.getLogger(__name__)
+
+
+@dataclass
+class Graph:
+    """A featured geometric graph over a structure.
+
+    Attributes:
+        id: entry name (query id).
+        node_type: ``"atom"`` or ``"residue"``.
+        arrays: the backing structure table.
+        node_indices: int64 [V] indices into ``arrays`` (atom or residue indices).
+        edge_index: int64 [E, 2] pairs of *node* positions (undirected, i<j,
+            lexicographically sorted).
+        node_features: name -> float64 [V] or [V, K].
+        edge_features: name -> float64 [E] or [E, K].
+        targets: target name -> scalar.
+        center: [3] grid-mapping center.
+    """
+
+    id: str
+    node_type: str
+    arrays: StructureArrays
+    node_indices: np.ndarray
+    edge_index: np.ndarray
+    # CSR of the atoms belonging to each node. For atom graphs each node owns
+    # exactly its own atom. For residue graphs this may be a *subset* of the
+    # residue's atoms: PPI graphs only carry interface contact atoms per residue
+    # (reference parity: buildgraph.py:95-116 builds the contact structure from
+    # contact-atom rows only), which restricts edge-energy sums and centers.
+    node_atom_indices: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int64))
+    node_atom_start: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int64))
+    node_atom_count: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int64))
+    node_features: dict[str, np.ndarray] = field(default_factory=dict)
+    edge_features: dict[str, np.ndarray] = field(default_factory=dict)
+    targets: dict[str, float] = field(default_factory=dict)
+    center: np.ndarray = field(default_factory=lambda: np.zeros(3))
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.node_indices.shape[0])
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.edge_index.shape[0])
+
+    # ------------------------------------------------------------------
+    # Derived node-level columns
+    # ------------------------------------------------------------------
+    @property
+    def node_residue_indices(self) -> np.ndarray:
+        """int [V] residue index per node (identity for residue graphs)."""
+        if self.node_type == "residue":
+            return self.node_indices
+        return self.arrays.atom_residue[self.node_indices]
+
+    @property
+    def node_chain_indices(self) -> np.ndarray:
+        return self.arrays.res_chain[self.node_residue_indices]
+
+    def positions(self) -> np.ndarray:
+        """float64 [V, 3] node positions (atom position / residue center).
+
+        Residue centers follow reference semantics (molstruct/residue.py:97-117):
+        CB position, else CA, else mean — over the node's atom subset.
+        """
+        if self.node_type == "atom":
+            return self.arrays.positions[self.node_indices]
+        sa = self.arrays
+        out = np.zeros((self.num_nodes, 3), dtype=np.float64)
+        for v in range(self.num_nodes):
+            start = int(self.node_atom_start[v])
+            count = int(self.node_atom_count[v])
+            atoms = self.node_atom_indices[start : start + count]
+            names = sa.atom_names[atoms]
+            placed = False
+            for target in ("CB", "CA"):
+                hits = np.flatnonzero(names == target)
+                if hits.size:
+                    out[v] = sa.positions[atoms[int(hits[0])]]
+                    placed = True
+                    break
+            if not placed:
+                out[v] = sa.positions[atoms].mean(axis=0)
+        return out
+
+    def node_names(self) -> list[str]:
+        """Human-readable node ids, identical to the reference's ``str(node.id)``."""
+        sa = self.arrays
+        names = []
+        if self.node_type == "atom":
+            for a in self.node_indices:
+                r = sa.atom_residue[a]
+                names.append(f"{sa.id} {sa.chain_ids[sa.res_chain[r]]} {_number_string(sa, r)} {sa.atom_names[a]}")
+        else:
+            for r in self.node_indices:
+                names.append(f"{sa.id} {sa.chain_ids[sa.res_chain[r]]} {_number_string(sa, r)}")
+        return names
+
+    def node_chain_ids(self) -> list[str]:
+        sa = self.arrays
+        return [sa.chain_ids[c] for c in self.node_chain_indices]
+
+    def get_all_chains(self) -> list[str]:
+        return sorted(set(self.node_chain_ids()))
+
+    def has_nan(self) -> bool:
+        """Whether any feature value is NaN."""
+        for data in self.node_features.values():
+            if np.any(np.isnan(data)):
+                return True
+        return any(np.any(np.isnan(data)) for data in self.edge_features.values())
+
+    # ------------------------------------------------------------------
+    # Construction
+    # ------------------------------------------------------------------
+    @staticmethod
+    def build_graph(
+        arrays: StructureArrays,
+        node_indices: np.ndarray,
+        node_type: str,
+        graph_id: str,
+        max_edge_length: float,
+        atom_subset: np.ndarray | None = None,
+    ) -> Graph:
+        """Build the geometric graph over the given atoms or residues.
+
+        Args:
+            arrays: backing structure.
+            node_indices: candidate atom indices (``node_type="atom"``) or
+                residue indices (``node_type="residue"``).
+            node_type: "atom" or "residue".
+            graph_id: entry name.
+            max_edge_length: max distance (Å) between nodes to create an edge.
+            atom_subset: for residue graphs, restrict each residue to these
+                atoms (e.g. interface contact atoms for PPI queries). Defaults
+                to all atoms of each residue.
+
+        Returns:
+            Graph with nodes ordered by first appearance in the sorted edge
+            list (reference parity; see module docstring).
+        """
+        from scipy.spatial import cKDTree
+
+        node_indices = np.asarray(sorted(set(int(i) for i in node_indices)), dtype=np.int64)
+
+        if node_type == "atom":
+            atom_indices = node_indices
+            owner = np.arange(len(node_indices))  # atom -> candidate-node position
+        elif node_type == "residue":
+            if atom_subset is not None:
+                atom_indices = np.asarray(sorted(set(int(a) for a in atom_subset)), dtype=np.int64)
+                res_pos = {int(r): i for i, r in enumerate(node_indices)}
+                owner = np.array([res_pos[int(arrays.atom_residue[a])] for a in atom_indices], dtype=np.int64)
+            else:
+                atom_indices = np.concatenate(
+                    [
+                        np.arange(
+                            arrays.res_atom_start[r],
+                            arrays.res_atom_start[r] + arrays.res_atom_count[r],
+                        )
+                        for r in node_indices
+                    ]
+                ).astype(np.int64)
+                owner = np.repeat(np.arange(len(node_indices)), arrays.res_atom_count[node_indices])
+        else:
+            msg = f"Unknown node_type: {node_type}"
+            raise TypeError(msg)
+
+        positions = arrays.positions[atom_indices]
+        tree = cKDTree(positions)
+        pairs = tree.query_pairs(max_edge_length, output_type="ndarray")  # i<j atom-pair positions
+
+        if node_type == "residue":
+            pairs = owner[pairs]
+            pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+            pairs = np.sort(pairs, axis=1)
+            pairs = np.unique(pairs, axis=0)
+        else:
+            pairs = np.unique(np.sort(pairs, axis=1), axis=0)
+
+        # node order = first appearance scanning sorted (i, j) pairs
+        seen: dict[int, int] = {}
+        for v in pairs.reshape(-1):
+            if int(v) not in seen:
+                seen[int(v)] = len(seen)
+        kept = np.fromiter(seen.keys(), dtype=np.int64, count=len(seen))
+        remap = np.full(len(node_indices), -1, dtype=np.int64)
+        remap[kept] = np.arange(len(kept))
+
+        # per-node atom CSR (in kept-node order)
+        if node_type == "atom":
+            kept_atoms = node_indices[kept]
+            node_atom_indices = kept_atoms
+            node_atom_count = np.ones(len(kept), dtype=np.int64)
+            node_atom_start = np.arange(len(kept), dtype=np.int64)
+        else:
+            atoms_by_node: list[list[int]] = [[] for _ in range(len(kept))]
+            for pos, a in zip(owner, atom_indices):
+                new_pos = remap[pos]
+                if new_pos >= 0:
+                    atoms_by_node[new_pos].append(int(a))
+            node_atom_count = np.array([len(x) for x in atoms_by_node], dtype=np.int64)
+            node_atom_start = np.concatenate([[0], np.cumsum(node_atom_count[:-1])]).astype(np.int64) if len(kept) else np.zeros(0, dtype=np.int64)
+            node_atom_indices = np.array([a for x in atoms_by_node for a in x], dtype=np.int64)
+
+        graph = Graph(
+            id=graph_id,
+            node_type=node_type,
+            arrays=arrays,
+            node_indices=node_indices[kept],
+            edge_index=remap[pairs] if len(pairs) else np.zeros((0, 2), dtype=np.int64),
+            node_atom_indices=node_atom_indices,
+            node_atom_start=node_atom_start,
+            node_atom_count=node_atom_count,
+        )
+        graph.node_features[Nfeat.POSITION] = graph.positions()
+        return graph
+
+    # ------------------------------------------------------------------
+    # HDF5 serialization (reference-compatible layout)
+    # ------------------------------------------------------------------
+    def write_to_hdf5(self, hdf5_path: str) -> None:
+        """Write the featured graph to HDF5 in the deeprank layout."""
+        with h5py.File(hdf5_path, "a") as hdf5_file:
+            graph_group = hdf5_file.require_group(self.id)
+            node_group = graph_group.create_group(Nfeat.NODE)
+            edge_group = graph_group.create_group(Efeat.EDGE)
+
+            names = np.array(self.node_names()).astype("S")
+            node_group.create_dataset(Nfeat.NAME, data=names)
+            chain_ids = np.array(self.node_chain_ids()).astype("S")
+            node_group.create_dataset(Nfeat.CHAINID, data=chain_ids)
+
+            for feature_name, data in self.node_features.items():
+                node_group.create_dataset(feature_name, data=data)
+
+            node_name_strs = self.node_names()
+            edge_names = [f"{node_name_strs[i]}-{node_name_strs[j]}" for i, j in self.edge_index]
+            edge_group.create_dataset(Efeat.NAME, data=np.array(edge_names).astype("S"))
+            edge_group.create_dataset(Efeat.INDEX, data=self.edge_index)
+
+            for feature_name, data in self.edge_features.items():
+                edge_group.create_dataset(feature_name, data=data)
+
+            score_group = graph_group.create_group(targets.VALUES)
+            for target_name, target_data in self.targets.items():
+                score_group.create_dataset(target_name, data=target_data)
+
+    # ------------------------------------------------------------------
+    # Grid mapping
+    # ------------------------------------------------------------------
+    def map_to_grid(self, grid, method, augmentation=None) -> None:
+        """Accumulate all node and edge features onto a 3D grid (vectorized)."""
+        from deeprank2_tpu.utils.grid import rotate_points
+
+        # edge features: each edge contributes at both endpoint positions
+        positions = self.positions()
+        if self.num_edges:
+            edge_points = positions[self.edge_index.reshape(-1)]  # [2E, 3]
+            if augmentation is not None:
+                edge_points = rotate_points(edge_points, augmentation.axis, augmentation.angle, self.center)
+            for feature_name, values in self.edge_features.items():
+                doubled = np.repeat(np.asarray(values), 2, axis=0)
+                grid.map_feature_batch(edge_points, feature_name, doubled, method)
+
+        node_points = positions
+        if augmentation is not None:
+            node_points = rotate_points(node_points, augmentation.axis, augmentation.angle, self.center)
+        for feature_name, values in self.node_features.items():
+            grid.map_feature_batch(node_points, feature_name, np.asarray(values), method)
+
+    @staticmethod
+    def _find_unused_augmentation_name(unaugmented_id: str, hdf5_path: str) -> str:
+        prefix = f"{unaugmented_id}_"
+        taken: list[str] = []
+        if os.path.isfile(hdf5_path):
+            with h5py.File(hdf5_path, "r") as hdf5_file:
+                taken = [name for name in hdf5_file if name.startswith(prefix)]
+        count = 0
+        while f"{prefix}{count:03}" in taken:
+            count += 1
+        return f"{prefix}{count:03}"
+
+    def write_as_grid_to_hdf5(self, hdf5_path: str, settings, method, augmentation=None) -> str:
+        """Map to a grid and store it (``<id>/grid_points``, ``<id>/mapped_features``)."""
+        from deeprank2_tpu.utils.grid import Grid
+
+        id_ = self.id
+        if augmentation is not None:
+            id_ = self._find_unused_augmentation_name(id_, hdf5_path)
+
+        grid = Grid(id_, list(self.center), settings)
+        self.map_to_grid(grid, method, augmentation)
+        grid.to_hdf5(hdf5_path)
+
+        with h5py.File(hdf5_path, "a") as hdf5_file:
+            grp = hdf5_file[id_]
+            targets_group = grp.require_group(targets.VALUES)
+            for target_name, target_data in self.targets.items():
+                if target_name not in targets_group:
+                    targets_group.create_dataset(target_name, data=target_data)
+                else:
+                    targets_group[target_name][()] = target_data
+
+        return hdf5_path
+
+
+def _number_string(sa: StructureArrays, residue_index: int) -> str:
+    icode = sa.res_icodes[residue_index]
+    number = sa.res_numbers[residue_index]
+    return f"{number}{icode}" if icode is not None else str(number)

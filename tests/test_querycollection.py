@@ -1,0 +1,133 @@
+"""Query pipeline tests: build, multiprocessing fan-out, duplicate renaming."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from deeprank2_tpu.domain import edgestorage as Efeat
+from deeprank2_tpu.domain import nodestorage as Nfeat
+from deeprank2_tpu.molstruct.aminoacid import alanine, phenylalanine
+from deeprank2_tpu.query import ProteinProteinInterfaceQuery, QueryCollection, SingleResidueVariantQuery
+
+
+def _ppi_query(data_path, resolution="residue", targets=None):
+    return ProteinProteinInterfaceQuery(
+        pdb_path=str(data_path / "pdb" / "1ATN" / "1ATN_1w.pdb"),
+        resolution=resolution,
+        chain_ids=["A", "B"],
+        pssm_paths={
+            "A": str(data_path / "pssm" / "1ATN" / "1ATN.A.pdb.pssm"),
+            "B": str(data_path / "pssm" / "1ATN" / "1ATN.B.pdb.pssm"),
+        },
+        targets=targets or {"binary": 0},
+    )
+
+
+def _srv_query(data_path, resolution="residue"):
+    return SingleResidueVariantQuery(
+        pdb_path=str(data_path / "pdb" / "101M" / "101M.pdb"),
+        resolution=resolution,
+        chain_ids="A",
+        variant_residue_number=27,
+        insertion_code=None,
+        wildtype_amino_acid=alanine,
+        variant_amino_acid=phenylalanine,
+        pssm_paths={"A": str(data_path / "pssm" / "101M" / "101M.A.pdb.pssm")},
+        targets={"binary": 1},
+    )
+
+
+def test_build_ppi_graph(data_path) -> None:
+    graph = _ppi_query(data_path).build(["components", "contact", "conservation"])
+    assert graph.num_nodes > 0
+    assert graph.num_edges > 0
+    assert Nfeat.PSSM in graph.node_features
+    assert Efeat.ELEC in graph.edge_features
+    assert graph.targets == {"binary": 0}
+    assert not graph.has_nan()
+
+
+def test_build_srv_graph(data_path) -> None:
+    graph = _srv_query(data_path).build(["components", "contact", "conservation"])
+    assert graph.num_nodes > 0
+    assert Nfeat.DIFFCONSERVATION in graph.node_features
+    assert not graph.has_nan()
+
+
+def test_process_combined(tmp_path, data_path) -> None:
+    os.chdir(tmp_path)
+    collection = QueryCollection()
+    collection.add(_ppi_query(data_path))
+    collection.add(_srv_query(data_path))
+
+    paths = collection.process(prefix=str(tmp_path / "out"), cpu_count=2)
+    assert len(paths) == 1
+    with h5py.File(paths[0], "r") as f:
+        assert len(f.keys()) == 2
+        for entry in f.values():
+            assert Nfeat.NODE in entry
+            assert Efeat.EDGE in entry
+
+
+def test_process_separate_outputs(tmp_path, data_path) -> None:
+    collection = QueryCollection()
+    collection.add(_ppi_query(data_path))
+    collection.add(_srv_query(data_path))
+    paths = collection.process(prefix=str(tmp_path / "sep"), cpu_count=2, combine_output=False)
+    total = 0
+    for p in paths:
+        with h5py.File(p, "r") as f:
+            total += len(f.keys())
+    assert total == 2
+
+
+def test_duplicate_rename(data_path) -> None:
+    collection = QueryCollection()
+    q1 = _ppi_query(data_path)
+    q2 = _ppi_query(data_path)
+    collection.add(q1)
+    collection.add(q2, warn_duplicate=False)
+    assert len(collection) == 2
+    assert q2.model_id.endswith("_2")
+    assert q1.get_query_id() != q2.get_query_id()
+
+
+def test_invalid_resolution(data_path) -> None:
+    with pytest.raises(ValueError):
+        ProteinProteinInterfaceQuery(
+            pdb_path=str(data_path / "pdb" / "1ATN" / "1ATN_1w.pdb"),
+            resolution="banana",
+            chain_ids=["A", "B"],
+        )
+
+
+def test_srv_needs_one_chain(data_path) -> None:
+    with pytest.raises(ValueError):
+        SingleResidueVariantQuery(
+            pdb_path=str(data_path / "pdb" / "101M" / "101M.pdb"),
+            resolution="residue",
+            chain_ids=["A", "B"],
+            variant_residue_number=27,
+            insertion_code=None,
+            wildtype_amino_acid=alanine,
+            variant_amino_acid=phenylalanine,
+        )
+
+
+def test_default_feature_modules(tmp_path, data_path) -> None:
+    """Defaults are components + contact (no pssm required)."""
+    q = ProteinProteinInterfaceQuery(
+        pdb_path=str(data_path / "pdb" / "1ATN" / "1ATN_1w.pdb"),
+        resolution="residue",
+        chain_ids=["A", "B"],
+    )
+    collection = QueryCollection()
+    collection.add(q)
+    paths = collection.process(prefix=str(tmp_path / "defaults"), cpu_count=1)
+    with h5py.File(paths[0], "r") as f:
+        entry = next(iter(f.values()))
+        assert Nfeat.RESTYPE in entry[Nfeat.NODE]
+        assert Efeat.ELEC in entry[Efeat.EDGE]
+        assert Nfeat.PSSM not in entry[Nfeat.NODE]
