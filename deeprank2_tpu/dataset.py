@@ -1,0 +1,729 @@
+"""Dataset layer: HDF5 -> numpy entry dicts -> padded TPU batches.
+
+API parity with the reference (deeprank2/dataset.py): ``GraphDataset`` /
+``GridDataset`` with feature selection and validation, per-feature transforms
+and standardization, target filtering, and train-source parameter inheritance
+(from a training dataset object or a pretrained checkpoint).
+
+Differences by design:
+- ``get(idx)`` returns a plain dict of numpy arrays (the collation into padded
+  ``GraphBatch``/``GridBatch`` pytrees happens in the loader, ops/batch.py) —
+  there is no per-item torch tensor creation;
+- an in-memory entry cache (``cache=True``, default) avoids the reference's
+  re-open-HDF5-per-item pattern (dataset.py:883), the reference's data-loading
+  hot spot.
+"""
+
+from __future__ import annotations
+
+import copy
+import logging
+import os
+import pickle
+import re
+import warnings
+from typing import Literal
+
+import h5py
+import numpy as np
+
+from deeprank2_tpu.domain import edgestorage as Efeat
+from deeprank2_tpu.domain import gridstorage
+from deeprank2_tpu.domain import nodestorage as Nfeat
+from deeprank2_tpu.domain import targetstorage as targets
+
+_log = logging.getLogger(__name__)
+
+
+class DeeprankDataset:
+    """Parent class of :class:`GridDataset` and :class:`GraphDataset`."""
+
+    def __init__(
+        self,
+        hdf5_path: str | list[str],
+        subset: list[str] | None,
+        train_source,
+        target: str | None,
+        target_transform: bool | None,
+        target_filter: dict[str, str] | None,
+        task: str | None,
+        classes: list | None,
+        use_tqdm: bool,
+        root: str,
+        check_integrity: bool,
+    ):
+        if isinstance(hdf5_path, str):
+            self.hdf5_paths = [hdf5_path]
+        elif isinstance(hdf5_path, list):
+            self.hdf5_paths = hdf5_path
+        else:
+            msg = f"hdf5_path: unexpected type: {type(hdf5_path)}"
+            raise TypeError(msg)
+
+        self.subset = subset
+        self.train_source = train_source
+        self.target = target
+        self.target_transform = target_transform
+        self.target_filter = target_filter
+        self.root = root
+        self.use_tqdm = use_tqdm
+
+        if check_integrity:
+            self._check_hdf5_files()
+
+        self._check_task_and_classes(task, classes)
+        self._create_index_entries()
+
+        self.df = None
+        self.means = None
+        self.devs = None
+        self.train_means = None
+        self.train_devs = None
+        self._cache: dict[tuple[str, str], dict] = {}
+
+    # ------------------------------------------------------------------
+    def _check_and_inherit_train(self, data_type, inherited_params: list[str]) -> None:
+        """Inherit parameters from a training dataset or pretrained checkpoint."""
+        if isinstance(self.train_source, str):
+            try:
+                with open(self.train_source, "rb") as f:
+                    data = pickle.load(f)  # noqa: S301
+                if data["data_type"] != data_type.__name__:
+                    msg = (
+                        f"The pre-trained model has been trained with data of type {data['data_type']}, but you are trying\n\t"
+                        f"to define a {data_type.__name__}-class validation/testing dataset."
+                    )
+                    raise TypeError(msg)
+                if data_type is GraphDataset:
+                    self.train_means = data["means"]
+                    self.train_devs = data["devs"]
+                    if data.get("features_transform"):
+                        for entry in data["features_transform"].values():
+                            if entry.get("transform") is None:
+                                continue
+                            if isinstance(entry["transform"], str):
+                                entry["transform"] = eval(entry["transform"])  # noqa: S307 (reference parity: dataset.py:115)
+            except pickle.UnpicklingError as e:
+                msg = "The path provided to `train_source` is not a valid pre-trained model."
+                raise ValueError(msg) from e
+        elif isinstance(self.train_source, data_type):
+            data = self.train_source
+            if data_type is GraphDataset:
+                self.train_means = self.train_source.means
+                self.train_devs = self.train_source.devs
+        else:
+            msg = (
+                f"The train data provided is invalid: {type(self.train_source)}.\n\t"
+                f"Please provide a valid training {data_type} or the path to a valid pre-trained model."
+            )
+            raise TypeError(msg)
+
+        self._check_inherited_params(inherited_params, data)
+
+    def _check_hdf5_files(self) -> None:
+        """Drop empty or corrupted files."""
+        to_be_removed = []
+        for hdf5_path in self.hdf5_paths:
+            try:
+                with h5py.File(hdf5_path, "r") as f5:
+                    if len(list(f5.keys())) == 0:
+                        _log.info(f"    -> {hdf5_path} is empty ")
+                        to_be_removed.append(hdf5_path)
+            except Exception as e:  # noqa: BLE001
+                _log.error(e)
+                _log.info(f"    -> {hdf5_path} is corrupted ")
+                to_be_removed.append(hdf5_path)
+        for hdf5_path in to_be_removed:
+            self.hdf5_paths.remove(hdf5_path)
+
+    def _check_task_and_classes(self, task: str | None, classes: list | None = None) -> None:
+        target_to_task_map = {
+            targets.IRMSD: targets.REGRESS,
+            targets.LRMSD: targets.REGRESS,
+            targets.FNAT: targets.REGRESS,
+            targets.DOCKQ: targets.REGRESS,
+            targets.BINARY: targets.CLASSIF,
+            targets.CAPRI: targets.CLASSIF,
+        }
+        if task is None:
+            self.task = target_to_task_map.get(self.target)
+        else:
+            self.task = task
+
+        if self.task not in [targets.CLASSIF, targets.REGRESS] and self.target is not None:
+            msg = f"User target detected: {self.target} -> The task argument must be 'classif' or 'regress', currently set as {self.task}"
+            raise ValueError(msg)
+
+        if task and self.target in target_to_task_map and task != target_to_task_map[self.target]:
+            self.task = target_to_task_map[self.target]
+            warnings.warn(
+                f"Target {self.target} expects {self.task}, but was set to task {task} by user. User set task is ignored and {self.task} will be used.",
+            )
+
+        if self.task == targets.CLASSIF:
+            if classes is None:
+                self.classes = [0, 1, 2, 3, 4, 5] if self.target == targets.CAPRI else [0, 1]
+            else:
+                # (the reference never stores user-provided classes — dataset.py:180-183
+                # only handles the None case; we keep them, which is the documented intent)
+                self.classes = classes
+            self.classes_to_index = {class_: index for index, class_ in enumerate(self.classes)}
+        else:
+            self.classes = None
+            self.classes_to_index = None
+
+    def _check_inherited_params(self, inherited_params: list[str], data) -> None:
+        self_vars = vars(self)
+        if not isinstance(data, dict):
+            data = vars(data)
+        for param in inherited_params:
+            if self_vars[param] != data[param]:
+                if self_vars[param] != self.default_vars[param]:
+                    _log.warning(
+                        f"The {param} parameter set here is: {self_vars[param]}, "
+                        f"which is not equivalent to the one in the training phase: {data[param]}./n"
+                        f"Overwriting {param} parameter with the one used in the training phase.",
+                    )
+                setattr(self, param, data[param])
+
+    def _create_index_entries(self) -> None:
+        self.index_entries = []
+        for hdf5_path in self.hdf5_paths:
+            try:
+                with h5py.File(hdf5_path, "r") as hdf5_file:
+                    if self.subset is None:
+                        entry_names = list(hdf5_file.keys())
+                    else:
+                        entry_names = [name for name in self.subset if name in list(hdf5_file.keys())]
+                    if self.target_filter is None:
+                        self.index_entries += [(hdf5_path, name) for name in entry_names]
+                    else:
+                        self.index_entries += [(hdf5_path, name) for name in entry_names if self._filter_targets(hdf5_file[name])]
+            except Exception:  # noqa: BLE001
+                _log.exception(f"on {hdf5_path}")
+
+    def _filter_targets(self, grp: h5py.Group) -> bool:
+        """Keep the entry if every (target, condition) filter passes.
+
+        Conditions are comparison strings like ``"<0.1"`` evaluated against the
+        entry's target value (reference parity: dataset.py:251-289).
+        """
+        if self.target_filter is None:
+            return True
+        for target_name, target_condition in self.target_filter.items():
+            present_target_names = list(grp[targets.VALUES].keys())
+            if target_name in present_target_names:
+                if isinstance(target_condition, str):
+                    operation = target_condition
+                    target_value = grp[targets.VALUES][target_name][()]
+                    for operator_string in [">", "<", "==", "<=", ">=", "!="]:
+                        operation = operation.replace(operator_string, f"{target_value}" + operator_string)
+                    if not eval(operation):  # noqa: S307 (reference parity)
+                        return False
+                elif target_condition is not None:
+                    msg = "Conditions not supported"
+                    raise ValueError(msg, target_condition)
+            else:
+                _log.warning(f"   :Filter {target_name} not found for entry {grp}\n   :Filter options are: {present_target_names}")
+        return True
+
+    def __len__(self) -> int:
+        return len(self.index_entries)
+
+    def len(self) -> int:
+        """Number of entries (reference-API alias)."""
+        return len(self.index_entries)
+
+    # ------------------------------------------------------------------
+    def hdf5_to_pandas(self):
+        """Load the selected features into a pandas DataFrame (one row per entry)."""
+        import pandas as pd
+
+        df_final = pd.DataFrame()
+        for fname in self.hdf5_paths:
+            with h5py.File(fname, "r") as f:
+                first_entry = next(iter(f.keys()))
+                if self.subset is not None:
+                    entry_names = [entry for entry in f if entry in self.subset]
+                else:
+                    entry_names = list(f.keys())
+
+                df_dict: dict = {"id": entry_names}
+                for feat_type, feats in self.features_dict.items():
+                    for feat in feats:
+                        transform = None
+                        if getattr(self, "features_transform", None):
+                            transform = self.features_transform.get("all", {}).get("transform")
+                            if transform is None and feat in self.features_transform:
+                                transform = self.features_transform.get(feat, {}).get("transform")
+                        if f[first_entry][feat_type][feat][()].ndim == 2:  # noqa: PLR2004
+                            for i in range(f[first_entry][feat_type][feat][:].shape[1]):
+                                col = [f[name][feat_type][feat][:][:, i] for name in entry_names]
+                                if transform:
+                                    col = [transform(row) for row in col]
+                                df_dict[f"{feat}_{i}"] = col
+                        else:
+                            col = [f[name][feat_type][feat][:] if f[name][feat_type][feat][()].ndim == 1 else f[name][feat_type][feat][()] for name in entry_names]
+                            if transform:
+                                col = [transform(row) for row in col]
+                            df_dict[feat] = col
+
+                df_temp = pd.DataFrame(data=df_dict)
+            df_final = pd.concat([df_final, df_temp])
+        self.df = df_final.reset_index(drop=True)
+        return self.df
+
+    def save_hist(self, features: str | list[str], fname: str = "features_hist.png", bins=10, figsize=(15, 15), log: bool = False) -> None:
+        """Save histograms of the requested features to an image."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        if self.df is None:
+            self.hdf5_to_pandas()
+        if not isinstance(features, list):
+            features = [features]
+
+        features_df = [col for feat in features for col in self.df.columns.to_numpy().tolist() if feat in col]
+        if not features_df:
+            msg = "Please provide valid features names present in this dataset."
+            raise ValueError(msg)
+
+        def _series_values(col: str) -> np.ndarray:
+            values = self.df[col].to_numpy()
+            data = np.concatenate(values) if isinstance(values[0], np.ndarray) else values
+            if log:
+                data = np.log(data)
+                data[data == -np.inf] = 0
+            return data
+
+        fig, axs = plt.subplots(len(features_df), figsize=figsize, squeeze=False)
+        for row, feat in enumerate(features_df):
+            data = _series_values(feat)
+            axs[row][0].hist(data, bins=bins)
+            axs[row][0].set(xlabel=f"{feat} (mean {round(float(np.mean(data)), 1)}, std {round(float(np.std(data)), 1)})", ylabel="Count")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            fig.tight_layout()
+            fig.savefig(fname)
+            plt.close(fig)
+
+    def _compute_mean_std(self) -> None:
+        self.means = {
+            col: round(float(np.nanmean(np.concatenate(self.df[col].values))), 1)
+            if isinstance(self.df[col].to_numpy()[0], np.ndarray)
+            else round(float(np.nanmean(self.df[col].to_numpy())), 1)
+            for col in self.df.columns[1:]
+        }
+        self.devs = {
+            col: round(float(np.nanstd(np.concatenate(self.df[col].values))), 1)
+            if isinstance(self.df[col].to_numpy()[0], np.ndarray)
+            else round(float(np.nanstd(self.df[col].to_numpy())), 1)
+            for col in self.df.columns[1:]
+        }
+
+
+# Grid features are stored per dimension: e.g. position_001 ... position_003
+GRID_PARTIAL_FEATURE_NAME_PATTERN = re.compile(r"^([a-zA-Z_]+)_([0-9]{3})$")
+
+
+class GridDataset(DeeprankDataset):
+    """Loads 3D-grid entries from HDF5 (see reference dataset.py:471 for arg docs)."""
+
+    def __init__(
+        self,
+        hdf5_path: str | list,
+        subset: list[str] | None = None,
+        train_source=None,
+        features: list[str] | str | None = "all",
+        target: str | None = None,
+        target_transform: bool = False,
+        target_filter: dict[str, str] | None = None,
+        task: Literal["regress", "classif"] | None = None,
+        classes: list | None = None,
+        use_tqdm: bool = True,
+        root: str = "./",
+        check_integrity: bool = True,
+    ):
+        super().__init__(hdf5_path, subset, train_source, target, target_transform, target_filter, task, classes, use_tqdm, root, check_integrity)
+        self.default_vars = {
+            "features": "all",
+            "target": None,
+            "target_transform": False,
+            "task": None,
+            "classes": None,
+            "classes_to_index": None,
+        }
+        self.features = features
+        self.target_transform = target_transform
+
+        if train_source is not None:
+            self.inherited_params = ["features", "target", "target_transform", "task", "classes", "classes_to_index"]
+            self._check_and_inherit_train(GridDataset, self.inherited_params)
+            self._check_features()
+        else:
+            self._check_features()
+            self.inherited_params = None
+            try:
+                fname, mol = self.index_entries[0]
+            except IndexError as e:
+                msg = "No entries found in the dataset. Please check the dataset parameters."
+                raise IndexError(msg) from e
+            with h5py.File(fname, "r") as f5:
+                possible_targets = list(f5[mol][targets.VALUES].keys())
+                if self.target is None:
+                    msg = f"Please set the target during training dataset definition; targets present in the file/s are {possible_targets}."
+                    raise ValueError(msg)
+                if self.target not in possible_targets:
+                    msg = f"Target {self.target} not present in the file/s; targets present in the file/s are {possible_targets}."
+                    raise ValueError(msg)
+
+        self.features_dict = {gridstorage.MAPPED_FEATURES: self.features}
+        if self.target is not None:
+            self.features_dict[targets.VALUES] = [self.target] if isinstance(self.target, str) else self.target
+
+    def _check_features(self) -> None:
+        hdf5_path = self.hdf5_paths[0]
+        with h5py.File(hdf5_path, "r") as f:
+            mol_key = next(iter(f.keys()))
+            if isinstance(self.features, list):
+                # strip the _NNN channel suffix and dedup
+                stripped = [
+                    m.group(1) if (m := GRID_PARTIAL_FEATURE_NAME_PATTERN.match(name)) is not None else name for name in self.features
+                ]
+                self.features = list(set(stripped))
+            available_features = [key for key in f[f"{mol_key}/{gridstorage.MAPPED_FEATURES}"] if key[0] != "_"]
+
+            matching = []
+            unpartial_names = []
+            for name in available_features:
+                m = GRID_PARTIAL_FEATURE_NAME_PATTERN.match(name)
+                base = m.group(1) if m is not None else name
+                if self.features == "all" or (isinstance(self.features, list) and base in self.features):
+                    matching.append(name)
+                unpartial_names.append(base)
+
+        missing = []
+        if self.features == "all":
+            self.features = sorted(available_features)
+            self.default_vars["features"] = self.features
+        else:
+            if not isinstance(self.features, list):
+                self.features = [] if self.features is None else [self.features]
+            missing = [name for name in self.features if name not in unpartial_names]
+            self.features = sorted(matching)
+
+        if missing:
+            msg = (
+                f"Not all features could be found in the file {hdf5_path} under entry {mol_key}.\n\t"
+                f"Missing features are: {missing}.\n\tAvailable features: {available_features}"
+            )
+            raise ValueError(msg)
+
+    def get(self, idx: int) -> dict:
+        """Entry dict: ``x [C, W, H, D]``, ``y`` (or None), ``entry_name``."""
+        file_path, entry_name = self.index_entries[idx]
+        key = (file_path, entry_name)
+        if key not in self._cache:
+            self._cache[key] = self.load_one_grid(file_path, entry_name)
+        return self._cache[key]
+
+    def load_one_grid(self, hdf5_path: str, entry_name: str) -> dict:
+        """Load one grid entry from HDF5."""
+        with h5py.File(hdf5_path, "r") as hdf5_file:
+            grp = hdf5_file[entry_name]
+            mapped = grp[gridstorage.MAPPED_FEATURES]
+            x = np.array([mapped[name][:] for name in self.features if name[0] != "_"], dtype=np.float32)
+            y = _load_target(grp, self.target, self.task, self.target_transform, self.train_source, entry_name, hdf5_path)
+        return {"x": x, "y": y, "entry_name": entry_name}
+
+
+class GraphDataset(DeeprankDataset):
+    """Loads graph entries from HDF5 (see reference dataset.py:710 for arg docs)."""
+
+    def __init__(  # noqa: C901
+        self,
+        hdf5_path: str | list,
+        subset: list[str] | None = None,
+        train_source=None,
+        node_features: list[str] | str | None = "all",
+        edge_features: list[str] | str | None = "all",
+        features_transform: dict | None = None,
+        clustering_method: str | None = None,
+        target: str | None = None,
+        target_transform: bool = False,
+        target_filter: dict[str, str] | None = None,
+        task: Literal["regress", "classif"] | None = None,
+        classes: list | None = None,
+        use_tqdm: bool = True,
+        root: str = "./",
+        check_integrity: bool = True,
+    ):
+        super().__init__(hdf5_path, subset, train_source, target, target_transform, target_filter, task, classes, use_tqdm, root, check_integrity)
+        self.default_vars = {
+            "node_features": "all",
+            "edge_features": "all",
+            "features_transform": None,
+            "target": None,
+            "target_transform": False,
+            "task": None,
+            "classes": None,
+            "classes_to_index": None,
+        }
+        self.node_features = node_features
+        self.edge_features = edge_features
+        self.clustering_method = clustering_method
+        self.target_transform = target_transform
+        self.features_transform = features_transform
+
+        if train_source is not None:
+            self.inherited_params = [
+                "node_features",
+                "edge_features",
+                "features_transform",
+                "target",
+                "target_transform",
+                "task",
+                "classes",
+                "classes_to_index",
+            ]
+            self._check_and_inherit_train(GraphDataset, self.inherited_params)
+            self._check_features()
+        else:
+            self._check_features()
+            self.inherited_params = None
+            try:
+                fname, mol = self.index_entries[0]
+            except IndexError as e:
+                msg = "No entries found in the dataset. Please check the dataset parameters."
+                raise IndexError(msg) from e
+            with h5py.File(fname, "r") as f5:
+                possible_targets = list(f5[mol][targets.VALUES].keys())
+                if self.target is None:
+                    msg = f"Please set the target during training dataset definition; targets present in the file/s are {possible_targets}."
+                    raise ValueError(msg)
+                if self.target not in possible_targets:
+                    msg = f"Target {self.target} not present in the file/s; targets present in the file/s are {possible_targets}."
+                    raise ValueError(msg)
+
+        self.features_dict = {Nfeat.NODE: self.node_features, Efeat.EDGE: self.edge_features}
+        if self.target is not None:
+            self.features_dict[targets.VALUES] = [self.target] if isinstance(self.target, str) else self.target
+
+        standardize = False
+        if self.features_transform:
+            standardize = any(entry.get("standardize") for entry in self.features_transform.values())
+
+        if standardize and train_source is None:
+            if self.means is None or self.devs is None:
+                if self.df is None:
+                    self.hdf5_to_pandas()
+                self._compute_mean_std()
+        elif standardize and train_source is not None:
+            self.means = self.train_means
+            self.devs = self.train_devs
+
+    def get(self, idx: int) -> dict:
+        """Entry dict: x, edge_index (undirected), edge_attr, pos, y, cluster0/1."""
+        fname, mol = self.index_entries[idx]
+        key = (fname, mol)
+        if key not in self._cache:
+            self._cache[key] = self.load_one_graph(fname, mol)
+        return self._cache[key]
+
+    def _apply_feature_pipeline(self, feat: str, vals: np.ndarray, fname: str, entry_name: str) -> np.ndarray:
+        """Per-feature transform + standardization (reference: dataset.py:897-996)."""
+        transform = None
+        standard = None
+        if self.features_transform is not None:
+            transform = self.features_transform.get("all", {}).get("transform")
+            standard = self.features_transform.get("all", {}).get("standardize")
+            if transform is None and feat in self.features_transform:
+                transform = self.features_transform.get(feat, {}).get("transform")
+            if standard is None and feat in self.features_transform:
+                standard = self.features_transform.get(feat, {}).get("standardize")
+
+        if transform:
+            with warnings.catch_warnings(record=True) as w:
+                warnings.simplefilter("always")
+                vals = transform(vals)
+                if len(w) > 0:
+                    msg = (
+                        f"Invalid value occurs in {entry_name}, file {fname}, when applying {transform} for feature {feat}.\n\t"
+                        f"Please change the transformation function for {feat}."
+                    )
+                    raise ValueError(msg)
+
+        if vals.ndim == 1:
+            vals = vals.reshape(-1, 1)
+            if standard:
+                vals = (vals - self.means[feat]) / self.devs[feat]
+        elif standard:
+            reshaped_mean = [mean_value for mean_key, mean_value in self.means.items() if feat in mean_key]
+            reshaped_dev = [dev_value for dev_key, dev_value in self.devs.items() if feat in dev_key]
+            vals = (vals - reshaped_mean) / reshaped_dev
+        return vals
+
+    def load_one_graph(self, fname: str, entry_name: str) -> dict:
+        """Load one graph entry from HDF5 into numpy arrays."""
+        with h5py.File(fname, "r") as f5:
+            grp = f5[entry_name]
+
+            node_data = []
+            for feat in self.node_features:
+                if feat[0] == "_":
+                    continue
+                vals = grp[f"{Nfeat.NODE}/{feat}"][()]
+                node_data.append(self._apply_feature_pipeline(feat, vals, fname, entry_name))
+            x = np.hstack(node_data).astype(np.float32) if node_data else None
+
+            if Efeat.INDEX in grp[Efeat.EDGE]:
+                edge_index = grp[f"{Efeat.EDGE}/{Efeat.INDEX}"][()].astype(np.int64)
+            else:
+                edge_index = np.zeros((0, 2), dtype=np.int64)
+
+            edge_data = []
+            for feat in self.edge_features:
+                if feat[0] == "_":
+                    continue
+                vals = grp[f"{Efeat.EDGE}/{feat}"][()]
+                edge_data.append(self._apply_feature_pipeline(feat, vals, fname, entry_name))
+            if edge_data:
+                edge_attr = np.hstack(edge_data).astype(np.float32)
+            else:
+                edge_attr = np.zeros((edge_index.shape[0], 0), dtype=np.float32)
+
+            y = _load_target(grp, self.target, self.task, self.target_transform, self.train_source, entry_name, fname)
+            pos = grp[f"{Nfeat.NODE}/{Nfeat.POSITION}/"][()].astype(np.float32)
+
+            cluster0 = None
+            cluster1 = None
+            if self.clustering_method is not None and "clustering" in grp:
+                method = self.clustering_method
+                if method in grp["clustering"]:
+                    cgrp = grp[f"clustering/{method}"]
+                    if "depth_0" in cgrp and "depth_1" in cgrp:
+                        cluster0 = cgrp["depth_0"][()].astype(np.int64)
+                        cluster1 = cgrp["depth_1"][()].astype(np.int64)
+                    else:
+                        _log.warning("no clusters detected")
+                else:
+                    _log.warning(f"no clustering/{method} detected")
+
+        return {
+            "x": x,
+            "edge_index": edge_index,
+            "edge_attr": edge_attr,
+            "pos": pos,
+            "y": y,
+            "cluster0": cluster0,
+            "cluster1": cluster1,
+            "entry_name": entry_name,
+        }
+
+    def _check_features(self) -> None:
+        """Validate requested node/edge features against the file contents."""
+        with h5py.File(self.hdf5_paths[0], "r") as f:
+            mol_key = next(iter(f.keys()))
+            self.available_node_features = [key for key in f[f"{mol_key}/{Nfeat.NODE}/"] if key[0] != "_"]
+            self.available_edge_features = [key for key in f[f"{mol_key}/{Efeat.EDGE}/"] if key[0] != "_"]
+
+        missing_node_features = []
+        if self.node_features == "all":
+            self.node_features = self.available_node_features
+            self.default_vars["node_features"] = self.node_features
+        else:
+            if not isinstance(self.node_features, list):
+                self.node_features = [] if self.node_features is None else [self.node_features]
+            missing_node_features = [feat for feat in self.node_features if feat not in self.available_node_features]
+
+        missing_edge_features = []
+        if self.edge_features == "all":
+            self.edge_features = self.available_edge_features
+            self.default_vars["edge_features"] = self.edge_features
+        else:
+            if not isinstance(self.edge_features, list):
+                self.edge_features = [] if self.edge_features is None else [self.edge_features]
+            missing_edge_features = [feat for feat in self.edge_features if feat not in self.available_edge_features]
+
+        if missing_node_features + missing_edge_features:
+            messages = []
+            if missing_node_features:
+                messages.append(f"Missing node features: {missing_node_features} (available: {self.available_node_features})")
+            if missing_edge_features:
+                messages.append(f"Missing edge features: {missing_edge_features} (available: {self.available_edge_features})")
+            msg = (
+                f"Not all features could be found in the file {self.hdf5_paths[0]}.\n\t"
+                "Check feature_modules passed to the preprocess function.\n\t" + "\n\t".join(messages)
+            )
+            raise ValueError(msg)
+
+
+def _load_target(grp, target, task, target_transform, train_source, entry_name, fname):
+    """Read + optionally sigmoid(log(.))-transform the target (reference: dataset.py:1000-1020)."""
+    if target is None:
+        return None
+    if targets.VALUES in grp and target in grp[targets.VALUES]:
+        y = float(grp[f"{targets.VALUES}/{target}"][()])
+        if task == targets.REGRESS and target_transform is True:
+            y = float(1.0 / (1.0 + np.exp(-np.log(y))))
+        elif task is not targets.REGRESS and target_transform is True:
+            msg = f'Sigmoid transformation not possible for {task} tasks. Please change `task` to "regress" or set `target_transform` to `False`.'
+            raise ValueError(msg)
+        return y
+    possible_targets = list(grp[targets.VALUES].keys())
+    if train_source is None:
+        msg = (
+            f"Target {target} missing in entry {entry_name} in file {fname}, possible targets are {possible_targets}.\n\t"
+            "Use the query class to add more target values to input data."
+        )
+        raise ValueError(msg)
+    return None
+
+
+def save_hdf5_keys(f_src_path: str, src_ids: list[str], f_dest_path: str, hardcopy: bool = False) -> None:
+    """Save a subset of entries into a new file, as external links or hard copies."""
+    if not all(isinstance(d, str) for d in src_ids):
+        msg = "data_ids should be a list containing strings."
+        raise TypeError(msg)
+    with h5py.File(f_dest_path, "w") as f_dest, h5py.File(f_src_path, "r") as f_src:
+        for key in src_ids:
+            if hardcopy:
+                f_src.copy(f_src[key], f_dest)
+            else:
+                f_dest[key] = h5py.ExternalLink(f_src_path, "/" + key)
+
+
+def _divide_dataset(dataset, splitsize: float | int | None = None):
+    """Random train/eval split by entry (reference: trainer.py:961-1004)."""
+    if splitsize is None:
+        splitsize = 0.25
+    full_size = len(dataset)
+
+    if isinstance(splitsize, float):
+        n_split = int(splitsize * full_size)
+    elif isinstance(splitsize, int):
+        n_split = splitsize
+    else:
+        msg = f"type(splitsize) must be float, int or None ({type(splitsize)} detected.)"
+        raise TypeError(msg)
+
+    if n_split >= full_size or n_split < 0:
+        msg = (
+            f"Invalid Split size: {n_split}.\n"
+            f"Split size must be a float between 0 and 1 OR an int smaller than the size of the dataset ({full_size} datapoints)"
+        )
+        raise ValueError(msg)
+
+    if n_split == 0:
+        return dataset, None
+
+    indices = np.arange(full_size)
+    np.random.default_rng().shuffle(indices)
+
+    dataset_main = copy.deepcopy(dataset)
+    dataset_main.index_entries = [dataset.index_entries[i] for i in indices[n_split:]]
+    dataset_split = copy.deepcopy(dataset)
+    dataset_split.index_entries = [dataset.index_entries[i] for i in indices[:n_split]]
+    return dataset_main, dataset_split

@@ -1,0 +1,94 @@
+"""FoutNet (reference: neuralnets/gnn/foutnet.py; Fout et al., NIPS 2018).
+
+Layer math: ``z = x Wc + mean_neighbors(x Wn) + b``. The reference computes the
+neighbor mean with a Python loop over nodes (foutnet.py:55-58, its documented
+hot spot); here it is one segment-mean over the edge array.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from deeprank2_tpu.neuralnets import nn
+from deeprank2_tpu.ops.batch import GraphBatch
+from deeprank2_tpu.ops.pooling import community_pool, graph_mean_pool, max_pool_x
+from deeprank2_tpu.ops.segment import segment_mean
+
+
+def init_fout_layer(rng: jax.Array, in_channels: int, out_channels: int, bias: bool = True) -> dict:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    bound = 1.0 / jnp.sqrt(in_channels)
+    params = {
+        "wc": jax.random.uniform(k1, (in_channels, out_channels), minval=-bound, maxval=bound, dtype=jnp.float32),
+        "wn": jax.random.uniform(k2, (in_channels, out_channels), minval=-bound, maxval=bound, dtype=jnp.float32),
+    }
+    if bias:
+        params["b"] = jax.random.uniform(k3, (out_channels,), minval=-bound, maxval=bound, dtype=jnp.float32)
+    return params
+
+
+def fout_layer(
+    params: dict,
+    x: jnp.ndarray,
+    edge_index: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    row, col = edge_index
+    capacity = x.shape[0]
+    alpha = x @ params["wc"]
+    beta = x @ params["wn"]
+    safe_col = jnp.clip(col, 0, capacity - 1)
+    neigh = beta[safe_col] * edge_mask[:, None]
+    # mean over neighbors j of each row node (masked edges dropped via OOB row)
+    row_or_oob = jnp.where(edge_mask, row, capacity)
+    gamma = segment_mean(neigh, row_or_oob, capacity)
+    out = alpha + gamma
+    if "b" in params:
+        out = out + params["b"]
+    return out
+
+
+class FoutNet:
+    """FoutLayer x2 with community pooling."""
+
+    needs_clusters = True
+    clustering = "mcl"
+
+    def __init__(self, input_shape: int, output_shape: int = 1, input_shape_edge: int | None = None):
+        self.input_shape = input_shape
+        self.output_shape = output_shape
+        self.input_shape_edge = input_shape_edge
+
+    def init(self, rng: jax.Array) -> dict:
+        keys = jax.random.split(rng, 4)
+        return {
+            "conv1": init_fout_layer(keys[0], self.input_shape, 16),
+            "conv2": init_fout_layer(keys[1], 16, 32),
+            "fc1": nn.init_linear(keys[2], 32, 64),
+            "fc2": nn.init_linear(keys[3], 64, self.output_shape),
+        }
+
+    def apply(self, params: dict, batch: GraphBatch, training: bool = False, rng: jax.Array | None = None) -> jnp.ndarray:
+        act = nn.relu
+        x = act(fout_layer(params["conv1"], batch.x, batch.edge_index, batch.edge_mask))
+        x = x * batch.node_mask[:, None]
+
+        x, pos, ei, ea, em, node_graph, node_mask = community_pool(
+            x,
+            batch.pos,
+            batch.edge_index,
+            batch.edge_attr,
+            batch.edge_mask,
+            batch.node_graph,
+            batch.cluster0,
+            batch.num_graphs,
+        )
+
+        x = act(fout_layer(params["conv2"], x, ei, em))
+        x = x * node_mask[:, None]
+
+        x, pooled_graph = max_pool_x(batch.cluster1, x, node_graph, batch.num_graphs)
+        x = graph_mean_pool(x, pooled_graph, batch.num_graphs)
+        x = act(nn.linear(params["fc1"], x))
+        return nn.linear(params["fc2"], x)

@@ -1,0 +1,120 @@
+"""GINet: edge-attention message passing with hierarchical community pooling
+(reference: deeprank2/neuralnets/gnn/ginet.py).
+
+Math parity notes:
+- ``GINetConvLayer``: alpha = softmax(leaky_relu(W_a [Wx_row || Wx_col || W_e e]))
+  where the softmax is taken over the singleton feature axis (reference
+  ginet.py:53 ``softmax(alpha, dim=1)`` with alpha of shape [E, 1]) — it
+  evaluates to 1, so the message reduces to ``Wx_col`` scatter-summed to rows.
+  We reproduce the computation as written, gradients and all.
+- Dual-tower trick: the same batch is run through two independent conv stacks
+  ("external"/"internal") and the pooled embeddings are concatenated.
+- Pooling: community_pooling on cluster0 after conv1, max_pool_x on cluster1
+  after conv2, then per-graph mean.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from deeprank2_tpu.neuralnets import nn
+from deeprank2_tpu.ops.batch import GraphBatch
+from deeprank2_tpu.ops.pooling import community_pool, graph_mean_pool, max_pool_x
+from deeprank2_tpu.ops.segment import segment_sum
+
+
+def init_ginet_conv(rng: jax.Array, in_channels: int, out_channels: int, number_edge_features: int = 1) -> dict:
+    """Parameters for one GINet conv layer (all linear maps bias-free, PyG
+    ``uniform(in_channels, ...)`` init — reference ginet.py:33-38)."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    size = in_channels
+    return {
+        "fc": nn.init_linear(k1, in_channels, out_channels, bias=False, init_size=size),
+        "fc_edge_attr": nn.init_linear(k2, number_edge_features, number_edge_features, bias=False, init_size=size),
+        "fc_attention": nn.init_linear(k3, 2 * out_channels + number_edge_features, 1, bias=False, init_size=size),
+    }
+
+
+def ginet_conv(
+    params: dict,
+    x: jnp.ndarray,
+    edge_index: jnp.ndarray,
+    edge_attr: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """One GINet conv layer over padded arrays."""
+    row, col = edge_index
+    capacity = x.shape[0]
+    safe_row = jnp.clip(row, 0, capacity - 1)
+    safe_col = jnp.clip(col, 0, capacity - 1)
+
+    xrow = nn.linear(params["fc"], x[safe_row])
+    xcol = nn.linear(params["fc"], x[safe_col])
+    ed = nn.linear(params["fc_edge_attr"], edge_attr)
+
+    alpha = jnp.concatenate([xrow, xcol, ed], axis=1)
+    alpha = nn.linear(params["fc_attention"], alpha)
+    alpha = nn.leaky_relu(alpha)
+    alpha = jax.nn.softmax(alpha, axis=1)  # [E,1] -> all ones (reference parity)
+
+    h = alpha * xcol
+    h = h * edge_mask[:, None]
+    return segment_sum(h, row, capacity)
+
+
+class GINet:
+    """Clustered GINet (dual tower + community pooling)."""
+
+    needs_clusters = True
+    clustering = "mcl"
+    dropout = 0.4
+
+    def __init__(self, input_shape: int, output_shape: int = 1, input_shape_edge: int = 1):
+        self.input_shape = input_shape
+        self.output_shape = output_shape
+        self.input_shape_edge = input_shape_edge
+
+    def init(self, rng: jax.Array) -> dict:
+        keys = jax.random.split(rng, 6)
+        fe = self.input_shape_edge
+        return {
+            "conv1": init_ginet_conv(keys[0], self.input_shape, 16, fe),
+            "conv2": init_ginet_conv(keys[1], 16, 32, fe),
+            "conv1_ext": init_ginet_conv(keys[2], self.input_shape, 16, fe),
+            "conv2_ext": init_ginet_conv(keys[3], 16, 32, fe),
+            "fc1": nn.init_linear(keys[4], 2 * 32, 128),
+            "fc2": nn.init_linear(keys[5], 128, self.output_shape),
+        }
+
+    def _tower(self, conv1: dict, conv2: dict, batch: GraphBatch) -> jnp.ndarray:
+        act = nn.relu
+        x = act(ginet_conv(conv1, batch.x, batch.edge_index, batch.edge_attr, batch.edge_mask))
+        x = x * batch.node_mask[:, None]
+
+        # community pooling on depth-0 clusters
+        x, pos, ei, ea, em, node_graph, node_mask = community_pool(
+            x,
+            batch.pos,
+            batch.edge_index,
+            batch.edge_attr,
+            batch.edge_mask,
+            batch.node_graph,
+            batch.cluster0,
+            batch.num_graphs,
+        )
+
+        x = act(ginet_conv(conv2, x, ei, ea, em))
+        x = x * node_mask[:, None]
+
+        # depth-1 max pooling; cluster1 is indexed by depth-0 cluster id
+        x, pooled_graph = max_pool_x(batch.cluster1, x, node_graph, batch.num_graphs)
+        return graph_mean_pool(x, pooled_graph, batch.num_graphs)
+
+    def apply(self, params: dict, batch: GraphBatch, training: bool = False, rng: jax.Array | None = None) -> jnp.ndarray:
+        x = self._tower(params["conv1"], params["conv2"], batch)
+        x_ext = self._tower(params["conv1_ext"], params["conv2_ext"], batch)
+        h = jnp.concatenate([x, x_ext], axis=1)
+        h = nn.relu(nn.linear(params["fc1"], h))
+        h = nn.dropout(rng, h, self.dropout, training)
+        return nn.linear(params["fc2"], h)

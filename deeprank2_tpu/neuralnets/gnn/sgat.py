@@ -1,0 +1,97 @@
+"""Simplified graph attention network (reference: neuralnets/gnn/sgat.py).
+
+Layer math: ``z_i = mean_j(e_ij * ([x_i || x_j] W)) + b`` where the edge
+attribute multiplies the transformed pair feature (undirected: only the row
+aggregation is used since both edge directions are present).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from deeprank2_tpu.neuralnets import nn
+from deeprank2_tpu.ops.batch import GraphBatch
+from deeprank2_tpu.ops.pooling import community_pool, graph_mean_pool, max_pool_x
+from deeprank2_tpu.ops.segment import segment_mean
+
+
+def init_sgat_layer(rng: jax.Array, in_channels: int, out_channels: int, bias: bool = True) -> dict:
+    k1, k2 = jax.random.split(rng)
+    size = 2 * in_channels
+    bound = 1.0 / jnp.sqrt(size)
+    params = {"weight": jax.random.uniform(k1, (size, out_channels), minval=-bound, maxval=bound, dtype=jnp.float32)}
+    if bias:
+        params["b"] = jax.random.uniform(k2, (out_channels,), minval=-bound, maxval=bound, dtype=jnp.float32)
+    return params
+
+
+def sgat_layer(
+    params: dict,
+    x: jnp.ndarray,
+    edge_index: jnp.ndarray,
+    edge_attr: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    undirected: bool = True,
+) -> jnp.ndarray:
+    row, col = edge_index
+    capacity = x.shape[0]
+    safe_row = jnp.clip(row, 0, capacity - 1)
+    safe_col = jnp.clip(col, 0, capacity - 1)
+
+    alpha = jnp.concatenate([x[safe_row], x[safe_col]], axis=-1) @ params["weight"]
+    alpha = edge_attr * alpha  # broadcasting: edge_attr must be [E, 1] or [E, out]
+
+    row_or_oob = jnp.where(edge_mask, row, capacity)
+    out = segment_mean(alpha * edge_mask[:, None], row_or_oob, capacity)
+    if not undirected:
+        col_or_oob = jnp.where(edge_mask, col, capacity)
+        out = out + segment_mean(alpha * edge_mask[:, None], col_or_oob, capacity)
+    if "b" in params:
+        out = out + params["b"]
+    return out
+
+
+class SGAT:
+    """Two sGAT layers with community pooling."""
+
+    needs_clusters = True
+    clustering = "mcl"
+
+    def __init__(self, input_shape: int, output_shape: int = 1, input_shape_edge: int | None = None):
+        self.input_shape = input_shape
+        self.output_shape = output_shape
+        self.input_shape_edge = input_shape_edge
+
+    def init(self, rng: jax.Array) -> dict:
+        keys = jax.random.split(rng, 4)
+        return {
+            "conv1": init_sgat_layer(keys[0], self.input_shape, 16),
+            "conv2": init_sgat_layer(keys[1], 16, 32),
+            "fc1": nn.init_linear(keys[2], 32, 64),
+            "fc2": nn.init_linear(keys[3], 64, self.output_shape),
+        }
+
+    def apply(self, params: dict, batch: GraphBatch, training: bool = False, rng: jax.Array | None = None) -> jnp.ndarray:
+        act = nn.relu
+        x = act(sgat_layer(params["conv1"], batch.x, batch.edge_index, batch.edge_attr, batch.edge_mask))
+        x = x * batch.node_mask[:, None]
+
+        x, pos, ei, ea, em, node_graph, node_mask = community_pool(
+            x,
+            batch.pos,
+            batch.edge_index,
+            batch.edge_attr,
+            batch.edge_mask,
+            batch.node_graph,
+            batch.cluster0,
+            batch.num_graphs,
+        )
+
+        x = act(sgat_layer(params["conv2"], x, ei, ea, em))
+        x = x * node_mask[:, None]
+
+        x, pooled_graph = max_pool_x(batch.cluster1, x, node_graph, batch.num_graphs)
+        x = graph_mean_pool(x, pooled_graph, batch.num_graphs)
+        x = act(nn.linear(params["fc1"], x))
+        return nn.linear(params["fc2"], x)

@@ -1,0 +1,66 @@
+"""Vanilla message-passing GNN (reference: deeprank2/neuralnets/gnn/vanilla_gnn.py).
+
+Layer math parity: per-edge messages ``MLP([x_i || x_j || e_ij])`` summed onto
+the edge's first endpoint, then a node MLP over ``[x || msg_sum]``. Two layers,
+graph mean-pool, output MLP. No clustering required.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from deeprank2_tpu.neuralnets import nn
+from deeprank2_tpu.ops.batch import GraphBatch
+from deeprank2_tpu.ops.pooling import graph_mean_pool
+from deeprank2_tpu.ops.segment import segment_sum
+
+MESSAGE_SIZE = 32
+HIDDEN_SIZE = 128
+
+
+class VanillaNetwork:
+    """Two vanilla convolutional layers + MLP head. Suitable for both tasks."""
+
+    needs_clusters = False
+
+    def __init__(self, input_shape: int, output_shape: int = 1, input_shape_edge: int = 0):
+        self.input_shape = input_shape
+        self.output_shape = output_shape
+        self.input_shape_edge = input_shape_edge
+
+    def init(self, rng: jax.Array) -> dict:
+        keys = jax.random.split(rng, 6)
+        f, fe = self.input_shape, self.input_shape_edge
+        layer = lambda k1, k2: {  # noqa: E731
+            "edge_mlp": nn.init_linear(k1, 2 * f + fe, MESSAGE_SIZE),
+            "node_mlp": nn.init_linear(k2, f + MESSAGE_SIZE, f),
+        }
+        return {
+            "external1": layer(keys[0], keys[1]),
+            "external2": layer(keys[2], keys[3]),
+            "graph_mlp": {
+                "fc1": nn.init_linear(keys[4], f, HIDDEN_SIZE),
+                "fc2": nn.init_linear(keys[5], HIDDEN_SIZE, self.output_shape),
+            },
+        }
+
+    @staticmethod
+    def _conv(params: dict, x: jnp.ndarray, batch: GraphBatch) -> jnp.ndarray:
+        row, col = batch.edge_index
+        capacity = x.shape[0]
+        safe_row = jnp.clip(row, 0, capacity - 1)
+        safe_col = jnp.clip(col, 0, capacity - 1)
+        message_input = jnp.concatenate([x[safe_row], x[safe_col], batch.edge_attr], axis=1)
+        messages = nn.relu(nn.linear(params["edge_mlp"], message_input))
+        messages = messages * batch.edge_mask[:, None]
+        msg_sums = segment_sum(messages, row, capacity)
+        node_input = jnp.concatenate([x, msg_sums], axis=1)
+        return nn.relu(nn.linear(params["node_mlp"], node_input))
+
+    def apply(self, params: dict, batch: GraphBatch, training: bool = False, rng: jax.Array | None = None) -> jnp.ndarray:
+        x = self._conv(params["external1"], batch.x, batch)
+        x = self._conv(params["external2"], x, batch)
+        means = graph_mean_pool(x * batch.node_mask[:, None], batch.node_graph, batch.num_graphs)
+        h = nn.relu(nn.linear(params["graph_mlp"]["fc1"], means))
+        return nn.linear(params["graph_mlp"]["fc2"], h)

@@ -1,0 +1,256 @@
+"""Padded, statically-shaped graph batches — the TPU answer to PyG's dynamic
+``Batch`` collation (reference: torch_geometric DataLoader in trainer.py:541).
+
+A :class:`GraphBatch` is a pytree of dense arrays:
+
+- nodes of all graphs are concatenated and padded to a bucketed ``V``;
+- edges are *mirrored* ((i,j) and (j,i), reference dataset.py:944-951) and
+  padded to a bucketed ``E``; padded edges point at segment id ``V`` so XLA
+  scatters drop them;
+- per-graph targets padded to ``G``; padded graphs masked in the loss.
+
+Bucketing rounds (V, E) up to a coarse grid so jit recompiles only a handful of
+times per dataset instead of once per batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+
+def bucket_size(n: int, quantum: int = 128) -> int:
+    """Round up to a coarse geometric/linear grid to bound recompilation."""
+    n = max(n, 1)
+    if n <= quantum:
+        return quantum
+    # geometric steps of 1.3x, snapped to the quantum
+    size = quantum
+    while size < n:
+        size = int(np.ceil(size * 1.3 / quantum) * quantum)
+    return size
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class GraphBatch:
+    """One padded batch of graphs (all arrays are dense, statically shaped)."""
+
+    x: jax.Array  # f32 [V, F] node features (padded rows are 0)
+    edge_index: jax.Array  # i32 [2, E] mirrored edges; padded entries = V
+    edge_attr: jax.Array  # f32 [E, Fe]
+    pos: jax.Array  # f32 [V, 3]
+    node_graph: jax.Array  # i32 [V] graph id per node; padded = G
+    edge_mask: jax.Array  # bool [E]
+    node_mask: jax.Array  # bool [V]
+    y: jax.Array  # f32 [G] targets (0 where missing)
+    y_mask: jax.Array  # bool [G] real-graph mask
+    cluster0: jax.Array  # i32 [V] batch-global cluster ids at depth 0; padded = C0 cap
+    cluster1: jax.Array  # i32 [V] batch-global cluster ids at depth 1 (indexed by depth-0 cluster); padded rows unused
+    num_graphs: int = field(metadata={"static": True})  # static under jit
+
+    @property
+    def num_nodes(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.edge_index.shape[1]
+
+
+def collate_graphs(entries: list[dict], pad_graphs: int | None = None) -> tuple[GraphBatch, list[str]]:
+    """Collate per-entry numpy dicts (from GraphDataset.load_one_graph) into one
+    padded GraphBatch.
+
+    Each entry dict has: ``x [v,F]``, ``edge_index [e,2]`` (undirected, will be
+    mirrored), ``edge_attr [e,Fe]``, ``pos [v,3]``, ``y`` scalar or None,
+    optional ``cluster0 [v]``, ``cluster1 [c0]``, and ``entry_name``.
+
+    Returns the batch and the list of entry names (padded slots get "").
+    """
+    num_real = len(entries)
+    num_graphs = pad_graphs or num_real
+    names = [e["entry_name"] for e in entries] + [""] * (num_graphs - num_real)
+
+    v_counts = [e["x"].shape[0] for e in entries]
+    e_counts = [e["edge_index"].shape[0] * 2 for e in entries]
+    total_v = int(sum(v_counts))
+    total_e = int(sum(e_counts))
+    cap_v = bucket_size(total_v)
+    cap_e = bucket_size(total_e)
+
+    feat_dim = entries[0]["x"].shape[1]
+    edge_dim = entries[0]["edge_attr"].shape[1] if entries[0]["edge_attr"].ndim == 2 else 1
+
+    x = np.zeros((cap_v, feat_dim), dtype=np.float32)
+    pos = np.zeros((cap_v, 3), dtype=np.float32)
+    node_graph = np.full(cap_v, num_graphs, dtype=np.int32)
+    node_mask = np.zeros(cap_v, dtype=bool)
+    edge_index = np.full((2, cap_e), cap_v, dtype=np.int32)
+    edge_attr = np.zeros((cap_e, edge_dim), dtype=np.float32)
+    edge_mask = np.zeros(cap_e, dtype=bool)
+    y = np.zeros(num_graphs, dtype=np.float32)
+    y_mask = np.zeros(num_graphs, dtype=bool)
+    cluster0 = np.full(cap_v, cap_v, dtype=np.int32)
+    cluster1 = np.full(cap_v, cap_v, dtype=np.int32)
+
+    v_off = 0
+    e_off = 0
+    c0_off = 0  # global depth-0 cluster id offset
+    c1_off = 0  # global depth-1 cluster id offset
+    have_clusters = all(e.get("cluster0") is not None and e.get("cluster1") is not None for e in entries)
+
+    for g, entry in enumerate(entries):
+        v = entry["x"].shape[0]
+        x[v_off : v_off + v] = entry["x"]
+        pos[v_off : v_off + v] = entry["pos"]
+        node_graph[v_off : v_off + v] = g
+        node_mask[v_off : v_off + v] = True
+
+        und = np.asarray(entry["edge_index"], dtype=np.int64)
+        mirrored = np.concatenate([und, und[:, ::-1]], axis=0)  # [2e, 2]
+        e2 = mirrored.shape[0]
+        edge_index[:, e_off : e_off + e2] = (mirrored + v_off).T
+        ea = np.asarray(entry["edge_attr"], dtype=np.float32)
+        if ea.ndim == 1:
+            ea = ea[:, None]
+        edge_attr[e_off : e_off + e2] = np.concatenate([ea, ea], axis=0)
+        edge_mask[e_off : e_off + e2] = True
+
+        if entry.get("y") is not None:
+            y[g] = entry["y"]
+            y_mask[g] = True
+
+        if have_clusters:
+            c0 = np.asarray(entry["cluster0"], dtype=np.int64)
+            c1 = np.asarray(entry["cluster1"], dtype=np.int64)
+            n_c0 = int(c0.max()) + 1 if c0.size else 0
+            n_c1 = int(c1.max()) + 1 if c1.size else 0
+            cluster0[v_off : v_off + v] = c0 + c0_off
+            # cluster1 is indexed by depth-0 cluster id (length n_c0)
+            cluster1[c0_off : c0_off + n_c0] = c1 + c1_off
+            c0_off += n_c0
+            c1_off += n_c1
+
+        v_off += v
+        e_off += e2
+
+    batch = GraphBatch(
+        x=x,
+        edge_index=edge_index,
+        edge_attr=edge_attr,
+        pos=pos,
+        node_graph=node_graph,
+        edge_mask=edge_mask,
+        node_mask=node_mask,
+        y=y,
+        y_mask=y_mask,
+        cluster0=cluster0,
+        cluster1=cluster1,
+        num_graphs=num_graphs,
+    )
+    return batch, names
+
+
+def collate_graphs_sharded(entries: list[dict], num_shards: int, pad_graphs_per_shard: int) -> tuple[GraphBatch, list[str]]:
+    """Collate into ``num_shards`` equally-shaped sub-batches stacked on a
+    leading device axis (for shard_map data parallelism).
+
+    Entries are dealt round-robin; every shard is padded to the same (V, E)
+    caps so the stacked arrays are rectangular.
+    """
+    shards: list[list[dict]] = [[] for _ in range(num_shards)]
+    for i, entry in enumerate(entries):
+        shards[i % num_shards].append(entry)
+
+    # shared caps across shards
+    cap_v = bucket_size(max(sum(e["x"].shape[0] for e in shard) for shard in shards if shard) if entries else 1)
+    cap_e = bucket_size(max(sum(e["edge_index"].shape[0] * 2 for e in shard) for shard in shards if shard) if entries else 1)
+
+    batches = []
+    names: list[str] = []
+    template = entries[0]
+    for shard in shards:
+        if not shard:  # empty shard: one dummy zero-graph batch
+            shard = [
+                {
+                    "x": np.zeros((1, template["x"].shape[1]), dtype=np.float32),
+                    "edge_index": np.zeros((0, 2), dtype=np.int64),
+                    "edge_attr": np.zeros((0, template["edge_attr"].shape[1] if template["edge_attr"].ndim == 2 else 1), dtype=np.float32),
+                    "pos": np.zeros((1, 3), dtype=np.float32),
+                    "y": None,
+                    "cluster0": None,
+                    "cluster1": None,
+                    "entry_name": "",
+                }
+            ]
+        batch, shard_names = collate_graphs(shard, pad_graphs=pad_graphs_per_shard)
+        # re-pad to the shared caps
+        batch = _repad(batch, cap_v, cap_e)
+        batches.append(batch)
+        names.extend(shard_names)
+
+    stacked = jax.tree.map(lambda *leaves: np.stack(leaves), *batches)
+    return stacked, names
+
+
+def _repad(batch: GraphBatch, cap_v: int, cap_e: int) -> GraphBatch:
+    """Grow a batch's node/edge capacity to shared caps (masked padding)."""
+    v0, e0 = batch.num_nodes, batch.num_edges
+    if v0 == cap_v and e0 == cap_e:
+        return batch
+    pad_v = cap_v - v0
+    pad_e = cap_e - e0
+
+    def pad_nodes(a, fill=0):
+        return np.pad(a, ((0, pad_v),) + ((0, 0),) * (a.ndim - 1), constant_values=fill)
+
+    # node-index content must stay consistent: old OOB marker was v0, new is cap_v
+    edge_index = np.where(batch.edge_index >= v0, cap_v, batch.edge_index)
+    edge_index = np.pad(edge_index, ((0, 0), (0, pad_e)), constant_values=cap_v)
+    cluster0 = np.where(batch.cluster0 >= v0, cap_v, batch.cluster0)
+    cluster1 = np.where(batch.cluster1 >= v0, cap_v, batch.cluster1)
+
+    return GraphBatch(
+        x=pad_nodes(batch.x),
+        edge_index=edge_index,
+        edge_attr=np.pad(batch.edge_attr, ((0, pad_e), (0, 0))),
+        pos=pad_nodes(batch.pos),
+        node_graph=pad_nodes(batch.node_graph, fill=batch.num_graphs),
+        edge_mask=np.pad(batch.edge_mask, (0, pad_e)),
+        node_mask=pad_nodes(batch.node_mask),
+        y=batch.y,
+        y_mask=batch.y_mask,
+        cluster0=np.pad(cluster0, (0, pad_v), constant_values=cap_v),
+        cluster1=np.pad(cluster1, (0, pad_v), constant_values=cap_v),
+        num_graphs=batch.num_graphs,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class GridBatch:
+    """One padded batch of 3D grids: ``x [G, C, W, H, D]``, targets ``y [G]``."""
+
+    x: jax.Array
+    y: jax.Array
+    y_mask: jax.Array
+
+
+def collate_grids(entries: list[dict], pad_graphs: int | None = None) -> tuple[GridBatch, list[str]]:
+    """Collate per-entry dicts (``x [C,W,H,D]``, ``y`` scalar/None) to a GridBatch."""
+    num_real = len(entries)
+    num_graphs = pad_graphs or num_real
+    names = [e["entry_name"] for e in entries] + [""] * (num_graphs - num_real)
+    shape = entries[0]["x"].shape
+    x = np.zeros((num_graphs, *shape), dtype=np.float32)
+    y = np.zeros(num_graphs, dtype=np.float32)
+    y_mask = np.zeros(num_graphs, dtype=bool)
+    for g, entry in enumerate(entries):
+        x[g] = entry["x"]
+        if entry.get("y") is not None:
+            y[g] = entry["y"]
+            y_mask[g] = True
+    return GridBatch(x=x, y=y, y_mask=y_mask), names

@@ -1,0 +1,116 @@
+"""Graph pooling under jit with static shapes.
+
+Implements the cluster-pooling semantics the reference gets from PyG
+(community_pooling -> consecutive_cluster/pool_edge/scatter_max, reference
+deeprank2/utils/community_pooling.py:165-242; max_pool_x in the model forwards)
+— but on padded arrays: the pooled graph keeps the same array capacity with a
+validity mask, and duplicate pooled edges are coalesced with a sort +
+segment-sum (data-independent shapes, XLA-friendly).
+
+Conventions: cluster ids are batch-global and < capacity; padded nodes/edges
+carry out-of-range ids so scatters drop them.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from deeprank2_tpu.ops.segment import segment_max, segment_mean, segment_sum
+
+
+def pool_edges_coalesce(
+    edge_index: jnp.ndarray,  # i32 [2, E], padded entries OOB
+    edge_attr: jnp.ndarray,  # f32 [E, Fe]
+    edge_mask: jnp.ndarray,  # bool [E]
+    cluster: jnp.ndarray,  # i32 [V+...] node -> cluster id (padded nodes OOB)
+    capacity: int,  # cluster id upper bound (array capacity)
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Map edges to cluster pairs, drop self-loops, coalesce duplicates (summing
+    attrs — PyG ``coalesce`` semantics). Returns (pooled_edge_index [2, E],
+    pooled_edge_attr [E, Fe], pooled_edge_mask [E]); invalid slots are masked.
+    """
+    num_edges = edge_index.shape[1]
+    # map endpoints; padded edges index OOB -> clamp and invalidate via mask
+    safe_nodes = jnp.clip(edge_index, 0, cluster.shape[0] - 1)
+    ci = cluster[safe_nodes[0]]
+    cj = cluster[safe_nodes[1]]
+    valid = edge_mask & (ci != cj) & (ci < capacity) & (cj < capacity)
+
+    # Composite sort key ci * capacity + cj in int32: requires capacity <=
+    # 46340 (sqrt(2^31)) — far above any realistic padded batch node count.
+    assert capacity <= 46340, "pool_edges_coalesce: node capacity too large for int32 keys"  # noqa: PLR2004, S101
+    big = capacity * capacity  # sort-to-end key for invalid edges
+    key = jnp.where(valid, ci.astype(jnp.int32) * capacity + cj.astype(jnp.int32), big)
+    order = jnp.argsort(key)
+    sorted_key = key[order]
+    sorted_attr = edge_attr[order]
+
+    prev = jnp.concatenate([jnp.full((1,), -1, dtype=sorted_key.dtype), sorted_key[:-1]])
+    is_first = sorted_key != prev
+    group = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # [E] 0..K-1
+    sorted_valid = sorted_key < big
+    group_or_oob = jnp.where(sorted_valid, group, num_edges)
+
+    pooled_attr = segment_sum(sorted_attr, group_or_oob, num_edges)
+
+    # representative cluster pair per group (all members share the key)
+    slot_key = jnp.full((num_edges,), big, dtype=sorted_key.dtype)
+    slot_key = slot_key.at[group_or_oob].min(sorted_key, mode="drop")
+    pooled_mask = slot_key < big
+    safe_key = jnp.where(pooled_mask, slot_key, 0)
+    pooled_ci = (safe_key // capacity).astype(jnp.int32)
+    pooled_cj = (safe_key % capacity).astype(jnp.int32)
+    # invalid slots point OOB so downstream scatters drop them
+    pooled_ci = jnp.where(pooled_mask, pooled_ci, capacity)
+    pooled_cj = jnp.where(pooled_mask, pooled_cj, capacity)
+
+    return jnp.stack([pooled_ci, pooled_cj]), pooled_attr, pooled_mask
+
+
+def community_pool(
+    x: jnp.ndarray,  # f32 [V, F]
+    pos: jnp.ndarray,  # f32 [V, 3]
+    edge_index: jnp.ndarray,  # i32 [2, E]
+    edge_attr: jnp.ndarray,  # f32 [E, Fe]
+    edge_mask: jnp.ndarray,  # bool [E]
+    node_graph: jnp.ndarray,  # i32 [V] (padded OOB)
+    cluster: jnp.ndarray,  # i32 [V] node -> cluster (padded OOB)
+    num_graphs: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pool all cluster members into single nodes (max features, mean position).
+
+    Returns (x' [V, F], pos' [V, 3], edge_index' [2, E], edge_attr' [E, Fe],
+    edge_mask' [E], node_graph' [V], node_mask' [V]) where row c of the pooled
+    arrays is cluster c (same capacity V, padded slots masked).
+    """
+    capacity = x.shape[0]
+    x_pooled = segment_max(x, cluster, capacity)
+    pos_pooled = segment_mean(pos, cluster, capacity)
+
+    # graph id per cluster: all members share it; use min (empty -> num_graphs)
+    graph_pooled = jnp.full((capacity,), num_graphs, dtype=node_graph.dtype)
+    graph_pooled = graph_pooled.at[cluster].min(node_graph, mode="drop")
+    member_counts = segment_sum(jnp.ones_like(cluster, dtype=jnp.float32) * (cluster < capacity), cluster, capacity)
+    node_mask_pooled = member_counts > 0
+
+    ei, ea, em = pool_edges_coalesce(edge_index, edge_attr, edge_mask, cluster, capacity)
+    return x_pooled, pos_pooled, ei, ea, em, graph_pooled, node_mask_pooled
+
+
+def max_pool_x(
+    cluster: jnp.ndarray,  # i32 [V] node -> cluster (padded OOB)
+    x: jnp.ndarray,  # f32 [V, F]
+    node_graph: jnp.ndarray,  # i32 [V]
+    num_graphs: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-cluster feature max + per-cluster graph id (PyG ``max_pool_x``)."""
+    capacity = x.shape[0]
+    x_pooled = segment_max(x, cluster, capacity)
+    graph_pooled = jnp.full((capacity,), num_graphs, dtype=node_graph.dtype)
+    graph_pooled = graph_pooled.at[cluster].min(node_graph, mode="drop")
+    return x_pooled, graph_pooled
+
+
+def graph_mean_pool(x: jnp.ndarray, node_graph: jnp.ndarray, num_graphs: int) -> jnp.ndarray:
+    """Mean of node features per graph (padded nodes carry OOB graph ids)."""
+    return segment_mean(x, node_graph, num_graphs)

@@ -1,0 +1,70 @@
+"""Segment aggregation primitives — the GNN message-passing core.
+
+These replace the reference stack's ``torch_scatter`` kernels
+(scatter_sum/mean/max used in deeprank2/neuralnets/gnn/*.py) with jit-safe,
+padding-aware JAX ops. Padding convention: out-of-range segment ids (>=
+``num_segments``) are dropped by XLA scatter semantics, so padded edges simply
+carry ``segment_id = num_segments``.
+
+A Pallas TPU kernel path for the hot segment-sum (see ops/pallas_segment.py)
+plugs in behind the same API.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+    """Sum ``data`` rows into ``num_segments`` buckets; OOB ids are dropped."""
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+
+
+def segment_count(segment_ids: jnp.ndarray, num_segments: int, valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Count of rows per segment (optionally masked)."""
+    ones = jnp.ones(segment_ids.shape[0], dtype=jnp.float32)
+    if valid is not None:
+        ones = ones * valid.astype(jnp.float32)
+    return jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
+
+
+def segment_mean(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+    """Mean of ``data`` rows per segment; empty segments give 0 (the reference's
+    ``scatter_mean`` into a zero-initialized output behaves the same for empty
+    rows — torch_scatter divides by clamped count)."""
+    sums = segment_sum(data, segment_ids, num_segments)
+    counts = segment_count(segment_ids, num_segments)
+    counts = jnp.maximum(counts, 1.0)
+    return sums / counts.reshape((-1,) + (1,) * (data.ndim - 1))
+
+
+def segment_max(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+    """Max of ``data`` rows per segment; empty segments give 0 (torch_scatter
+    parity: scatter_max into a zero-initialized ``out`` keeps 0 for empties,
+    and features pooled this way in the reference are post-ReLU, i.e. >= 0)."""
+    init = jnp.full((num_segments,) + data.shape[1:], -jnp.inf, dtype=data.dtype)
+    out = init.at[segment_ids].max(data, mode="drop")
+    return jnp.where(jnp.isneginf(out), 0.0, out)
+
+
+def segment_softmax(
+    logits: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Numerically-stable softmax over rows sharing a segment id (true graph
+    attention; masked rows get probability 0)."""
+    maxes = jnp.full((num_segments,) + logits.shape[1:], -jnp.inf, dtype=logits.dtype)
+    maxes = maxes.at[segment_ids].max(logits, mode="drop")
+    maxes = jnp.where(jnp.isneginf(maxes), 0.0, maxes)
+    shifted = logits - maxes[jnp.clip(segment_ids, 0, num_segments - 1)]
+    expd = jnp.exp(shifted)
+    if valid is not None:
+        expd = expd * valid.astype(expd.dtype).reshape((-1,) + (1,) * (expd.ndim - 1))
+    denom = segment_sum(expd, segment_ids, num_segments)
+    denom = jnp.maximum(denom, 1e-16)
+    out = expd / denom[jnp.clip(segment_ids, 0, num_segments - 1)]
+    in_range = (segment_ids < num_segments).astype(out.dtype)
+    return out * in_range.reshape((-1,) + (1,) * (out.ndim - 1))

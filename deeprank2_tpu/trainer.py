@@ -1,0 +1,726 @@
+"""Training runtime (reference: deeprank2/trainer.py).
+
+Same public surface — ``Trainer(neuralnet, dataset_train, dataset_val,
+dataset_test, ...)``, ``train()``, ``test()``, ``configure_optimizers()``,
+``set_lossfunction()``, checkpoint save/load, pretrained-model inference,
+pre-clustering, class weights, early stopping, output exporters — re-built on
+JAX:
+
+- the train/eval steps are pure jitted functions over padded
+  ``GraphBatch``/``GridBatch`` pytrees (ops/batch.py); XLA compiles one
+  executable per (V, E) bucket;
+- model parameters are pytrees; optimizers are in-repo (ops/optim.py);
+- ``data_parallel=True`` runs the step over all local devices via a
+  ``jax.sharding`` mesh (parallel/dp.py) — the TPU replacement for
+  ``nn.DataParallel`` (reference trainer.py:387-389);
+- checkpoints are pickled dicts with the reference's 28-key schema
+  (trainer.py:910-958), with params/opt-state as numpy pytrees.
+"""
+
+from __future__ import annotations
+
+import copy
+import inspect
+import logging
+import pickle
+import re
+import warnings
+from time import time
+from typing import Any
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeprank2_tpu.dataset import GraphDataset, GridDataset, _divide_dataset
+from deeprank2_tpu.domain import losstypes as losses
+from deeprank2_tpu.domain import targetstorage as targets
+from deeprank2_tpu.ops import losses as loss_nn
+from deeprank2_tpu.ops import optim
+from deeprank2_tpu.ops.batch import collate_graphs, collate_grids
+from deeprank2_tpu.utils.community_pooling import community_detection, community_pooling_host
+from deeprank2_tpu.utils.earlystopping import EarlyStopping
+from deeprank2_tpu.utils.exporters import HDF5OutputExporter, OutputExporter, OutputExporterCollection
+
+_log = logging.getLogger(__name__)
+
+
+class _FlatView:
+    """Tiny holder for flattened y/y_mask used during output export."""
+
+    def __init__(self, y, y_mask):
+        self.y = y
+        self.y_mask = y_mask
+
+
+class Trainer:
+    """Trains, evaluates and tests neural networks on deeprank datasets.
+
+    Args match the reference (trainer.py:57-70); ``cuda``/``ngpu`` are accepted
+    for API compatibility (a non-zero setting raises, as on any CUDA-less host),
+    and ``data_parallel`` shards batches across all local TPU devices.
+    """
+
+    def __init__(  # noqa: C901, PLR0915
+        self,
+        neuralnet=None,
+        dataset_train: GraphDataset | GridDataset | None = None,
+        dataset_val: GraphDataset | GridDataset | None = None,
+        dataset_test: GraphDataset | GridDataset | None = None,
+        val_size: float | int | None = None,
+        test_size: float | int | None = None,
+        class_weights: bool = False,
+        pretrained_model: str | None = None,
+        cuda: bool = False,
+        ngpu: int = 0,
+        output_exporters: list[OutputExporter] | None = None,
+        seed: int = 42,
+        data_parallel: bool = False,
+    ):
+        self.neuralnet = neuralnet
+        self.pretrained_model = pretrained_model
+        self.seed = seed
+        self.data_parallel = data_parallel
+
+        self._init_datasets(dataset_train, dataset_val, dataset_test, val_size, test_size)
+
+        if cuda or ngpu > 0:
+            msg = "CUDA requested but this is the TPU-native framework. Set cuda=False (JAX selects the TPU/CPU device automatically)."
+            raise ValueError(msg)
+        self.cuda = False
+        self.ngpu = 0
+        self.device = jax.devices()[0]
+        _log.info(f"Device set to {self.device}.")
+
+        self._init_output_exporters(output_exporters)
+
+        self.data_type = None
+        self.batch_size_train = None
+        self.batch_size_test = None
+        self.shuffle = None
+        self.model_load_state_dict = None
+        self._rng = jax.random.PRNGKey(seed)
+
+        if self.pretrained_model is None:
+            if self.dataset_train is None:
+                msg = "No training data specified. Training data is required if there is no pretrained model."
+                raise ValueError(msg)
+            if self.neuralnet is None:
+                msg = "No neural network specified. Specifying a model framework is required if there is no pretrained model."
+                raise ValueError(msg)
+
+            self._init_from_dataset(self.dataset_train)
+            self.optimizer = None
+            self.opt_state = None
+            self.class_weights = class_weights
+            self.subset = self.dataset_train.subset
+            self.epoch_saved_model = None
+
+            if self.target is None:
+                msg = "No target set. You need to choose a target (set in the dataset) for training."
+                raise ValueError(msg)
+
+            self._load_model()
+
+            if self.clustering_method is not None:
+                if self.clustering_method in ("mcl", "louvain"):
+                    _log.info("Loading clusters")
+                    self._precluster(self.dataset_train)
+                    if self.dataset_val is not None:
+                        self._precluster(self.dataset_val)
+                    else:
+                        _log.warning("No validation dataset given. Randomly splitting training set in training set and validation set.")
+                        self.dataset_train, self.dataset_val = _divide_dataset(self.dataset_train, splitsize=self.val_size)
+                    if self.dataset_test is not None:
+                        self._precluster(self.dataset_test)
+                else:
+                    msg = f"Invalid node clustering method: {self.clustering_method}. Please set clustering_method to 'mcl', 'louvain' or None."
+                    raise ValueError(msg)
+        else:
+            if self.neuralnet is None:
+                msg = "No neural network class found. Please add it to complete loading the pretrained model."
+                raise ValueError(msg)
+            if self.dataset_test is None:
+                msg = "No dataset_test found. Please add it to evaluate the pretrained model."
+                raise ValueError(msg)
+            if self.dataset_train is not None:
+                self.dataset_train = None
+                _log.warning("Pretrained model loaded: dataset_train will be ignored.")
+            if self.dataset_val is not None:
+                self.dataset_val = None
+                _log.warning("Pretrained model loaded: dataset_val will be ignored.")
+            self._init_from_dataset(self.dataset_test)
+            self._load_params()
+            self._load_pretrained_model()
+
+    # ------------------------------------------------------------------
+    # Setup
+    # ------------------------------------------------------------------
+    def _init_output_exporters(self, output_exporters: list[OutputExporter] | None) -> None:
+        if output_exporters is not None:
+            self._output_exporters = OutputExporterCollection(*output_exporters)
+        else:
+            self._output_exporters = OutputExporterCollection(HDF5OutputExporter("./output"))
+
+    def _init_datasets(self, dataset_train, dataset_val, dataset_test, val_size, test_size) -> None:
+        self._check_dataset_equivalence(dataset_train, dataset_val, dataset_test)
+        self.dataset_train = dataset_train
+        self.dataset_test = dataset_test
+        self.dataset_val = dataset_val
+        self.val_size = val_size
+        self.test_size = test_size
+
+        if test_size is not None:
+            if dataset_test is None:
+                self.dataset_train, self.dataset_test = _divide_dataset(dataset_train, test_size)
+            else:
+                _log.warning("Test dataset was provided to Trainer; test_size parameter is ignored.")
+        if val_size is not None:
+            if dataset_val is None:
+                self.dataset_train, self.dataset_val = _divide_dataset(self.dataset_train, val_size)
+            else:
+                _log.warning("Validation dataset was provided to Trainer; val_size parameter is ignored.")
+
+    def _init_from_dataset(self, dataset) -> None:
+        if isinstance(dataset, GraphDataset):
+            self.clustering_method = dataset.clustering_method
+            self.node_features = dataset.node_features
+            self.edge_features = dataset.edge_features
+            self.features = None
+            self.features_transform = dataset.features_transform
+            self.means = dataset.means
+            self.devs = dataset.devs
+        elif isinstance(dataset, GridDataset):
+            self.clustering_method = None
+            self.node_features = None
+            self.edge_features = None
+            self.features = dataset.features
+            self.features_transform = None
+            self.means = None
+            self.devs = None
+        else:
+            msg = f"Incorrect `dataset` type provided: {type(dataset)}. Please provide a `GridDataset` or `GraphDataset` object instead."
+            raise TypeError(msg)
+
+        self.target = dataset.target
+        self.target_transform = dataset.target_transform
+        self.task = dataset.task
+        self.classes = dataset.classes
+        self.classes_to_index = dataset.classes_to_index
+
+    def _load_model(self) -> None:
+        self._put_model_to_device(self.dataset_train)
+        self.configure_optimizers()
+        self.set_lossfunction()
+
+    def _check_dataset_equivalence(self, dataset_train, dataset_val, dataset_test) -> None:
+        if dataset_train is None:
+            if dataset_test is None and self.pretrained_model is None:
+                msg = "Please provide at least a train or test dataset"
+                raise ValueError(msg)
+            return
+        if not isinstance(dataset_train, GraphDataset | GridDataset):
+            msg = f"train dataset is not the right type {type(dataset_train)}. Make sure it's either GraphDataset or GridDataset"
+            raise TypeError(msg)
+        if dataset_val is not None:
+            self._check_dataset_value(dataset_train, dataset_val, "valid")
+        if dataset_test is not None:
+            self._check_dataset_value(dataset_train, dataset_test, "test")
+
+    @staticmethod
+    def _check_dataset_value(dataset_train, dataset_check, type_dataset: str) -> None:
+        if dataset_check.train_source is None:
+            msg = f"{type_dataset} dataset has train_source parameter set to None. Make sure to set it as a valid training data source."
+            raise ValueError(msg)
+        if dataset_check.train_source != dataset_train:
+            msg = f"{type_dataset} dataset has different train_source parameter from Trainer. Make sure to assign equivalent train_source in Trainer."
+            raise ValueError(msg)
+
+    def _load_pretrained_model(self) -> None:
+        self._put_model_to_device(self.dataset_test)
+        # restore parameters and optimizer state
+        self.optimizer = self._optimizer_cls(lr=self.lr, weight_decay=self.weight_decay)
+        self.params = jax.tree.map(jnp.asarray, self.model_load_state_dict)
+        self.opt_state = jax.tree.map(jnp.asarray, self.opt_loaded_state_dict) if self.opt_loaded_state_dict else self.optimizer.init(self.params)
+
+    def _precluster(self, dataset: GraphDataset) -> None:
+        """Compute depth-0/depth-1 community clusters per entry and store them
+        in the source HDF5 (reference: trainer.py:319-348)."""
+        for fname, mol in dataset.index_entries:
+            data = dataset.load_one_graph(fname, mol)
+            with h5py.File(fname, "a") as f5:
+                grp = f5[mol]
+                clust_grp = grp.require_group("clustering")
+                if self.clustering_method.lower() in clust_grp:
+                    del clust_grp[self.clustering_method.lower()]
+                method_grp = clust_grp.create_group(self.clustering_method.lower())
+
+                num_nodes = data["x"].shape[0]
+                cluster0 = community_detection(data["edge_index"], num_nodes, method=self.clustering_method)
+                method_grp.create_dataset("depth_0", data=cluster0)
+                pooled_edges, num_clusters = community_pooling_host(cluster0, data["edge_index"])
+                cluster1 = community_detection(pooled_edges, num_clusters, method=self.clustering_method)
+                method_grp.create_dataset("depth_1", data=cluster1)
+        dataset._cache.clear()
+
+    def _put_model_to_device(self, dataset) -> None:
+        if self.task == targets.REGRESS:
+            self.output_shape = 1
+        elif self.task == targets.CLASSIF:
+            self.output_shape = len(self.classes)
+
+        first = dataset.get(0)
+        target_shape = 1 if first.get("y") is not None else None
+
+        if isinstance(dataset, GraphDataset):
+            num_node_features = first["x"].shape[1]
+            # the actual edge-attr matrix width (features can be multi-channel)
+            num_edge_features = first["edge_attr"].shape[1]
+            self.model = self.neuralnet(num_node_features, self.output_shape, num_edge_features)
+        elif isinstance(dataset, GridDataset):
+            num_features = first["x"].shape[0]
+            box_shape = tuple(first["x"].shape[1:])
+            self.model = self.neuralnet(num_features, box_shape)
+        else:
+            raise TypeError(type(dataset))
+
+        self._rng, init_rng = jax.random.split(self._rng)
+        self.params = self.model.init(init_rng)
+
+        for output_exporter in self._output_exporters:
+            if not output_exporter.is_compatible_with(self.output_shape, target_shape):
+                msg = (
+                    f"Output exporter of type {type(output_exporter)}\n\t"
+                    f"is not compatible with output shape {self.output_shape}\n\t"
+                    f"and target shape {target_shape}."
+                )
+                raise ValueError(msg)
+
+    def configure_optimizers(self, optimizer=None, lr: float = 0.001, weight_decay: float = 1e-05) -> None:
+        """Configure the optimizer (default Adam, lr 1e-3, weight decay 1e-5)."""
+        self.lr = lr
+        self.weight_decay = weight_decay
+        self._optimizer_cls = optim.Adam if optimizer is None else optimizer
+        if not (isinstance(self._optimizer_cls, type) and issubclass(self._optimizer_cls, optim.Optimizer)):
+            msg = f"Invalid optimizer {optimizer}. Please use optimizer classes from deeprank2_tpu.ops.optim."
+            raise ValueError(msg)
+        self.optimizer = self._optimizer_cls(lr=lr, weight_decay=weight_decay)
+        self.opt_state = self.optimizer.init(self.params)
+
+    def set_lossfunction(self, lossfunction=None, override_invalid: bool = False) -> None:  # noqa: C901
+        """Set the loss function with task-validity checks (reference: trainer.py:428-501)."""
+        default_regression_loss = loss_nn.MSELoss
+        default_classification_loss = loss_nn.CrossEntropyLoss
+
+        def _invalid_loss() -> None:
+            if override_invalid:
+                _log.warning(
+                    f"The provided loss function ({lossfunction}) is not appropriate for {self.task} tasks.\n\t"
+                    "You have set override_invalid to True, so the training will run with this loss function nonetheless.",
+                )
+            else:
+                invalid_loss_error = (
+                    f"The provided loss function ({lossfunction}) is not appropriate for {self.task} tasks.\n\t"
+                    "If you want to use this loss function anyway, set override_invalid to True."
+                )
+                raise ValueError(invalid_loss_error)
+
+        if lossfunction in losses.other_losses:
+            _invalid_loss()
+            custom_loss = False
+        elif lossfunction is not None and lossfunction not in (losses.regression_losses + losses.classification_losses):
+            custom_loss = True
+        else:
+            custom_loss = False
+
+        if self.task == targets.REGRESS:
+            if lossfunction is None:
+                lossfunction = default_regression_loss
+            elif custom_loss:
+                _log.warning(
+                    f"The provided loss function ({lossfunction}) is not part of the default list.\n\t"
+                    f"Please ensure that this loss function is appropriate for {self.task} tasks.",
+                )
+            elif lossfunction not in losses.regression_losses:
+                _invalid_loss()
+            self.lossfunction = lossfunction()
+        elif self.task == targets.CLASSIF:
+            if lossfunction is None:
+                lossfunction = default_classification_loss
+            elif custom_loss:
+                _log.warning(
+                    f"The provided loss function ({lossfunction}) is not part of the default list.\n\t"
+                    f"Please ensure that this loss function is appropriate for {self.task} tasks.",
+                )
+            elif lossfunction not in losses.classification_losses:
+                _invalid_loss()
+            if not self.class_weights:
+                self.lossfunction = lossfunction()
+            else:
+                self.lossfunction = lossfunction  # weights set in train()
+
+    # ------------------------------------------------------------------
+    # Batching / step functions
+    # ------------------------------------------------------------------
+    def _is_graph(self) -> bool:
+        return isinstance(self.dataset_train or self.dataset_test, GraphDataset)
+
+    def _collate(self, entries: list[dict], pad_graphs: int):
+        num_shards = getattr(self, "_num_shards", 1)
+        if self._is_graph():
+            if num_shards > 1:
+                from deeprank2_tpu.ops.batch import collate_graphs_sharded
+
+                per_shard = max(1, pad_graphs // num_shards)
+                batch, names = collate_graphs_sharded(entries, num_shards, per_shard)
+            else:
+                batch, names = collate_graphs(entries, pad_graphs)
+        else:
+            batch, names = collate_grids(entries, pad_graphs)
+        # map classification targets to class indices (reference _format_output,
+        # trainer.py:807-835) on the host: jit sees only integer targets
+        if self.task == targets.CLASSIF and self.classes_to_index is not None:
+            y = np.asarray(batch.y)
+            mask = np.asarray(batch.y_mask)
+            mapped = np.asarray(
+                [float(self.classes_to_index[int(v)]) if m else 0.0 for v, m in zip(y.reshape(-1), mask.reshape(-1))],
+                dtype=np.float32,
+            ).reshape(y.shape)
+            batch.y = mapped
+        return batch, names
+
+    def _iter_batches(self, dataset, batch_size: int, shuffle: bool, rng: np.random.Generator | None):
+        indices = np.arange(len(dataset))
+        if shuffle and rng is not None:
+            rng.shuffle(indices)
+        for start in range(0, len(indices), batch_size):
+            chunk = indices[start : start + batch_size]
+            entries = [dataset.get(int(i)) for i in chunk]
+            yield self._collate(entries, pad_graphs=batch_size)
+
+    def _build_step_functions(self) -> None:
+        model = self.model
+        optimizer = self.optimizer
+        lossfunction = self.lossfunction
+        task = self.task
+
+        def compute_loss(params, batch, rng, training):
+            pred = model.apply(params, batch, training=training, rng=rng)
+            mask = batch.y_mask
+            if task == targets.CLASSIF:
+                target = batch.y.astype(jnp.int32)
+                loss = lossfunction(pred, target, mask)
+            else:
+                loss = lossfunction(pred.reshape(-1), batch.y, mask)
+            return loss, pred
+
+        def train_step(params, opt_state, rng, batch):
+            (loss, pred), grads = jax.value_and_grad(lambda p: compute_loss(p, batch, rng, True), has_aux=True)(params)
+            params, opt_state = optimizer.step(params, grads, opt_state)
+            return params, opt_state, loss, pred
+
+        def eval_step(params, batch):
+            return compute_loss(params, batch, None, False)
+
+        if self.data_parallel and jax.device_count() > 1:
+            from deeprank2_tpu.parallel.dp import make_dp_eval_step, make_dp_train_step
+
+            self._num_shards = jax.device_count()
+            self._train_step = make_dp_train_step(compute_loss, optimizer)
+            self._eval_step = make_dp_eval_step(compute_loss)
+        else:
+            self._num_shards = 1
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+            self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    # Training / evaluation
+    # ------------------------------------------------------------------
+    def train(  # noqa: C901, PLR0915
+        self,
+        nepoch: int = 1,
+        batch_size: int = 32,
+        shuffle: bool = True,
+        earlystop_patience: int | None = None,
+        earlystop_maxgap: float | None = None,
+        min_epoch: int = 10,
+        validate: bool = False,
+        num_workers: int = 0,  # noqa: ARG002 (API parity; loading is in-process)
+        best_model: bool = True,
+        filename: str | None = "model.pth.tar",
+    ) -> None:
+        """Train the model (same arguments and semantics as the reference)."""
+        if self.dataset_train is None:
+            msg = "No training dataset provided."
+            raise ValueError(msg)
+
+        self.data_type = type(self.dataset_train).__name__
+        self.batch_size_train = batch_size
+        self.shuffle = shuffle
+        loader_rng = np.random.default_rng(self.seed)
+
+        if self.task == targets.CLASSIF and self.class_weights:
+            targets_all = [self.dataset_train.get(i)["y"] for i in range(len(self.dataset_train))]
+            counts = np.array([sum(1 for t in targets_all if t == c) for c in self.classes], dtype=np.float32)
+            _log.info(f"class occurences: {counts}")
+            weights = 1.0 / np.maximum(counts, 1e-12)
+            weights = weights / weights.sum()
+            _log.info(f"class weights: {weights}")
+            self.weights = jnp.asarray(weights)
+            try:
+                self.lossfunction = self.lossfunction(weight=self.weights)
+            except TypeError as e:
+                weight_error = (
+                    f"Loss function {self.lossfunction} does not allow for weighted classes.\n\t"
+                    "Please use a different loss function or set class_weights to False.\n"
+                )
+                raise ValueError(weight_error) from e
+        else:
+            self.weights = None
+
+        self._build_step_functions()
+
+        train_losses = []
+        valid_losses = []
+        saved_model = False
+        checkpoint_model = None
+
+        early_stopping = (
+            EarlyStopping(patience=earlystop_patience, maxgap=earlystop_maxgap, min_epoch=min_epoch, trace_func=_log.info)
+            if (earlystop_patience or earlystop_maxgap)
+            else None
+        )
+
+        with self._output_exporters:
+            self.nepoch = nepoch
+            _log.info("Epoch 0:")
+            self._eval(self.dataset_train, 0, "training", batch_size)
+            if validate:
+                if self.dataset_val is None:
+                    msg = "No validation dataset provided."
+                    raise ValueError(msg)
+                self._eval(self.dataset_val, 0, "validation", batch_size)
+
+            for epoch in range(1, nepoch + 1):
+                _log.info(f"Epoch {epoch}:")
+                loss_ = self._epoch(epoch, "training", batch_size, shuffle, loader_rng)
+                train_losses.append(loss_)
+
+                if validate:
+                    loss_ = self._eval(self.dataset_val, epoch, "validation", batch_size)
+                    valid_losses.append(loss_)
+                    if best_model and min(valid_losses) == loss_:
+                        checkpoint_model = self._save_model()
+                        saved_model = True
+                        self.epoch_saved_model = epoch
+                        _log.info(f"Best model saved at epoch # {self.epoch_saved_model}.")
+                    if early_stopping:
+                        early_stopping(epoch, valid_losses[-1], train_losses[-1])
+                        if early_stopping.early_stop:
+                            break
+                elif best_model and min(train_losses) == loss_:
+                    checkpoint_model = self._save_model()
+                    saved_model = True
+                    self.epoch_saved_model = epoch
+                    _log.info(f"Best model saved at epoch # {self.epoch_saved_model}.")
+
+            if best_model is False or not saved_model:
+                checkpoint_model = self._save_model()
+                self.epoch_saved_model = epoch
+                _log.info(f"Last model saved at epoch # {self.epoch_saved_model}.")
+                if not saved_model:
+                    warnings.warn(
+                        "A model has been saved but the validation and/or the training losses were NaN;\n\t"
+                        "try to increase the cutoff distance during the data processing or the number of data points during the training.",
+                    )
+
+        if filename:
+            with open(filename, "wb") as f:
+                pickle.dump(checkpoint_model, f)
+        self.opt_loaded_state_dict = checkpoint_model["optimizer_state"]
+        self.model_load_state_dict = checkpoint_model["model_state"]
+        self.params = jax.tree.map(jnp.asarray, self.model_load_state_dict)
+        self.opt_state = jax.tree.map(jnp.asarray, self.opt_loaded_state_dict)
+
+    def _export_outputs(self, pred: np.ndarray, batch, names: list[str]):
+        """Outputs/targets of the real (non-padded) graphs for the exporters.
+
+        Handles both flat ([G, ...]) and device-sharded ([D, G, ...]) batches —
+        shard-major flattening matches the shard-major ``names`` ordering.
+        """
+        pred = np.asarray(pred)
+        y = np.asarray(batch.y)
+        valid = np.asarray(batch.y_mask)
+        if y.ndim > 1:  # sharded
+            pred = pred.reshape((-1,) + pred.shape[2:])
+            y = y.reshape(-1)
+            valid = valid.reshape(-1)
+        batch = _FlatView(y=y, y_mask=valid)
+        real = [i for i, name in enumerate(names) if name != ""]
+        outputs = []
+        target_vals = []
+        for i in real:
+            if self.task == targets.CLASSIF:
+                p = np.exp(pred[i] - pred[i].max())
+                outputs.append((p / p.sum()).tolist())
+            else:
+                outputs.append(float(pred[i].reshape(-1)[0]))
+            target_vals.append(float(np.asarray(batch.y)[i]) if valid[i] else None)
+        entry_names = [names[i] for i in real]
+        return outputs, target_vals, entry_names
+
+    def _epoch(self, epoch_number: int, pass_name: str, batch_size: int, shuffle: bool, loader_rng) -> float | None:
+        sum_of_losses = 0.0
+        count_predictions = 0
+        target_vals = []
+        outputs = []
+        entry_names = []
+        t0 = time()
+        for batch, names in self._iter_batches(self.dataset_train, batch_size, shuffle, loader_rng):
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.params, self.opt_state, loss_, pred = self._train_step(self.params, self.opt_state, step_rng, batch)
+            n_valid = int(np.asarray(batch.y_mask).sum())
+            count_predictions += n_valid
+            sum_of_losses += float(loss_) * n_valid
+            out, tgt, nm = self._export_outputs(pred, batch, names)
+            outputs += out
+            target_vals += tgt
+            entry_names += nm
+
+        dt = time() - t0
+        epoch_loss = sum_of_losses / count_predictions if count_predictions > 0 else None
+        self._output_exporters.process(pass_name, epoch_number, entry_names, outputs, target_vals, epoch_loss)
+        self._log_epoch_data(pass_name, epoch_loss, dt)
+        return epoch_loss
+
+    def _eval(self, dataset, epoch_number: int, pass_name: str, batch_size: int) -> float | None:
+        target_vals = []
+        outputs = []
+        entry_names = []
+        sum_of_losses = 0.0
+        count_predictions = 0
+        t0 = time()
+        for batch, names in self._iter_batches(dataset, batch_size, shuffle=False, rng=None):
+            loss_, pred = self._eval_step(self.params, batch)
+            n_valid = int(np.asarray(batch.y_mask).sum())
+            if n_valid > 0:
+                count_predictions += n_valid
+                sum_of_losses += float(loss_) * n_valid
+            out, tgt, nm = self._export_outputs(pred, batch, names)
+            outputs += out
+            target_vals += tgt
+            entry_names += nm
+
+        dt = time() - t0
+        eval_loss = sum_of_losses / count_predictions if count_predictions > 0 else None
+        self._output_exporters.process(pass_name, epoch_number, entry_names, outputs, target_vals, eval_loss)
+        self._log_epoch_data(pass_name, eval_loss, dt)
+        return eval_loss
+
+    @staticmethod
+    def _log_epoch_data(stage: str, loss: float | None, time_: float) -> None:
+        _log.info(f"{stage} loss {loss} | time {time_}")
+
+    def test(self, batch_size: int = 32, num_workers: int = 0) -> None:  # noqa: ARG002
+        """Evaluate on the independent test set."""
+        if (not self.pretrained_model) and (self.model_load_state_dict is None):
+            msg = "No pretrained model provided and no training performed. Please provide a pretrained model or train the model before testing."
+            raise ValueError(msg)
+        self.batch_size_test = batch_size
+        if self.dataset_test is None:
+            msg = "No test dataset provided."
+            raise ValueError(msg)
+        if not hasattr(self, "_eval_step") or self._eval_step is None:
+            self._build_step_functions()
+        with self._output_exporters:
+            self._eval(self.dataset_test, self.epoch_saved_model, "testing", batch_size)
+
+    # ------------------------------------------------------------------
+    # Checkpointing
+    # ------------------------------------------------------------------
+    def _load_params(self) -> None:
+        """Restore the 28-key checkpoint state (reference: trainer.py:873-908)."""
+        with open(self.pretrained_model, "rb") as f:
+            state = pickle.load(f)  # noqa: S301
+
+        self.data_type = state["data_type"]
+        self.model_load_state_dict = state["model_state"]
+        self._optimizer_cls = state["optimizer"]
+        self.opt_loaded_state_dict = state["optimizer_state"]
+        self.lossfunction = state["lossfunction"]
+        self.target = state["target"]
+        self.target_transform = state["target_transform"]
+        self.task = state["task"]
+        self.classes = state["classes"]
+        self.classes_to_index = state["classes_to_index"]
+        self.class_weights = state["class_weights"]
+        self.batch_size_train = state["batch_size_train"]
+        self.batch_size_test = state["batch_size_test"]
+        self.val_size = state["val_size"]
+        self.test_size = state["test_size"]
+        self.lr = state["lr"]
+        self.weight_decay = state["weight_decay"]
+        self.epoch_saved_model = state["epoch_saved_model"]
+        self.subset = state["subset"]
+        self.shuffle = state["shuffle"]
+        self.clustering_method = state["clustering_method"]
+        self.node_features = state["node_features"]
+        self.edge_features = state["edge_features"]
+        self.features = state["features"]
+        self.features_transform = state["features_transform"]
+        self.means = state["means"]
+        self.devs = state["devs"]
+        self.cuda = state["cuda"]
+        self.ngpu = state["ngpu"]
+
+    def _save_model(self) -> dict[str, Any]:
+        """Build the checkpoint dict (the reference's 28-key schema,
+        trainer.py:910-958; transform lambdas stored as source strings)."""
+        features_transform_to_save = copy.deepcopy(self.features_transform)
+        if features_transform_to_save:
+            for entry in features_transform_to_save.values():
+                if entry.get("transform") is None:
+                    continue
+                if isinstance(entry["transform"], str):
+                    continue
+                try:
+                    source = inspect.getsource(entry["transform"])
+                    match = re.search(r"(lambda[^\n]*)", source)
+                    entry["transform"] = match.group(1).rstrip(",)} \t") if match else None
+                except (OSError, TypeError):
+                    _log.warning("Could not serialize a features_transform function; storing None.")
+                    entry["transform"] = None
+
+        to_numpy = lambda tree: jax.tree.map(np.asarray, tree)  # noqa: E731
+        return {
+            "data_type": self.data_type,
+            "model_state": to_numpy(self.params),
+            "optimizer": self._optimizer_cls,
+            "optimizer_state": to_numpy(self.opt_state),
+            "lossfunction": self.lossfunction,
+            "target": self.target,
+            "target_transform": self.target_transform,
+            "task": self.task,
+            "classes": self.classes,
+            "classes_to_index": self.classes_to_index,
+            "class_weights": self.class_weights,
+            "batch_size_train": self.batch_size_train,
+            "batch_size_test": self.batch_size_test,
+            "val_size": self.val_size,
+            "test_size": self.test_size,
+            "lr": self.lr,
+            "weight_decay": self.weight_decay,
+            "epoch_saved_model": self.epoch_saved_model,
+            "subset": self.subset,
+            "shuffle": self.shuffle,
+            "clustering_method": self.clustering_method,
+            "node_features": self.node_features,
+            "edge_features": self.edge_features,
+            "features": self.features,
+            "features_transform": features_transform_to_save,
+            "means": self.means,
+            "devs": self.devs,
+            "cuda": self.cuda,
+            "ngpu": self.ngpu,
+        }

@@ -1,0 +1,172 @@
+"""Community detection (MCL / Louvain) and host-side cluster pooling.
+
+Replaces the reference's networkx + markov_clustering + python-louvain stack
+(deeprank2/utils/community_pooling.py) with in-repo numpy implementations.
+These run at *featurization/precluster* time; the in-model pooling under jit
+lives in ops/pooling.py.
+
+MCL follows the markov_clustering package's default algorithm: add self loops,
+column-normalize, iterate expansion (matrix square) + inflation (elementwise
+square, renormalize) with pruning until convergence; clusters are the attractor
+rows' non-zero columns. Note MCL expansion is literally SpMM — the same
+primitive as the GNN aggregation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _adjacency(edge_index: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Dense symmetric 0/1 adjacency from an edge list ([E, 2] or [2, E])."""
+    a = np.zeros((num_nodes, num_nodes), dtype=np.float64)
+    edges = np.asarray(edge_index)
+    if edges.size:
+        if edges.shape[0] == 2 and edges.shape[1] != 2:
+            edges = edges.T
+        for i, j in edges:
+            if i != j:
+                a[i, j] = 1.0
+                a[j, i] = 1.0
+    return a
+
+
+def run_mcl(
+    matrix: np.ndarray,
+    expansion: int = 2,
+    inflation: float = 2.0,
+    loop_value: float = 1.0,
+    iterations: int = 100,
+    pruning_threshold: float = 0.001,
+    convergence_tolerance: float = 1e-8,
+) -> np.ndarray:
+    """Markov clustering on a dense adjacency matrix; returns the steady-state matrix."""
+    m = np.array(matrix, dtype=np.float64)
+    np.fill_diagonal(m, loop_value)
+    # column normalize
+    m = m / np.maximum(m.sum(axis=0, keepdims=True), 1e-12)
+
+    for _ in range(iterations):
+        last = m.copy()
+        m = np.linalg.matrix_power(m, expansion)  # expansion (SpMM^k)
+        m = np.power(m, inflation)  # inflation
+        m = m / np.maximum(m.sum(axis=0, keepdims=True), 1e-12)
+        m[m < pruning_threshold] = 0.0
+        m = m / np.maximum(m.sum(axis=0, keepdims=True), 1e-12)
+        if np.allclose(m, last, atol=convergence_tolerance):
+            break
+    return m
+
+
+def get_clusters(matrix: np.ndarray) -> list[tuple[int, ...]]:
+    """Attractor-based cluster extraction (markov_clustering.get_clusters parity)."""
+    attractors = np.flatnonzero(matrix.diagonal() > 0)
+    clusters = set()
+    for a in attractors:
+        members = tuple(np.flatnonzero(matrix[a] > 0).tolist())
+        clusters.add(members)
+    return sorted(clusters)
+
+
+def louvain_partition(edge_index: np.ndarray, num_nodes: int, seed: int = 0) -> dict[int, int]:
+    """Greedy-modularity Louvain partition (python-louvain ``best_partition`` equivalent)."""
+    a = _adjacency(edge_index, num_nodes)
+    rng = np.random.RandomState(seed)
+
+    node_to_comm = np.arange(num_nodes)
+    total_weight = a.sum() / 2.0
+    if total_weight == 0:
+        return {i: i for i in range(num_nodes)}
+
+    degrees = a.sum(axis=1)
+    improved = True
+    while improved:
+        improved = False
+        for node in rng.permutation(num_nodes):
+            current = node_to_comm[node]
+            neighbors = np.flatnonzero(a[node])
+            if neighbors.size == 0:
+                continue
+            k_i = degrees[node]
+
+            def gain_of(comm: int) -> float:
+                """Modularity gain of adding `node` (removed from its community) to `comm`."""
+                members = node_to_comm == comm
+                in_links = a[node, members].sum()
+                sigma_tot = degrees[members].sum()
+                if comm == current:
+                    sigma_tot -= k_i
+                    in_links -= a[node, node]  # self weight (zero here)
+                return in_links - sigma_tot * k_i / (2.0 * total_weight)
+
+            candidates = np.unique(node_to_comm[neighbors])
+            best_comm = current
+            best_gain = gain_of(current)
+            for comm in candidates:
+                if comm == current:
+                    continue
+                g = gain_of(comm)
+                if g > best_gain:
+                    best_gain, best_comm = g, comm
+            if best_comm != current:
+                node_to_comm[node] = best_comm
+                improved = True
+
+    # relabel communities consecutively
+    uniq = {c: i for i, c in enumerate(np.unique(node_to_comm))}
+    return {i: uniq[c] for i, c in enumerate(node_to_comm)}
+
+
+def community_detection(
+    edge_index: np.ndarray,
+    num_nodes: int,
+    edge_attr: np.ndarray | None = None,  # noqa: ARG001 (parity; detection is unweighted like the trainer's use)
+    method: str = "mcl",
+) -> np.ndarray:
+    """Cluster assignment per node via MCL or Louvain (reference: community_pooling.py:96-165)."""
+    if method == "louvain":
+        part = louvain_partition(edge_index, num_nodes)
+        return np.array([part[i] for i in range(num_nodes)], dtype=np.int64)
+
+    if method == "mcl":
+        a = _adjacency(edge_index, num_nodes)
+        result = run_mcl(a)
+        clusters = get_clusters(result)
+        index = np.zeros(num_nodes, dtype=np.int64)
+        for ic, members in enumerate(clusters):
+            index[list(members)] = ic
+        return index
+
+    msg = f"Clustering method {method} not supported"
+    raise ValueError(msg)
+
+
+def community_pooling_host(cluster: np.ndarray, edge_index: np.ndarray) -> tuple[np.ndarray, int]:
+    """Host-side edge pooling for hierarchical pre-clustering.
+
+    Relabels clusters consecutively (sorted order — PyG ``consecutive_cluster``
+    parity), maps edges to cluster pairs, drops self loops, dedups.
+
+    Returns (pooled_edge_index [P, 2], num_clusters).
+    """
+    uniq, consecutive = np.unique(cluster, return_inverse=True)
+    edges = np.asarray(edge_index)
+    if edges.size == 0:
+        return np.zeros((0, 2), dtype=np.int64), len(uniq)
+    if edges.shape[0] == 2 and edges.shape[1] != 2:
+        edges = edges.T
+    pooled = consecutive[edges]
+    pooled = pooled[pooled[:, 0] != pooled[:, 1]]
+    if pooled.size == 0:
+        return np.zeros((0, 2), dtype=np.int64), len(uniq)
+    pooled = np.unique(pooled, axis=0)
+    return pooled, len(uniq)
+
+
+def get_preloaded_cluster(cluster: np.ndarray, batch: np.ndarray) -> np.ndarray:
+    """Offset per-graph cluster ids to be batch-global (reference: community_pooling.py:23)."""
+    cluster = np.array(cluster)
+    nbatch = int(batch.max()) + 1
+    for ib in range(1, nbatch):
+        cluster[batch == ib] += int(cluster[batch == ib - 1].max()) + 1
+    return cluster

@@ -1,0 +1,162 @@
+"""Trainer smoke tests: one short training run per architecture, save/load
+round trips, invalid-combination errors (mirrors the reference test strategy,
+tests/test_trainer.py)."""
+
+import numpy as np
+import pytest
+
+from deeprank2_tpu.dataset import GraphDataset, GridDataset
+from deeprank2_tpu.neuralnets.cnn.model3d import CnnClassification, CnnRegression
+from deeprank2_tpu.neuralnets.gnn.foutnet import FoutNet
+from deeprank2_tpu.neuralnets.gnn.ginet import GINet
+from deeprank2_tpu.neuralnets.gnn.ginet_nocluster import GINet as GINetNoCluster
+from deeprank2_tpu.neuralnets.gnn.sgat import SGAT
+from deeprank2_tpu.neuralnets.gnn.vanilla_gnn import VanillaNetwork
+from deeprank2_tpu.trainer import Trainer
+
+
+def _train(model_class, dataset, tmp_path, nepoch=2, batch_size=4, **train_kwargs):
+    trainer = Trainer(model_class, dataset_train=dataset, output_exporters=[])
+    trainer.train(nepoch=nepoch, batch_size=batch_size, filename=str(tmp_path / "model.pth.tar"), **train_kwargs)
+    return trainer
+
+
+def test_vanilla_classif(srv_hdf5, tmp_path) -> None:
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    trainer = _train(VanillaNetwork, ds, tmp_path)
+    assert trainer.epoch_saved_model is not None
+
+
+def test_vanilla_regression(srv_hdf5, tmp_path) -> None:
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="irmsd")
+    _train(VanillaNetwork, ds, tmp_path)
+
+
+def test_ginet_mcl(srv_hdf5, tmp_path) -> None:
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary", clustering_method="mcl")
+    _train(GINet, ds, tmp_path, validate=True)
+
+
+def test_ginet_nocluster(srv_hdf5, tmp_path) -> None:
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    _train(GINetNoCluster, ds, tmp_path)
+
+
+def test_foutnet(srv_hdf5, tmp_path) -> None:
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary", clustering_method="mcl")
+    _train(FoutNet, ds, tmp_path)
+
+
+def test_sgat(srv_hdf5, tmp_path) -> None:
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary", clustering_method="mcl", edge_features=["distance"])
+    _train(SGAT, ds, tmp_path)
+
+
+def test_cnn_classif(grid_hdf5, tmp_path) -> None:
+    ds = GridDataset(hdf5_path=grid_hdf5, target="binary")
+    _train(CnnClassification, ds, tmp_path, batch_size=2)
+
+
+def test_cnn_regression(grid_hdf5, tmp_path) -> None:
+    ds = GridDataset(hdf5_path=grid_hdf5, target="irmsd")
+    _train(CnnRegression, ds, tmp_path, batch_size=2)
+
+
+def test_save_load_same_predictions(srv_hdf5, tmp_path) -> None:
+    """A reloaded pretrained model produces the same predictions."""
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    trainer = _train(VanillaNetwork, ds, tmp_path, nepoch=3)
+
+    with trainer._output_exporters:
+        trainer._eval(ds, 0, "testing", 4)
+
+    model_path = str(tmp_path / "model.pth.tar")
+    ds_test = GraphDataset(hdf5_path=srv_hdf5, train_source=model_path)
+    trainer2 = Trainer(VanillaNetwork, dataset_test=ds_test, pretrained_model=model_path)
+    trainer2._build_step_functions()
+
+    for i in range(len(ds)):
+        entry = [ds.get(i)]
+        batch1, _ = trainer._collate(entry, pad_graphs=1)
+        batch2, _ = trainer2._collate([ds_test.get(i)], pad_graphs=1)
+        _, pred1 = trainer._eval_step(trainer.params, batch1)
+        _, pred2 = trainer2._eval_step(trainer2.params, batch2)
+        assert np.allclose(np.asarray(pred1), np.asarray(pred2), atol=1e-6)
+
+
+def test_pretrained_on_unlabeled_data(srv_hdf5, tmp_path, data_path) -> None:
+    """Inference on data without the target present (benchmark scenario)."""
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    _train(VanillaNetwork, ds, tmp_path)
+    model_path = str(tmp_path / "model.pth.tar")
+
+    # build an unlabeled dataset (no targets at all)
+    from deeprank2_tpu.molstruct.aminoacid import alanine, phenylalanine
+    from deeprank2_tpu.query import QueryCollection, SingleResidueVariantQuery
+
+    qc = QueryCollection()
+    qc.add(
+        SingleResidueVariantQuery(
+            pdb_path=str(data_path / "pdb" / "101M" / "101M.pdb"),
+            resolution="residue",
+            chain_ids="A",
+            variant_residue_number=27,
+            insertion_code=None,
+            wildtype_amino_acid=alanine,
+            variant_amino_acid=phenylalanine,
+            pssm_paths={"A": str(data_path / "pssm" / "101M" / "101M.A.pdb.pssm")},
+        )
+    )
+    paths = qc.process(prefix=str(tmp_path / "unlabeled"), feature_modules=["components", "contact", "conservation"], cpu_count=1)
+
+    ds_new = GraphDataset(hdf5_path=paths[0], train_source=model_path)
+    trainer = Trainer(VanillaNetwork, dataset_test=ds_new, pretrained_model=model_path)
+    trainer.test(batch_size=1)
+
+
+def test_train_val_split(srv_hdf5, tmp_path) -> None:
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    trainer = Trainer(VanillaNetwork, dataset_train=ds, val_size=0.25, output_exporters=[])
+    assert len(trainer.dataset_train) == 6
+    assert len(trainer.dataset_val) == 2
+    trainer.train(nepoch=1, batch_size=4, validate=True, filename=None)
+
+
+def test_class_weights(srv_hdf5, tmp_path) -> None:
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    trainer = Trainer(VanillaNetwork, dataset_train=ds, class_weights=True, output_exporters=[])
+    trainer.train(nepoch=1, batch_size=4, filename=None)
+    assert trainer.weights is not None
+
+
+def test_early_stopping(srv_hdf5, tmp_path) -> None:
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    trainer = Trainer(VanillaNetwork, dataset_train=ds, val_size=0.25, output_exporters=[])
+    trainer.train(nepoch=5, batch_size=4, validate=True, earlystop_patience=1, filename=None)
+
+
+def test_data_parallel(srv_hdf5, tmp_path) -> None:
+    """DP over the virtual 8-device CPU mesh."""
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    trainer = Trainer(VanillaNetwork, dataset_train=ds, output_exporters=[], data_parallel=True)
+    trainer.train(nepoch=1, batch_size=8, filename=None)
+
+
+def test_cuda_raises(srv_hdf5) -> None:
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    with pytest.raises(ValueError):
+        Trainer(VanillaNetwork, dataset_train=ds, cuda=True)
+
+
+def test_no_target_raises(srv_hdf5) -> None:
+    with pytest.raises(ValueError):
+        GraphDataset(hdf5_path=srv_hdf5)  # no target set
+
+
+def test_no_train_data_raises() -> None:
+    with pytest.raises(ValueError):
+        Trainer(VanillaNetwork)
