@@ -1,0 +1,121 @@
+"""Residue depth and half-sphere exposure node features (reference: features/exposure.py).
+
+- ``res_depth``: mean distance of the residue's atoms to the nearest solvent-
+  accessible surface point. The reference uses Bio.PDB ResidueDepth over an
+  MSMS molecular surface; here the surface is the in-repo SAS point cloud
+  (utils/sasa.py) — a uniform ~probe-radius offset from the SES, with no
+  external binary and no 20 s SIGALRM timeout to need.
+- ``hse``: half-sphere exposure (Hamelryck 2005) from CA-only coordinates
+  (Bio.PDB HSExposureCA semantics): a pseudo-CB direction from the two chain
+  neighbors splits a 12 Å sphere; counts of CA atoms in the upper/lower halves
+  plus the pseudo-CB/CB angle. Chain-terminal residues get (0, 0, 0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from deeprank2_tpu.domain import nodestorage as Nfeat
+from deeprank2_tpu.utils.graph import Graph
+from deeprank2_tpu.utils.sasa import surface_points
+
+HSE_RADIUS = 12.0
+
+
+def _ca_table(arrays) -> tuple[np.ndarray, np.ndarray]:
+    """(residue indices with a CA, CA positions) in residue order."""
+    res_ids = []
+    positions = []
+    for r in range(arrays.num_residues):
+        start = int(arrays.res_atom_start[r])
+        count = int(arrays.res_atom_count[r])
+        names = arrays.atom_names[start : start + count]
+        hits = np.flatnonzero(names == "CA")
+        if hits.size:
+            res_ids.append(r)
+            positions.append(arrays.positions[start + int(hits[0])])
+    return np.array(res_ids, dtype=np.int64), np.array(positions, dtype=np.float64).reshape(-1, 3)
+
+
+def compute_hse(arrays) -> dict[int, tuple[float, float, float]]:
+    """(hse_up, hse_down, pseudo-CB angle) per residue index."""
+    ca_res, ca_pos = _ca_table(arrays)
+    if len(ca_res) == 0:
+        return {}
+    tree = cKDTree(ca_pos)
+    res_chain = arrays.res_chain
+
+    out: dict[int, tuple[float, float, float]] = {}
+    pos_in_list = {int(r): i for i, r in enumerate(ca_res)}
+    for i, r in enumerate(ca_res):
+        # chain neighbors in CA-list order (Bio.PDB uses polypeptide triples)
+        if i == 0 or i == len(ca_res) - 1:
+            continue
+        r_prev, r_next = ca_res[i - 1], ca_res[i + 1]
+        if res_chain[r_prev] != res_chain[r] or res_chain[r_next] != res_chain[r]:
+            continue
+        d1 = ca_pos[i - 1] - ca_pos[i]
+        d3 = ca_pos[i + 1] - ca_pos[i]
+        d1 = d1 / np.linalg.norm(d1)
+        d3 = d3 / np.linalg.norm(d3)
+        pcb = -(d1 + d3)
+        norm = np.linalg.norm(pcb)
+        if norm == 0:
+            continue
+        pcb = pcb / norm
+
+        neighbors = tree.query_ball_point(ca_pos[i], HSE_RADIUS)
+        up = down = 0
+        for j in neighbors:
+            if j == i:
+                continue
+            direction = ca_pos[j] - ca_pos[i]
+            if np.dot(pcb, direction) > 0:
+                up += 1
+            else:
+                down += 1
+
+        # angle between pseudo-CB and the actual CB-CA direction (0 if no CB)
+        angle = 0.0
+        start = int(arrays.res_atom_start[r])
+        count = int(arrays.res_atom_count[r])
+        names = arrays.atom_names[start : start + count]
+        cb_hits = np.flatnonzero(names == "CB")
+        if cb_hits.size:
+            cb = arrays.positions[start + int(cb_hits[0])] - ca_pos[i]
+            cb_norm = np.linalg.norm(cb)
+            if cb_norm > 0:
+                cosang = np.clip(np.dot(pcb, cb / cb_norm), -1.0, 1.0)
+                angle = float(np.arccos(cosang))
+        out[int(r)] = (float(up), float(down), angle)
+    return out
+
+
+def add_features(
+    pdb_path: str,  # noqa: ARG001 (structure already parsed)
+    graph: Graph,
+    single_amino_acid_variant=None,  # noqa: ARG001
+) -> None:  # noqa: D103
+    sa = graph.arrays
+    surface = surface_points(sa)
+    if len(surface) == 0:
+        msg = "Empty solvent-accessible surface; cannot compute residue depth."
+        raise ValueError(msg)
+    surface_tree = cKDTree(surface)
+
+    # residue depth per residue: mean over its atoms' nearest-surface distances
+    atom_depth, _ = surface_tree.query(sa.positions, k=1)
+    res_depth = np.zeros(sa.num_residues, dtype=np.float64)
+    np.add.at(res_depth, sa.atom_residue, atom_depth)
+    res_depth = res_depth / np.maximum(sa.res_atom_count, 1)
+
+    hse = compute_hse(sa)
+
+    res_idx = graph.node_residue_indices
+    graph.node_features[Nfeat.RESDEPTH] = res_depth[res_idx]
+    hse_matrix = np.zeros((graph.num_nodes, 3), dtype=np.float64)
+    for v, r in enumerate(res_idx):
+        if int(r) in hse:
+            hse_matrix[v] = hse[int(r)]
+    graph.node_features[Nfeat.HSE] = hse_matrix
