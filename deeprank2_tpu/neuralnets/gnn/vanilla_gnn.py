@@ -47,12 +47,20 @@ class VanillaNetwork:
 
     @staticmethod
     def _conv(params: dict, x: jnp.ndarray, batch: GraphBatch) -> jnp.ndarray:
+        # Same math as the reference's MLP([x_i || x_j || e]) but with the
+        # node-feature contributions precomputed per node ([V, F] matmuls)
+        # and gathered per edge — cheaper than per-edge matmuls since E >> V.
         row, col = batch.edge_index
         capacity = x.shape[0]
         safe_row = jnp.clip(row, 0, capacity - 1)
         safe_col = jnp.clip(col, 0, capacity - 1)
-        message_input = jnp.concatenate([x[safe_row], x[safe_col], batch.edge_attr], axis=1)
-        messages = nn.relu(nn.linear(params["edge_mlp"], message_input))
+
+        w = params["edge_mlp"]["w"]  # [2F + Fe, M]
+        f = x.shape[1]
+        x_row_part = x @ w[:f]  # [V, M]
+        x_col_part = x @ w[f : 2 * f]  # [V, M]
+        messages = x_row_part[safe_row] + x_col_part[safe_col] + batch.edge_attr @ w[2 * f :] + params["edge_mlp"]["b"]
+        messages = nn.relu(messages)
         messages = messages * batch.edge_mask[:, None]
         msg_sums = segment_sum(messages, row, capacity)
         node_input = jnp.concatenate([x, msg_sums], axis=1)

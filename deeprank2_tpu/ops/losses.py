@@ -81,7 +81,7 @@ class CrossEntropyLoss(_Loss):
         target = target.astype(jnp.int32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, target[:, None], axis=1)[:, 0]
-        weights = None if self.weight is None else self.weight[target]
+        weights = None if self.weight is None else jnp.asarray(self.weight)[target]
         return _masked_mean(nll, mask, weights)
 
 
@@ -94,7 +94,7 @@ class NLLLoss(_Loss):
     def __call__(self, logp, target, mask=None):
         target = target.astype(jnp.int32)
         nll = -jnp.take_along_axis(logp, target[:, None], axis=1)[:, 0]
-        weights = None if self.weight is None else self.weight[target]
+        weights = None if self.weight is None else jnp.asarray(self.weight)[target]
         return _masked_mean(nll, mask, weights)
 
 

@@ -391,13 +391,24 @@ class Trainer:
         return batch, names
 
     def _iter_batches(self, dataset, batch_size: int, shuffle: bool, rng: np.random.Generator | None):
+        """Batches with one-deep device prefetch: the next batch's host->device
+        transfer overlaps the current step (transfer latency would otherwise
+        serialize with compute)."""
         indices = np.arange(len(dataset))
         if shuffle and rng is not None:
             rng.shuffle(indices)
+
+        pending = None
         for start in range(0, len(indices), batch_size):
             chunk = indices[start : start + batch_size]
             entries = [dataset.get(int(i)) for i in chunk]
-            yield self._collate(entries, pad_graphs=batch_size)
+            batch, names = self._collate(entries, pad_graphs=batch_size)
+            staged = (jax.device_put(batch), names)  # async transfer
+            if pending is not None:
+                yield pending
+            pending = staged
+        if pending is not None:
+            yield pending
 
     def _build_step_functions(self) -> None:
         model = self.model
@@ -467,7 +478,9 @@ class Trainer:
             weights = 1.0 / np.maximum(counts, 1e-12)
             weights = weights / weights.sum()
             _log.info(f"class weights: {weights}")
-            self.weights = jnp.asarray(weights)
+            # keep as numpy: a device array captured in the jitted loss closure
+            # is re-uploaded per call on PJRT plugins with remote transfer
+            self.weights = np.asarray(weights)
             try:
                 self.lossfunction = self.lossfunction(weight=self.weights)
             except TypeError as e:
