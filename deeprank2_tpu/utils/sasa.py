@@ -61,6 +61,9 @@ def shrake_rupley(
 ):
     """Per-atom SASA (Å^2) for atoms with positive radius.
 
+    Uses the C++ cell-list kernel (csrc/sasa.cpp) when available, else the
+    vectorized numpy path below (identical results).
+
     Args:
         positions: [N, 3] atom coordinates.
         radii: [N] vdW radii; atoms with radius <= 0 are ignored entirely.
@@ -73,6 +76,10 @@ def shrake_rupley(
         areas [N] (zero for ignored atoms), and optionally the exposed points.
     """
     sphere = _SPHERE if n_points == _N_SPHERE_POINTS else _fibonacci_sphere(n_points)
+
+    native = _native_shrake_rupley(positions, radii, sphere, probe_radius, return_points)
+    if native is not None:
+        return native
     active = np.flatnonzero(radii > 0)
     areas = np.zeros(len(positions), dtype=np.float64)
     if active.size == 0:
@@ -105,6 +112,42 @@ def shrake_rupley(
     if return_points:
         points = np.concatenate(exposed_points) if exposed_points else np.zeros((0, 3))
         return areas, points
+    return areas
+
+
+def _native_shrake_rupley(positions, radii, sphere, probe_radius, return_points):
+    """C++ kernel path; returns None when the native library is unavailable."""
+    import ctypes
+
+    from deeprank2_tpu import csrc
+
+    lib = csrc.load()
+    if lib is None:
+        return None
+
+    n = len(positions)
+    n_points = len(sphere)
+    positions = np.ascontiguousarray(positions, dtype=np.float64)
+    radii = np.ascontiguousarray(radii, dtype=np.float64)
+    sphere = np.ascontiguousarray(sphere, dtype=np.float64)
+    areas = np.zeros(n, dtype=np.float64)
+
+    dptr = ctypes.POINTER(ctypes.c_double)
+    points_buf = np.zeros((n * n_points, 3), dtype=np.float64) if return_points else None
+    count = ctypes.c_int64(0)
+    lib.sasa_compute(
+        positions.ctypes.data_as(dptr),
+        radii.ctypes.data_as(dptr),
+        ctypes.c_int(n),
+        sphere.ctypes.data_as(dptr),
+        ctypes.c_int(n_points),
+        ctypes.c_double(probe_radius),
+        areas.ctypes.data_as(dptr),
+        points_buf.ctypes.data_as(dptr) if return_points else None,
+        ctypes.byref(count) if return_points else None,
+    )
+    if return_points:
+        return areas, points_buf[: count.value].copy()
     return areas
 
 
