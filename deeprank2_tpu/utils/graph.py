@@ -283,24 +283,42 @@ class Graph:
     # Grid mapping
     # ------------------------------------------------------------------
     def map_to_grid(self, grid, method, augmentation=None) -> None:
-        """Accumulate all node and edge features onto a 3D grid (vectorized)."""
+        """Accumulate all node and edge features onto a 3D grid.
+
+        All channels sharing the same point set (all node features; all edge
+        features) are mapped in one pass, so the kernel matrix over the grid is
+        computed once per point set instead of once per feature.
+        """
         from deeprank2_tpu.utils.grid import rotate_points
+
+        def channel_matrix(features: dict[str, np.ndarray]) -> tuple[list[str], np.ndarray]:
+            names: list[str] = []
+            columns: list[np.ndarray] = []
+            for feature_name, values in features.items():
+                values = np.asarray(values, dtype=np.float64)
+                if values.ndim == 1:
+                    names.append(feature_name)
+                    columns.append(values[:, None])
+                else:
+                    names.extend(f"{feature_name}_{k:03d}" for k in range(values.shape[1]))
+                    columns.append(values)
+            return names, (np.concatenate(columns, axis=1) if columns else np.zeros((0, 0)))
 
         # edge features: each edge contributes at both endpoint positions
         positions = self.positions()
-        if self.num_edges:
+        if self.num_edges and self.edge_features:
             edge_points = positions[self.edge_index.reshape(-1)]  # [2E, 3]
             if augmentation is not None:
                 edge_points = rotate_points(edge_points, augmentation.axis, augmentation.angle, self.center)
-            for feature_name, values in self.edge_features.items():
-                doubled = np.repeat(np.asarray(values), 2, axis=0)
-                grid.map_feature_batch(edge_points, feature_name, doubled, method)
+            names, matrix = channel_matrix(self.edge_features)
+            grid.map_channels_batch(edge_points, names, np.repeat(matrix, 2, axis=0), method)
 
-        node_points = positions
-        if augmentation is not None:
-            node_points = rotate_points(node_points, augmentation.axis, augmentation.angle, self.center)
-        for feature_name, values in self.node_features.items():
-            grid.map_feature_batch(node_points, feature_name, np.asarray(values), method)
+        if self.node_features:
+            node_points = positions
+            if augmentation is not None:
+                node_points = rotate_points(node_points, augmentation.axis, augmentation.angle, self.center)
+            names, matrix = channel_matrix(self.node_features)
+            grid.map_channels_batch(node_points, names, matrix, method)
 
     @staticmethod
     def _find_unused_augmentation_name(unaugmented_id: str, hdf5_path: str) -> str:

@@ -170,12 +170,23 @@ class Grid:
     # ------------------------------------------------------------------
     # Batched kernels
     # ------------------------------------------------------------------
+    def _grid_points(self) -> np.ndarray:
+        if not hasattr(self, "_grid_points_cache"):
+            gx, gy, gz = np.meshgrid(self._xs, self._ys, self._zs, indexing="ij")
+            self._grid_points_cache = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)  # [G, 3]
+            self._grid_sqnorm_cache = (self._grid_points_cache**2).sum(axis=1)
+        return self._grid_points_cache
+
     def _kernel_gaussian(self, points: np.ndarray, truncate: float | None = None) -> np.ndarray:
-        """``[P, G]`` Gaussian kernel matrix ``exp(-beta * |p - g|)`` (beta = 1)."""
+        """``[P, G]`` Gaussian kernel matrix ``exp(-beta * |p - g|)`` (beta = 1).
+
+        Distances via ``|p|^2 + |g|^2 - 2 p.g`` — one [P,3]x[3,G] matmul instead
+        of a [P,G,3] broadcast intermediate.
+        """
         beta = 1.0
-        gx, gy, gz = np.meshgrid(self._xs, self._ys, self._zs, indexing="ij")
-        grid_points = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)  # [G, 3]
-        d = np.sqrt(((points[:, None, :] - grid_points[None, :, :]) ** 2).sum(-1))  # [P, G]
+        grid_points = self._grid_points()
+        d2 = (points**2).sum(axis=1)[:, None] + self._grid_sqnorm_cache[None, :] - 2.0 * (points @ grid_points.T)
+        d = np.sqrt(np.maximum(d2, 0.0))
         k = np.exp(-beta * d)
         if truncate is not None:
             k = np.where(d < truncate, k, 0.0)
@@ -237,6 +248,46 @@ class Grid:
     # ------------------------------------------------------------------
     # Mapping
     # ------------------------------------------------------------------
+    def map_channels_batch(
+        self,
+        points: np.ndarray,
+        channel_names: list[str],
+        values: np.ndarray,
+        method: MapMethod,
+    ) -> None:
+        """Map many channels sharing the same points in one pass.
+
+        The kernel matrix depends only on the points, so it is computed once
+        per point chunk and applied to every channel as one matmul — the grid
+        featurization hot loop (the reference maps one point x one feature at
+        a time, grid.py:272-311).
+
+        Args:
+            points: ``[P, 3]`` positions.
+            channel_names: ``C`` output channel names.
+            values: ``[P, C]`` channel values per point.
+            method: kernel choice.
+        """
+        values = np.asarray(values, dtype=np.float64)
+        total = np.zeros((len(channel_names), int(np.prod(self.shape))))
+        for start in range(0, points.shape[0], _POINT_CHUNK):
+            chunk = slice(start, start + _POINT_CHUNK)
+            if method == MapMethod.GAUSSIAN:
+                kernel = self._kernel_gaussian(points[chunk])
+            elif method == MapMethod.FAST_GAUSSIAN:
+                kernel = self._kernel_gaussian(points[chunk], truncate=5.0)
+            elif method == MapMethod.BSP_LINE:
+                kernel = self._kernel_bspline(points[chunk])
+            elif method == MapMethod.NEAREST_NEIGHBOURS:
+                kernel = self._kernel_nearest(points[chunk])
+            else:
+                msg = f"Unknown map method: {method}"
+                raise ValueError(msg)
+            total += values[chunk].T @ kernel
+
+        for c, name in enumerate(channel_names):
+            self.add_feature_values(name, total[c].reshape(self.shape))
+
     def map_feature_batch(
         self,
         points: np.ndarray,
@@ -258,25 +309,7 @@ class Grid:
             values = values[:, None]
         else:
             channel_names = [f"{feature_name}_{k:03d}" for k in range(values.shape[1])]
-
-        total = np.zeros((len(channel_names), int(np.prod(self.shape))))
-        for start in range(0, points.shape[0], _POINT_CHUNK):
-            chunk = slice(start, start + _POINT_CHUNK)
-            if method == MapMethod.GAUSSIAN:
-                kernel = self._kernel_gaussian(points[chunk])
-            elif method == MapMethod.FAST_GAUSSIAN:
-                kernel = self._kernel_gaussian(points[chunk], truncate=5.0)
-            elif method == MapMethod.BSP_LINE:
-                kernel = self._kernel_bspline(points[chunk])
-            elif method == MapMethod.NEAREST_NEIGHBOURS:
-                kernel = self._kernel_nearest(points[chunk])
-            else:
-                msg = f"Unknown map method: {method}"
-                raise ValueError(msg)
-            total += values[chunk].T @ kernel
-
-        for c, name in enumerate(channel_names):
-            self.add_feature_values(name, total[c].reshape(self.shape))
+        self.map_channels_batch(points, channel_names, values, method)
 
     def map_feature(self, position: np.ndarray, feature_name: str, feature_value, method: MapMethod) -> None:
         """Single-point mapping (reference-API convenience wrapper)."""
