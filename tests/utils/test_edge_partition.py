@@ -1,0 +1,35 @@
+"""Edge-partitioned graph parallelism: sharded forward must equal single-device."""
+
+import jax
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize("num_shards", [2, 8])
+def test_edge_partitioned_forward_matches(num_shards) -> None:
+    if jax.device_count() < num_shards:
+        pytest.skip("not enough devices")
+    from deeprank2_tpu.parallel.edge_partition import edge_partition_scaling_report
+
+    report = edge_partition_scaling_report(num_shards)
+    assert report["max_abs_err"] < 1e-5
+
+
+def test_partition_covers_all_edges() -> None:
+    from __graft_entry__ import _synthetic_entries
+    from deeprank2_tpu.ops.batch import collate_graphs
+    from deeprank2_tpu.parallel.edge_partition import partition_graph_batch
+
+    entries = _synthetic_entries(4, 32, 8, 2)
+    batch, _ = collate_graphs(entries, pad_graphs=4)
+    part = partition_graph_batch(batch, 4)
+
+    total_real = int(np.asarray(batch.edge_mask).sum())
+    assert int(np.asarray(part.edge_mask).sum()) == total_real
+    # every local edge's destination belongs to its shard
+    v_per = part.x.shape[1]
+    for d in range(4):
+        mask = np.asarray(part.edge_mask[d])
+        rows = np.asarray(part.edge_row_local[d])[mask]
+        assert (rows >= 0).all()
+        assert (rows < v_per).all()
