@@ -254,3 +254,20 @@ def collate_grids(entries: list[dict], pad_graphs: int | None = None) -> tuple[G
             y[g] = entry["y"]
             y_mask[g] = True
     return GridBatch(x=x, y=y, y_mask=y_mask), names
+
+
+def collate_grids_sharded(entries: list[dict], num_shards: int, pad_graphs_per_shard: int) -> tuple[GridBatch, list[str]]:
+    """Round-robin grid collation with a leading device axis (for shard_map DP)."""
+    shards: list[list[dict]] = [[] for _ in range(num_shards)]
+    for i, entry in enumerate(entries):
+        shards[i % num_shards].append(entry)
+    batches = []
+    names: list[str] = []
+    shape = entries[0]["x"].shape
+    for shard in shards:
+        if not shard:
+            shard = [{"x": np.zeros(shape, np.float32), "y": None, "entry_name": ""}]
+        batch, shard_names = collate_grids(shard, pad_graphs=pad_graphs_per_shard)
+        batches.append(batch)
+        names.extend(shard_names)
+    return jax.tree.map(lambda *leaves: np.stack(leaves), *batches), names

@@ -11,15 +11,16 @@ from __future__ import annotations
 
 import importlib
 import logging
+import multiprocessing
 import os
 import pickle
 import pkgutil
 import re
+import sys
 import warnings
 from dataclasses import MISSING, dataclass, field, fields
 from functools import partial
 from glob import glob
-from multiprocessing import Pool
 from random import randrange
 from types import ModuleType
 from typing import Literal
@@ -393,10 +394,14 @@ class QueryCollection:
         grid_map_method: MapMethod | None = None,
         grid_augmentation_count: int = 0,
         log_error_traceback: bool = False,
+        mp_context: str | None = None,
     ) -> list[str]:
         """Render queries into graphs (and optionally grids) in parallel.
 
-        Same parameters and defaults as the reference (query.py:481-569).
+        Same parameters and defaults as the reference (query.py:481-569), plus
+        ``mp_context``: multiprocessing start method ("fork"/"spawn"/
+        "forkserver"). Defaults to "spawn" when JAX backends are already
+        initialized in this process (fork-after-JAX can deadlock), else "fork".
         """
         feature_modules = feature_modules or [components, contact]
         self._prefix = "processed-queries" if not prefix else re.sub(".hdf5$", "", prefix)
@@ -415,8 +420,14 @@ class QueryCollection:
             raise ValueError(msg)
         self._grid_augmentation_count = grid_augmentation_count
 
+        if mp_context is None:
+            try:
+                jax_initialized = bool("jax" in sys.modules and sys.modules["jax"]._src.xla_bridge._backends)
+            except AttributeError:
+                jax_initialized = "jax" in sys.modules
+            mp_context = "spawn" if jax_initialized else "fork"
         pool_function = partial(self._process_one_query, log_error_traceback=log_error_traceback)
-        with Pool(self._cpu_count) as pool:
+        with multiprocessing.get_context(mp_context).Pool(self._cpu_count) as pool:
             pool.map(pool_function, self.queries)
 
         output_paths = glob(f"{self._prefix}-*.hdf5")

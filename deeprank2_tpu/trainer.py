@@ -376,6 +376,11 @@ class Trainer:
                 batch, names = collate_graphs_sharded(entries, num_shards, per_shard)
             else:
                 batch, names = collate_graphs(entries, pad_graphs)
+        elif num_shards > 1:
+            from deeprank2_tpu.ops.batch import collate_grids_sharded
+
+            per_shard = max(1, pad_graphs // num_shards)
+            batch, names = collate_grids_sharded(entries, num_shards, per_shard)
         else:
             batch, names = collate_grids(entries, pad_graphs)
         # map classification targets to class indices (reference _format_output,

@@ -78,3 +78,47 @@ def test_exported_outputs(ppi_dataset, tmp_path) -> None:
     df = exporter.read("training")
     assert len(df) == 4 * 3  # 4 entries x (epoch 0 eval + 2 epochs)
     assert np.isfinite(df["loss"]).all()
+
+
+@pytest.fixture(scope="module")
+def atom_ppi_dataset(tmp_path_factory, data_path):
+    """Atom-resolution PPI dataset (the FoutNet/sGAT BASELINE config)."""
+    out = tmp_path_factory.mktemp("integration") / "atomppi"
+    collection = QueryCollection()
+    for i in range(1, 5):
+        collection.add(
+            ProteinProteinInterfaceQuery(
+                pdb_path=str(data_path / "pdb" / "1ATN" / f"1ATN_{i}w.pdb"),
+                resolution="atom",
+                chain_ids=["A", "B"],
+                targets={"binary": i % 2},
+            )
+        )
+    paths = collection.process(prefix=str(out), feature_modules=["components", "contact"], cpu_count=2)
+    return paths[0]
+
+
+def test_foutnet_atom_ppi(atom_ppi_dataset) -> None:
+    from deeprank2_tpu.neuralnets.gnn.foutnet import FoutNet
+
+    ds = GraphDataset(hdf5_path=atom_ppi_dataset, target="binary", clustering_method="mcl")
+    trainer = Trainer(FoutNet, dataset_train=ds, output_exporters=[])
+    trainer.train(nepoch=2, batch_size=2, filename=None)
+
+
+def test_sgat_atom_ppi(atom_ppi_dataset) -> None:
+    from deeprank2_tpu.neuralnets.gnn.sgat import SGAT
+
+    ds = GraphDataset(hdf5_path=atom_ppi_dataset, target="binary", clustering_method="mcl", edge_features=["distance"])
+    trainer = Trainer(SGAT, dataset_train=ds, output_exporters=[])
+    trainer.train(nepoch=2, batch_size=2, filename=None)
+
+
+def test_grid_data_parallel(grid_hdf5) -> None:
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    ds = GridDataset(hdf5_path=grid_hdf5, target="binary")
+    trainer = Trainer(CnnClassification, dataset_train=ds, output_exporters=[], data_parallel=True)
+    trainer.train(nepoch=1, batch_size=8, filename=None)
