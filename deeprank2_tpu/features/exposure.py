@@ -39,43 +39,45 @@ def _ca_table(arrays) -> tuple[np.ndarray, np.ndarray]:
 
 
 def compute_hse(arrays) -> dict[int, tuple[float, float, float]]:
-    """(hse_up, hse_down, pseudo-CB angle) per residue index."""
+    """(hse_up, hse_down, pseudo-CB angle) per residue index (vectorized)."""
     ca_res, ca_pos = _ca_table(arrays)
-    if len(ca_res) == 0:
+    num_ca = len(ca_res)
+    if num_ca < 3:  # noqa: PLR2004
         return {}
-    tree = cKDTree(ca_pos)
     res_chain = arrays.res_chain
 
+    # pseudo-CB direction for interior residues with same-chain neighbors
+    d1 = ca_pos[:-2] - ca_pos[1:-1]
+    d3 = ca_pos[2:] - ca_pos[1:-1]
+    n1 = np.linalg.norm(d1, axis=1)
+    n3 = np.linalg.norm(d3, axis=1)
+    ok = (n1 > 0) & (n3 > 0)
+    pcb = np.zeros((num_ca, 3))
+    pcb[1:-1][ok] = -(d1[ok] / n1[ok, None] + d3[ok] / n3[ok, None])
+    pnorm = np.linalg.norm(pcb, axis=1)
+    same_chain = np.zeros(num_ca, dtype=bool)
+    same_chain[1:-1] = (res_chain[ca_res[:-2]] == res_chain[ca_res[1:-1]]) & (res_chain[ca_res[2:]] == res_chain[ca_res[1:-1]])
+    valid = same_chain & (pnorm > 0)
+    pcb[valid] = pcb[valid] / pnorm[valid, None]
+
+    # count neighbors in the upper/lower half spheres via pair list
+    tree = cKDTree(ca_pos)
+    pairs = tree.query_pairs(HSE_RADIUS, output_type="ndarray")  # i < j
+    up = np.zeros(num_ca)
+    down = np.zeros(num_ca)
+    if len(pairs):
+        i, j = pairs[:, 0], pairs[:, 1]
+        direction = ca_pos[j] - ca_pos[i]
+        side_i = (pcb[i] * direction).sum(axis=1) > 0  # j seen from i
+        side_j = (pcb[j] * -direction).sum(axis=1) > 0  # i seen from j
+        np.add.at(up, i, side_i)
+        np.add.at(down, i, ~side_i)
+        np.add.at(up, j, side_j)
+        np.add.at(down, j, ~side_j)
+
     out: dict[int, tuple[float, float, float]] = {}
-    pos_in_list = {int(r): i for i, r in enumerate(ca_res)}
-    for i, r in enumerate(ca_res):
-        # chain neighbors in CA-list order (Bio.PDB uses polypeptide triples)
-        if i == 0 or i == len(ca_res) - 1:
-            continue
-        r_prev, r_next = ca_res[i - 1], ca_res[i + 1]
-        if res_chain[r_prev] != res_chain[r] or res_chain[r_next] != res_chain[r]:
-            continue
-        d1 = ca_pos[i - 1] - ca_pos[i]
-        d3 = ca_pos[i + 1] - ca_pos[i]
-        d1 = d1 / np.linalg.norm(d1)
-        d3 = d3 / np.linalg.norm(d3)
-        pcb = -(d1 + d3)
-        norm = np.linalg.norm(pcb)
-        if norm == 0:
-            continue
-        pcb = pcb / norm
-
-        neighbors = tree.query_ball_point(ca_pos[i], HSE_RADIUS)
-        up = down = 0
-        for j in neighbors:
-            if j == i:
-                continue
-            direction = ca_pos[j] - ca_pos[i]
-            if np.dot(pcb, direction) > 0:
-                up += 1
-            else:
-                down += 1
-
+    for i in np.flatnonzero(valid):
+        r = int(ca_res[i])
         # angle between pseudo-CB and the actual CB-CA direction (0 if no CB)
         angle = 0.0
         start = int(arrays.res_atom_start[r])
@@ -86,9 +88,8 @@ def compute_hse(arrays) -> dict[int, tuple[float, float, float]]:
             cb = arrays.positions[start + int(cb_hits[0])] - ca_pos[i]
             cb_norm = np.linalg.norm(cb)
             if cb_norm > 0:
-                cosang = np.clip(np.dot(pcb, cb / cb_norm), -1.0, 1.0)
-                angle = float(np.arccos(cosang))
-        out[int(r)] = (float(up), float(down), angle)
+                angle = float(np.arccos(np.clip(np.dot(pcb[i], cb / cb_norm), -1.0, 1.0)))
+        out[r] = (float(up[i]), float(down[i]), angle)
     return out
 
 

@@ -365,35 +365,52 @@ class AtomicForcefield:
         """Dense per-atom parameter columns for a whole ``StructureArrays``.
 
         Returns ``{"charge": [N], "eps_main": [N], "sig_main": [N],
-        "eps_14": [N], "sig_14": [N]}`` float64 arrays.
+        "eps_14": [N], "sig_14": [N]}`` float64 arrays. Results are cached on
+        the structure and per-residue lookups are memoized by
+        (aa code, atom-name set) — structures repeat the same 20 residue types.
         """
+        cached = getattr(arrays, "_forcefield_params", None)
+        if cached is not None and cached[0] is self:
+            return cached[1]
+
         from deeprank2_tpu.molstruct.aminoacid import AA_THREE_LETTER
 
         n = arrays.num_atoms
         charge = np.zeros(n, dtype=np.float64)
         vdw = np.zeros((n, 4), dtype=np.float64)
 
+        residue_cache: dict[tuple, tuple] = {}
         for r in range(arrays.num_residues):
             start = int(arrays.res_atom_start[r])
             count = int(arrays.res_atom_count[r])
             aa_id = int(arrays.res_aa_ids[r])
             code = AA_THREE_LETTER[aa_id] if aa_id >= 0 else None
-            names = [arrays.atom_names[a] for a in range(start, start + count)]
-            for offset, name in enumerate(names):
-                c, t = self._lookup(code, name, names)
-                a = start + offset
-                if c is not None:
-                    charge[a] = c
-                if t is not None and t in self._vanderwaals_parameters:
-                    vdw[a] = self._vanderwaals_parameters[t].as_tuple()
+            names = tuple(arrays.atom_names[start : start + count])
+            key = (code, names)
+            hit = residue_cache.get(key)
+            if hit is None:
+                charges_r = np.zeros(count)
+                vdw_r = np.zeros((count, 4))
+                for offset, name in enumerate(names):
+                    c, t = self._lookup(code, name, list(names))
+                    if c is not None:
+                        charges_r[offset] = c
+                    if t is not None and t in self._vanderwaals_parameters:
+                        vdw_r[offset] = self._vanderwaals_parameters[t].as_tuple()
+                hit = (charges_r, vdw_r)
+                residue_cache[key] = hit
+            charge[start : start + count] = hit[0]
+            vdw[start : start + count] = hit[1]
 
-        return {
+        params = {
             "charge": charge,
             "eps_main": vdw[:, 0],
             "sig_main": vdw[:, 1],
             "eps_14": vdw[:, 2],
             "sig_14": vdw[:, 3],
         }
+        arrays._forcefield_params = (self, params)
+        return params
 
 
 _atomic_forcefield: AtomicForcefield | None = None

@@ -71,7 +71,7 @@ def assign_secondary_structure(arrays) -> dict[int, str]:
             if norm > 0:
                 h_pos[i] = bb["N"][i] + co / norm
 
-    # H-bond energy matrix: donor NH(i) ... acceptor CO(j)
+    # H-bond energy matrix: donor NH(i) ... acceptor CO(j) (fully vectorized)
     has_h = ~np.isnan(h_pos[:, 0])
     hbond = np.zeros((n, n), dtype=bool)
     if has_h.any():
@@ -82,53 +82,74 @@ def assign_secondary_structure(arrays) -> dict[int, str]:
         d_ch = np.linalg.norm(h_pos[donors][:, None, :] - bb["C"][None, :, :], axis=-1)
         with np.errstate(divide="ignore"):
             energy = Q1Q2_F * (1.0 / d_on + 1.0 / d_ch - 1.0 / d_oh - 1.0 / d_cn)
-        for k, i in enumerate(donors):
-            row = energy[k]
-            for j in np.flatnonzero(row < HBOND_ENERGY_CUTOFF):
-                if abs(int(i) - int(j)) >= 2:  # no self/neighbor bonds  # noqa: PLR2004
-                    hbond[i, j] = True
+        separation = np.abs(donors[:, None] - np.arange(n)[None, :]) >= 2  # no self/neighbor bonds  # noqa: PLR2004
+        hbond[donors] = (energy < HBOND_ENERGY_CUTOFF) & separation
 
-    # n-turns: CO(i) -> NH(i+k)
-    turn = {k: np.zeros(n, dtype=bool) for k in (3, 4, 5)}
+    def window_connected(width: int) -> np.ndarray:
+        """[n - width] bool: peptide bonds intact over positions i..i+width."""
+        if n <= width:
+            return np.zeros(0, dtype=bool)
+        return np.lib.stride_tricks.sliding_window_view(connected[: n - 1], width).all(axis=1)
+
+    # n-turns: CO(i) -> NH(i+k); hbond[i+k, i] is the -k diagonal
+    turn = {}
     for k in (3, 4, 5):
-        for i in range(n - k):
-            if hbond[i + k, i] and chain_connected(i, i + k):
-                turn[k][i] = True
+        turn_k = np.zeros(n, dtype=bool)
+        if n > k:
+            turn_k[: n - k] = np.diagonal(hbond, offset=-k) & window_connected(k)
+        turn[k] = turn_k
 
     # minimal helices: two consecutive k-turns at i-1 and i -> helix at i..i+k-1
-    helix = {k: np.zeros(n, dtype=bool) for k in (3, 4, 5)}
+    helix = {}
     for k in (3, 4, 5):
-        for i in range(1, n - k):
-            if turn[k][i - 1] and turn[k][i]:
-                helix[k][i : i + k] = True
+        marks = np.zeros(n + k + 1, dtype=np.int32)
+        starts = np.flatnonzero(turn[k][:-1] & turn[k][1:]) + 1  # helix start index i
+        np.add.at(marks, starts, 1)
+        np.add.at(marks, starts + k, -1)
+        helix[k] = np.cumsum(marks)[:n] > 0
 
-    # bridges (parallel / antiparallel) -> strand
-    strand = np.zeros(n, dtype=bool)
-    for i in range(1, n - 1):
-        for j in range(i + 3, n - 1):
-            parallel = (hbond[i, j - 1] and hbond[j + 1, i]) or (hbond[j, i - 1] and hbond[i + 1, j])
-            antiparallel = (hbond[i, j] and hbond[j, i]) or (hbond[i + 1, j - 1] and hbond[j + 1, i - 1])
-            if parallel or antiparallel:
-                strand[i] = True
-                strand[j] = True
+    # bridges (parallel / antiparallel) -> strand, via shifted hbond matrices
+    def shift(m: np.ndarray, dr: int, dc: int) -> np.ndarray:
+        """m[i+dr, j+dc] with zero padding."""
+        out = np.zeros_like(m)
+        rs = slice(max(0, -dr), n - max(0, dr))
+        cs = slice(max(0, -dc), n - max(0, dc))
+        out[rs, cs] = m[max(0, dr) : n - max(0, -dr), max(0, dc) : n - max(0, -dc)]
+        return out
+
+    p1 = shift(hbond, 0, -1) & shift(hbond.T, 0, 1)  # H[i, j-1] & H[j+1, i]
+    parallel = p1 | p1.T
+    a1 = hbond & hbond.T  # H[i, j] & H[j, i]
+    a2 = shift(hbond, 1, -1) & shift(hbond.T, -1, 1)  # H[i+1, j-1] & H[j+1, i-1]
+    antiparallel = a1 | a2 | a2.T
+    idx = np.arange(n)
+    valid_pair = (np.abs(idx[:, None] - idx[None, :]) >= 3) & (idx[:, None] >= 1) & (idx[:, None] <= n - 2)  # noqa: PLR2004
+    bridge = (parallel | antiparallel) & valid_pair & valid_pair.T
+    strand = bridge.any(axis=1) | bridge.any(axis=0)
 
     # turns (T): residues i+1..i+k-1 of any k-turn
     turn_t = np.zeros(n, dtype=bool)
     for k in (3, 4, 5):
-        for i in np.flatnonzero(turn[k]):
-            turn_t[i + 1 : i + k] = True
+        marks = np.zeros(n + k + 1, dtype=np.int32)
+        starts = np.flatnonzero(turn[k])
+        np.add.at(marks, starts + 1, 1)
+        np.add.at(marks, starts + k, -1)
+        turn_t |= np.cumsum(marks)[:n] > 0
 
     # bends (S): kappa (CA angle over i-2, i, i+2) > 70 degrees
     bend = np.zeros(n, dtype=bool)
-    for i in range(2, n - 2):
-        if not (chain_connected(i - 2, i) and chain_connected(i, i + 2)):
-            continue
-        u = bb["CA"][i] - bb["CA"][i - 2]
-        v = bb["CA"][i + 2] - bb["CA"][i]
-        nu, nv = np.linalg.norm(u), np.linalg.norm(v)
-        if nu > 0 and nv > 0:
-            kappa = np.degrees(np.arccos(np.clip(np.dot(u, v) / (nu * nv), -1.0, 1.0)))
-            bend[i] = kappa > 70.0  # noqa: PLR2004
+    if n > 4:  # noqa: PLR2004
+        u = bb["CA"][2:-2] - bb["CA"][:-4]
+        v = bb["CA"][4:] - bb["CA"][2:-2]
+        nu = np.linalg.norm(u, axis=1)
+        nv = np.linalg.norm(v, axis=1)
+        ok = (nu > 0) & (nv > 0)
+        cos = np.zeros(len(u))
+        cos[ok] = (u[ok] * v[ok]).sum(axis=1) / (nu[ok] * nv[ok])
+        kappa = np.degrees(np.arccos(np.clip(cos, -1.0, 1.0)))
+        conn2 = window_connected(2)  # connected over i..i+2
+        both = conn2[: n - 4] & conn2[2 : n - 2]
+        bend[2 : n - 2] = (kappa > 70.0) & ok & both  # noqa: PLR2004
 
     out: dict[int, str] = {}
     for i, r in enumerate(res_ids):
