@@ -50,24 +50,25 @@ def main() -> None:
 
     @jax.jit
     def train_step(params, opt_state, rng, batch):
+        next_rng, step_rng = jax.random.split(rng)  # split inside jit (no host round trip)
+
         def compute(p):
-            pred = model.apply(p, batch, training=True, rng=rng)
+            pred = model.apply(p, batch, training=True, rng=step_rng)
             return loss_fn(pred, batch.y.astype(jnp.int32), batch.y_mask)
 
         loss, grads = jax.value_and_grad(compute)(params)
         params, opt_state = optimizer.step(params, grads, opt_state)
-        return params, opt_state, loss
+        return params, opt_state, loss, next_rng
 
     rng = jax.random.PRNGKey(1)
     # warmup/compile
-    params, opt_state, loss = train_step(params, opt_state, rng, batch)
+    params, opt_state, loss, rng = train_step(params, opt_state, rng, batch)
     jax.block_until_ready(loss)
 
     steps = 50
     t0 = time.perf_counter()
     for i in range(steps):
-        rng, step_rng = jax.random.split(rng)
-        params, opt_state, loss = train_step(params, opt_state, step_rng, batch)
+        params, opt_state, loss, rng = train_step(params, opt_state, rng, batch)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 

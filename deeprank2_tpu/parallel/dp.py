@@ -41,16 +41,18 @@ def make_dp_train_step(compute_loss, optimizer, mesh: Mesh | None = None, axis: 
         shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(axis)),
-        out_specs=(P(), P(), P(), P(axis)),
+        out_specs=(P(), P(), P(), P(axis), P()),
         check_rep=False,
     )
     def step(params, opt_state, rng, batch):
         local = jax.tree.map(lambda a: a[0], batch)  # drop the size-1 shard axis
-        (loss, pred), grads = jax.value_and_grad(lambda p: compute_loss(p, local, rng, True), has_aux=True)(params)
+        next_rng, shard_base = jax.random.split(rng)
+        shard_rng = jax.random.fold_in(shard_base, jax.lax.axis_index(axis))
+        (loss, pred), grads = jax.value_and_grad(lambda p: compute_loss(p, local, shard_rng, True), has_aux=True)(params)
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
         params, opt_state = optimizer.step(params, grads, opt_state)
-        return params, opt_state, loss, pred[None]
+        return params, opt_state, loss, pred[None], next_rng
 
     return jax.jit(step)
 

@@ -432,9 +432,12 @@ class Trainer:
             return loss, pred
 
         def train_step(params, opt_state, rng, batch):
-            (loss, pred), grads = jax.value_and_grad(lambda p: compute_loss(p, batch, rng, True), has_aux=True)(params)
+            # split inside jit: a host-side jax.random.split per step costs a
+            # full dispatch round trip on high-latency device links
+            next_rng, step_rng = jax.random.split(rng)
+            (loss, pred), grads = jax.value_and_grad(lambda p: compute_loss(p, batch, step_rng, True), has_aux=True)(params)
             params, opt_state = optimizer.step(params, grads, opt_state)
-            return params, opt_state, loss, pred
+            return params, opt_state, loss, pred, next_rng
 
         def eval_step(params, batch):
             return compute_loss(params, batch, None, False)
@@ -596,8 +599,7 @@ class Trainer:
         entry_names = []
         t0 = time()
         for batch, names in self._iter_batches(self.dataset_train, batch_size, shuffle, loader_rng):
-            self._rng, step_rng = jax.random.split(self._rng)
-            self.params, self.opt_state, loss_, pred = self._train_step(self.params, self.opt_state, step_rng, batch)
+            self.params, self.opt_state, loss_, pred, self._rng = self._train_step(self.params, self.opt_state, self._rng, batch)
             n_valid = int(np.asarray(batch.y_mask).sum())
             count_predictions += n_valid
             sum_of_losses += float(loss_) * n_valid
