@@ -408,7 +408,14 @@ class Trainer:
             chunk = indices[start : start + batch_size]
             entries = [dataset.get(int(i)) for i in chunk]
             batch, names = self._collate(entries, pad_graphs=batch_size)
-            staged = (jax.device_put(batch), names)  # async transfer
+            # host-side stats (avoids per-batch device->host syncs in the loop)
+            stats = {
+                "n_valid": int(np.asarray(batch.y_mask).sum()),
+                "n_edges": int(np.asarray(batch.edge_mask).sum()) if hasattr(batch, "edge_mask") else 0,
+                "y_host": np.array(batch.y),
+                "y_mask_host": np.array(batch.y_mask),
+            }
+            staged = (jax.device_put(batch), names, stats)  # async transfer
             if pending is not None:
                 yield pending
             pending = staged
@@ -564,20 +571,17 @@ class Trainer:
         self.params = jax.tree.map(jnp.asarray, self.model_load_state_dict)
         self.opt_state = jax.tree.map(jnp.asarray, self.opt_loaded_state_dict)
 
-    def _export_outputs(self, pred: np.ndarray, batch, names: list[str]):
+    def _export_outputs(self, pred, y: np.ndarray, valid: np.ndarray, names: list[str]):
         """Outputs/targets of the real (non-padded) graphs for the exporters.
 
         Handles both flat ([G, ...]) and device-sharded ([D, G, ...]) batches —
         shard-major flattening matches the shard-major ``names`` ordering.
         """
         pred = np.asarray(pred)
-        y = np.asarray(batch.y)
-        valid = np.asarray(batch.y_mask)
         if y.ndim > 1:  # sharded
             pred = pred.reshape((-1,) + pred.shape[2:])
             y = y.reshape(-1)
             valid = valid.reshape(-1)
-        batch = _FlatView(y=y, y_mask=valid)
         real = [i for i, name in enumerate(names) if name != ""]
         outputs = []
         target_vals = []
@@ -587,29 +591,33 @@ class Trainer:
                 outputs.append((p / p.sum()).tolist())
             else:
                 outputs.append(float(pred[i].reshape(-1)[0]))
-            target_vals.append(float(np.asarray(batch.y)[i]) if valid[i] else None)
+            target_vals.append(float(y[i]) if valid[i] else None)
         entry_names = [names[i] for i in real]
         return outputs, target_vals, entry_names
 
     def _epoch(self, epoch_number: int, pass_name: str, batch_size: int, shuffle: bool, loader_rng) -> float | None:
         sum_of_losses = 0.0
         count_predictions = 0
+        total_edges = 0
         target_vals = []
         outputs = []
         entry_names = []
         t0 = time()
-        for batch, names in self._iter_batches(self.dataset_train, batch_size, shuffle, loader_rng):
+        for batch, names, stats in self._iter_batches(self.dataset_train, batch_size, shuffle, loader_rng):
             self.params, self.opt_state, loss_, pred, self._rng = self._train_step(self.params, self.opt_state, self._rng, batch)
-            n_valid = int(np.asarray(batch.y_mask).sum())
+            n_valid = stats["n_valid"]
             count_predictions += n_valid
+            total_edges += stats["n_edges"]
             sum_of_losses += float(loss_) * n_valid
-            out, tgt, nm = self._export_outputs(pred, batch, names)
+            out, tgt, nm = self._export_outputs(pred, stats["y_host"], stats["y_mask_host"], names)
             outputs += out
             target_vals += tgt
             entry_names += nm
 
         dt = time() - t0
         epoch_loss = sum_of_losses / count_predictions if count_predictions > 0 else None
+        if total_edges and dt > 0:
+            _log.info(f"{pass_name} throughput: {total_edges / dt:,.0f} edges/s")
         self._output_exporters.process(pass_name, epoch_number, entry_names, outputs, target_vals, epoch_loss)
         self._log_epoch_data(pass_name, epoch_loss, dt)
         return epoch_loss
@@ -621,13 +629,13 @@ class Trainer:
         sum_of_losses = 0.0
         count_predictions = 0
         t0 = time()
-        for batch, names in self._iter_batches(dataset, batch_size, shuffle=False, rng=None):
+        for batch, names, stats in self._iter_batches(dataset, batch_size, shuffle=False, rng=None):
             loss_, pred = self._eval_step(self.params, batch)
-            n_valid = int(np.asarray(batch.y_mask).sum())
+            n_valid = stats["n_valid"]
             if n_valid > 0:
                 count_predictions += n_valid
                 sum_of_losses += float(loss_) * n_valid
-            out, tgt, nm = self._export_outputs(pred, batch, names)
+            out, tgt, nm = self._export_outputs(pred, stats["y_host"], stats["y_mask_host"], names)
             outputs += out
             target_vals += tgt
             entry_names += nm

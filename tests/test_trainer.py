@@ -160,3 +160,17 @@ def test_no_target_raises(srv_hdf5) -> None:
 def test_no_train_data_raises() -> None:
     with pytest.raises(ValueError):
         Trainer(VanillaNetwork)
+
+
+def test_training_reduces_loss(srv_hdf5, tmp_path) -> None:
+    """The optimizer actually learns: training loss drops substantially."""
+    from deeprank2_tpu.utils.exporters import HDF5OutputExporter
+
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    exporter = HDF5OutputExporter(str(tmp_path))
+    trainer = Trainer(VanillaNetwork, dataset_train=ds, output_exporters=[exporter])
+    trainer.train(nepoch=30, batch_size=8, filename=None)
+    df = exporter.read("training")
+    first = df[df.epoch == 1]["loss"].iloc[0]
+    last = df[df.epoch == df.epoch.max()]["loss"].iloc[0]
+    assert last < first * 0.5, f"loss did not decrease: {first} -> {last}"
