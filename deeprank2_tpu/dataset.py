@@ -79,7 +79,10 @@ class DeeprankDataset:
         self.devs = None
         self.train_means = None
         self.train_devs = None
+        # FIFO-bounded in-memory entry cache (avoids the reference's
+        # re-open-HDF5-per-item pattern without unbounded growth)
         self._cache: dict[tuple[str, str], dict] = {}
+        self._cache_capacity = 16384
 
     # ------------------------------------------------------------------
     def _check_and_inherit_train(self, data_type, inherited_params: list[str]) -> None:
@@ -426,6 +429,8 @@ class GridDataset(DeeprankDataset):
         file_path, entry_name = self.index_entries[idx]
         key = (file_path, entry_name)
         if key not in self._cache:
+            if len(self._cache) >= self._cache_capacity:
+                self._cache.pop(next(iter(self._cache)))
             self._cache[key] = self.load_one_grid(file_path, entry_name)
         return self._cache[key]
 
@@ -529,6 +534,8 @@ class GraphDataset(DeeprankDataset):
         fname, mol = self.index_entries[idx]
         key = (fname, mol)
         if key not in self._cache:
+            if len(self._cache) >= self._cache_capacity:
+                self._cache.pop(next(iter(self._cache)))
             self._cache[key] = self.load_one_graph(fname, mol)
         return self._cache[key]
 

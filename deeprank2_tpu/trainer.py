@@ -46,14 +46,6 @@ from deeprank2_tpu.utils.exporters import HDF5OutputExporter, OutputExporter, Ou
 _log = logging.getLogger(__name__)
 
 
-class _FlatView:
-    """Tiny holder for flattened y/y_mask used during output export."""
-
-    def __init__(self, y, y_mask):
-        self.y = y
-        self.y_mask = y_mask
-
-
 class Trainer:
     """Trains, evaluates and tests neural networks on deeprank datasets.
 
@@ -475,8 +467,13 @@ class Trainer:
         num_workers: int = 0,  # noqa: ARG002 (API parity; loading is in-process)
         best_model: bool = True,
         filename: str | None = "model.pth.tar",
+        profile_dir: str | None = None,
     ) -> None:
-        """Train the model (same arguments and semantics as the reference)."""
+        """Train the model (same arguments and semantics as the reference).
+
+        ``profile_dir``: if set, captures a ``jax.profiler`` trace of the first
+        training epoch there (open with TensorBoard / xprof).
+        """
         if self.dataset_train is None:
             msg = "No training dataset provided."
             raise ValueError(msg)
@@ -532,7 +529,11 @@ class Trainer:
 
             for epoch in range(1, nepoch + 1):
                 _log.info(f"Epoch {epoch}:")
-                loss_ = self._epoch(epoch, "training", batch_size, shuffle, loader_rng)
+                if profile_dir and epoch == 1:
+                    with jax.profiler.trace(profile_dir):
+                        loss_ = self._epoch(epoch, "training", batch_size, shuffle, loader_rng)
+                else:
+                    loss_ = self._epoch(epoch, "training", batch_size, shuffle, loader_rng)
                 train_losses.append(loss_)
 
                 if validate:

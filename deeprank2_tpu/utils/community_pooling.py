@@ -17,6 +17,30 @@ from __future__ import annotations
 import numpy as np
 
 
+def plot_graph(edge_index: np.ndarray, num_nodes: int, cluster: np.ndarray, fname: str | None = None) -> None:
+    """Draw the graph colored by cluster (reference: community_pooling.py:18-21)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_nodes_from(range(num_nodes))
+    edges = np.asarray(edge_index)
+    if edges.size:
+        if edges.shape[0] == 2 and edges.shape[1] != 2:
+            edges = edges.T
+        g.add_edges_from((int(i), int(j)) for i, j in edges if i != j)
+    pos = nx.spring_layout(g, iterations=200)
+    nx.draw(g, pos, node_color=list(np.asarray(cluster)))
+    if fname:
+        plt.savefig(fname)
+        plt.close()
+    else:  # pragma: no cover - interactive use
+        plt.show()
+
+
 def _adjacency(edge_index: np.ndarray, num_nodes: int) -> np.ndarray:
     """Dense symmetric 0/1 adjacency from an edge list ([E, 2] or [2, E])."""
     a = np.zeros((num_nodes, num_nodes), dtype=np.float64)

@@ -166,3 +166,15 @@ def test_community_detection() -> None:
     pooled_edges, num_clusters = community_pooling_host(community_detection(edges, 6, method="mcl"), edges)
     assert num_clusters == 2
     assert pooled_edges.tolist() in ([[0, 1]], [[1, 0]])
+
+
+def test_plot_graph(tmp_path) -> None:
+    from deeprank2_tpu.utils.community_pooling import community_detection, plot_graph
+
+    edges = np.array([[0, 1], [1, 2], [0, 2], [3, 4], [4, 5], [3, 5], [2, 3]])
+    cluster = community_detection(edges, 6, method="mcl")
+    fname = str(tmp_path / "graph.png")
+    plot_graph(edges, 6, cluster, fname=fname)
+    import os
+
+    assert os.path.getsize(fname) > 0
