@@ -89,8 +89,9 @@ class DeeprankDataset:
         """Inherit parameters from a training dataset or pretrained checkpoint."""
         if isinstance(self.train_source, str):
             try:
-                with open(self.train_source, "rb") as f:
-                    data = pickle.load(f)  # noqa: S301
+                from deeprank2_tpu.utils.checkpoint import load_checkpoint
+
+                data = load_checkpoint(self.train_source)
                 if data["data_type"] != data_type.__name__:
                     msg = (
                         f"The pre-trained model has been trained with data of type {data['data_type']}, but you are trying\n\t"

@@ -565,8 +565,9 @@ class Trainer:
                     )
 
         if filename:
-            with open(filename, "wb") as f:
-                pickle.dump(checkpoint_model, f)
+            from deeprank2_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_model, filename)
         self.opt_loaded_state_dict = checkpoint_model["optimizer_state"]
         self.model_load_state_dict = checkpoint_model["model_state"]
         self.params = jax.tree.map(jnp.asarray, self.model_load_state_dict)
@@ -670,8 +671,9 @@ class Trainer:
     # ------------------------------------------------------------------
     def _load_params(self) -> None:
         """Restore the 28-key checkpoint state (reference: trainer.py:873-908)."""
-        with open(self.pretrained_model, "rb") as f:
-            state = pickle.load(f)  # noqa: S301
+        from deeprank2_tpu.utils.checkpoint import load_checkpoint
+
+        state = load_checkpoint(self.pretrained_model)
 
         self.data_type = state["data_type"]
         self.model_load_state_dict = state["model_state"]

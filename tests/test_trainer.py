@@ -174,3 +174,22 @@ def test_training_reduces_loss(srv_hdf5, tmp_path) -> None:
     first = df[df.epoch == 1]["loss"].iloc[0]
     last = df[df.epoch == df.epoch.max()]["loss"].iloc[0]
     assert last < first * 0.5, f"loss did not decrease: {first} -> {last}"
+
+
+def test_orbax_checkpoint_roundtrip(srv_hdf5, tmp_path) -> None:
+    """Orbax-format checkpoint: train, save, reload, same predictions."""
+    pytest.importorskip("orbax.checkpoint")
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    trainer = Trainer(VanillaNetwork, dataset_train=ds, output_exporters=[])
+    ckpt = str(tmp_path / "model.orbax")
+    trainer.train(nepoch=2, batch_size=4, filename=ckpt)
+
+    ds_test = GraphDataset(hdf5_path=srv_hdf5, train_source=ckpt)
+    trainer2 = Trainer(VanillaNetwork, dataset_test=ds_test, pretrained_model=ckpt)
+    trainer2._build_step_functions()
+    trainer._build_step_functions()
+    batch1, _ = trainer._collate([ds.get(0)], pad_graphs=1)
+    batch2, _ = trainer2._collate([ds_test.get(0)], pad_graphs=1)
+    _, pred1 = trainer._eval_step(trainer.params, batch1)
+    _, pred2 = trainer2._eval_step(trainer2.params, batch2)
+    assert np.allclose(np.asarray(pred1), np.asarray(pred2), atol=1e-6)

@@ -33,3 +33,15 @@ def test_partition_covers_all_edges() -> None:
         rows = np.asarray(part.edge_row_local[d])[mask]
         assert (rows >= 0).all()
         assert (rows < v_per).all()
+
+
+def test_hybrid_mesh() -> None:
+    from deeprank2_tpu.parallel.cluster import hybrid_mesh, initialize
+
+    initialize()  # no-op single process
+    mesh = hybrid_mesh()
+    assert mesh.axis_names == ("dp", "gp")
+    assert mesh.devices.size == jax.device_count()
+
+    mesh2 = hybrid_mesh(dp=2, gp=jax.device_count() // 2) if jax.device_count() >= 2 else hybrid_mesh()
+    assert mesh2.devices.size == jax.device_count()
