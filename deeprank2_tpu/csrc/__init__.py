@@ -16,7 +16,7 @@ _log = logging.getLogger(__name__)
 
 _SRC_DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_SRC_DIR, "libdeeprank2.so")
-_SOURCES = ["sasa.cpp"]
+_SOURCES = ["sasa.cpp", "pdb_parser.cpp"]
 
 _lib: ctypes.CDLL | None | bool = None  # None = untried, False = unavailable
 
@@ -44,6 +44,7 @@ def load() -> ctypes.CDLL | None:
         try:
             lib = ctypes.CDLL(_LIB_PATH)
             lib.sasa_compute.restype = None
+            lib.pdb_parse.restype = ctypes.c_int64
             _lib = lib
         except OSError as e:
             _log.warning(f"Could not load native kernels ({e}); falling back to numpy implementations.")

@@ -23,6 +23,92 @@ from deeprank2_tpu.molstruct.structure import AtomicElement, StructureArrays, aa
 _ELEMENT_VALUES = {el.name: el.value for el in AtomicElement}
 
 
+def _parse_pdb_native(pdb_path: str, id_: str) -> StructureArrays | None:
+    """C++ parser path; returns None when the native library is unavailable."""
+    import ctypes
+    import os
+
+    from deeprank2_tpu import csrc
+
+    lib = csrc.load()
+    if lib is None:
+        return None
+
+    # capacity upper bound: an ATOM record is >= 54 bytes + newline
+    cap = max(os.path.getsize(pdb_path) // 50 + 16, 64)
+    positions = np.zeros((cap, 3), dtype=np.float64)
+    name_bytes = np.zeros((cap, 8), dtype=np.uint8)
+    elements = np.zeros(cap, dtype=np.int8)
+    occupancies = np.zeros(cap, dtype=np.float64)
+    atom_residue = np.zeros(cap, dtype=np.int32)
+    res_numbers = np.zeros(cap, dtype=np.int32)
+    res_icode_bytes = np.zeros(cap, dtype=np.uint8)
+    res_name_bytes = np.zeros((cap, 4), dtype=np.uint8)
+    res_chain = np.zeros(cap, dtype=np.int32)
+    chain_bytes = np.zeros(256, dtype=np.uint8)
+    counts = np.zeros(3, dtype=np.int64)
+
+    c_double_p = ctypes.POINTER(ctypes.c_double)
+    c_char_p = ctypes.POINTER(ctypes.c_char)
+    c_i8_p = ctypes.POINTER(ctypes.c_int8)
+    c_i32_p = ctypes.POINTER(ctypes.c_int32)
+    c_i64_p = ctypes.POINTER(ctypes.c_int64)
+
+    rc = lib.pdb_parse(
+        pdb_path.encode(),
+        positions.ctypes.data_as(c_double_p),
+        name_bytes.ctypes.data_as(c_char_p),
+        elements.ctypes.data_as(c_i8_p),
+        occupancies.ctypes.data_as(c_double_p),
+        atom_residue.ctypes.data_as(c_i32_p),
+        res_numbers.ctypes.data_as(c_i32_p),
+        res_icode_bytes.ctypes.data_as(c_char_p),
+        res_name_bytes.ctypes.data_as(c_char_p),
+        res_chain.ctypes.data_as(c_i32_p),
+        chain_bytes.ctypes.data_as(c_char_p),
+        counts.ctypes.data_as(c_i64_p),
+        ctypes.c_int64(cap),
+        ctypes.c_int64(cap),
+        ctypes.c_int64(256),
+    )
+    if rc == -1:
+        raise FileNotFoundError(pdb_path)
+    if rc <= -1000:
+        msg = f"unknown chemical element on line {-rc - 1000} of {pdb_path}"
+        raise KeyError(msg)
+    if rc < 0:
+        return None  # capacity issue: fall back to the Python parser
+
+    n_atoms, n_res, n_chains = (int(v) for v in counts)
+    # vectorized bytes -> str decode (S dtype drops trailing NULs)
+    atom_names = name_bytes[:n_atoms].view("S8").ravel().astype(str).astype(object)
+    res_names = res_name_bytes[:n_res].view("S4").ravel().astype(str)
+    res_icodes = np.array([chr(b) if b else None for b in res_icode_bytes[:n_res]], dtype=object)
+    chain_ids = [chr(b) for b in chain_bytes[:n_chains]]
+
+    atom_residue_arr = atom_residue[:n_atoms]
+    order = np.argsort(atom_residue_arr, kind="stable")
+    atom_residue_arr = atom_residue_arr[order]
+    res_atom_count = np.bincount(atom_residue_arr, minlength=n_res).astype(np.int32)
+    res_atom_start = np.concatenate([[0], np.cumsum(res_atom_count[:-1])]).astype(np.int32)
+
+    return StructureArrays(
+        id=id_,
+        positions=positions[:n_atoms][order],
+        atom_names=atom_names[order],
+        elements=elements[:n_atoms][order],
+        occupancies=occupancies[:n_atoms][order],
+        atom_residue=atom_residue_arr,
+        res_numbers=res_numbers[:n_res].copy(),
+        res_icodes=res_icodes,
+        res_aa_ids=np.array([aa_id_from_code(code) for code in res_names], dtype=np.int32),
+        res_chain=res_chain[:n_res].copy(),
+        res_atom_start=res_atom_start,
+        res_atom_count=res_atom_count,
+        chain_ids=chain_ids,
+    )
+
+
 def _guess_element(atom_name: str) -> str:
     """Element symbol from a PDB atom name, for files without an element column.
 
@@ -39,6 +125,9 @@ def _guess_element(atom_name: str) -> str:
 def parse_pdb(pdb_path: str, id_: str | None = None) -> StructureArrays:
     """Parse a PDB file into a ``StructureArrays`` table.
 
+    Uses the C++ parser (csrc/pdb_parser.cpp) when the native library is
+    available; the pure-Python path below produces identical results.
+
     Args:
         pdb_path: path to the .pdb file.
         id_: structure identifier; defaults to the file stem.
@@ -50,6 +139,10 @@ def parse_pdb(pdb_path: str, id_: str | None = None) -> StructureArrays:
 
     if id_ is None:
         id_ = os.path.splitext(os.path.basename(pdb_path))[0]
+
+    native = _parse_pdb_native(pdb_path, id_)
+    if native is not None:
+        return native
 
     positions: list[tuple[float, float, float]] = []
     atom_names: list[str] = []
