@@ -420,6 +420,19 @@ class Trainer:
         lossfunction = self.lossfunction
         task = self.task
 
+        # reference parity (_format_output, trainer.py:813-827): BCE losses and
+        # untested classification losses are rejected for classification runs
+        if task == targets.CLASSIF:
+            if isinstance(lossfunction, (loss_nn.BCELoss, loss_nn.BCEWithLogitsLoss)):
+                msg = "BCELoss and BCEWithLogitsLoss are currently not supported.\n\tFor further details see the reference's issue #318."
+                raise ValueError(msg)
+            if isinstance(lossfunction, losses.classification_losses) and not isinstance(lossfunction, losses.classification_tested):
+                msg = (
+                    f"{lossfunction} is currently not supported.\n\t"
+                    f"Supported loss functions for classification: {losses.classification_tested}."
+                )
+                raise ValueError(msg)
+
         def compute_loss(params, batch, rng, training):
             pred = model.apply(params, batch, training=training, rng=rng)
             mask = batch.y_mask

@@ -59,3 +59,17 @@ def test_other_losses_rejected(classif_trainer, loss_cls) -> None:
 def test_override_invalid(regress_trainer) -> None:
     regress_trainer.set_lossfunction(loss_nn.CrossEntropyLoss, override_invalid=True)
     assert isinstance(regress_trainer.lossfunction, loss_nn.CrossEntropyLoss)
+
+
+def test_bce_rejected_at_training(classif_trainer) -> None:
+    """BCE losses pass the whitelist but are rejected when building the step
+    (reference _format_output parity, trainer.py:813-819)."""
+    classif_trainer.set_lossfunction(loss_nn.BCELoss)
+    with pytest.raises(ValueError, match="not supported"):
+        classif_trainer._build_step_functions()
+
+
+def test_untested_classification_loss_rejected(classif_trainer) -> None:
+    classif_trainer.set_lossfunction(loss_nn.KLDivLoss)
+    with pytest.raises(ValueError, match="not supported"):
+        classif_trainer._build_step_functions()
