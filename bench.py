@@ -23,7 +23,7 @@ BASELINE_EDGES_PER_S = 1.0e6
 def main() -> None:
     import jax
 
-    from __graft_entry__ import _synthetic_entries
+    from deeprank2_tpu.ops.synthetic import synthetic_entries as _synthetic_entries
     from deeprank2_tpu.neuralnets.gnn.ginet_nocluster import GINet
     from deeprank2_tpu.ops.batch import collate_graphs
     from deeprank2_tpu.ops.losses import CrossEntropyLoss

@@ -176,7 +176,7 @@ def edge_partition_scaling_report(num_shards: int, num_graphs: int = 8, nodes_pe
     """Correctness + timing harness: edge-partitioned forward vs single-device."""
     import time
 
-    from __graft_entry__ import _synthetic_entries
+    from deeprank2_tpu.ops.synthetic import synthetic_entries as _synthetic_entries
     from deeprank2_tpu.neuralnets.gnn.ginet_nocluster import GINet
     from deeprank2_tpu.ops.batch import collate_graphs
 

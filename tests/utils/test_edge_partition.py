@@ -16,7 +16,7 @@ def test_edge_partitioned_forward_matches(num_shards) -> None:
 
 
 def test_partition_covers_all_edges() -> None:
-    from __graft_entry__ import _synthetic_entries
+    from deeprank2_tpu.ops.synthetic import synthetic_entries as _synthetic_entries
     from deeprank2_tpu.ops.batch import collate_graphs
     from deeprank2_tpu.parallel.edge_partition import partition_graph_batch
 
