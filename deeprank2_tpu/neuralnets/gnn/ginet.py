@@ -70,7 +70,7 @@ def ginet_conv(
 
     h = alpha * fcx[safe_col]
     h = h * edge_mask[:, None]
-    return segment_sum(h, row, capacity)
+    return segment_sum(h, row, capacity, indices_sorted=True)
 
 
 class GINet:

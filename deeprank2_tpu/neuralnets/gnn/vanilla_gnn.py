@@ -62,7 +62,7 @@ class VanillaNetwork:
         messages = x_row_part[safe_row] + x_col_part[safe_col] + batch.edge_attr @ w[2 * f :] + params["edge_mlp"]["b"]
         messages = nn.relu(messages)
         messages = messages * batch.edge_mask[:, None]
-        msg_sums = segment_sum(messages, row, capacity)
+        msg_sums = segment_sum(messages, row, capacity, indices_sorted=True)
         node_input = jnp.concatenate([x, msg_sums], axis=1)
         return nn.relu(nn.linear(params["node_mlp"], node_input))
 

@@ -137,6 +137,14 @@ def collate_graphs(entries: list[dict], pad_graphs: int | None = None) -> tuple[
         v_off += v
         e_off += e2
 
+    # sort edges by destination row (padded edges carry cap_v and stay last):
+    # ascending segment ids let aggregation use sorted-scatter / the Pallas
+    # banded-matmul kernel
+    order = np.argsort(edge_index[0], kind="stable")
+    edge_index = edge_index[:, order]
+    edge_attr = edge_attr[order]
+    edge_mask = edge_mask[order]
+
     batch = GraphBatch(
         x=x,
         edge_index=edge_index,

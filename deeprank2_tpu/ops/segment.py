@@ -15,10 +15,36 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+_SEGMENT_BACKEND = "xla"
 
-def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
-    """Sum ``data`` rows into ``num_segments`` buckets; OOB ids are dropped."""
-    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+
+def set_segment_backend(name: str) -> None:
+    """Select the segment-sum implementation: "xla" (default scatter) or
+    "pallas" (banded one-hot MXU matmul; used for sorted-row 2D sums on TPU).
+    """
+    global _SEGMENT_BACKEND
+    if name not in ("xla", "pallas"):
+        msg = f"unknown segment backend: {name}"
+        raise ValueError(msg)
+    _SEGMENT_BACKEND = name
+
+
+def segment_sum(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    indices_sorted: bool = False,
+) -> jnp.ndarray:
+    """Sum ``data`` rows into ``num_segments`` buckets; OOB ids are dropped.
+
+    ``indices_sorted=True`` promises ascending ids (padding sorted last, as the
+    batcher produces) and unlocks the Pallas kernel when the backend is set.
+    """
+    if _SEGMENT_BACKEND == "pallas" and indices_sorted and data.ndim == 2 and jax.default_backend() == "tpu":
+        from deeprank2_tpu.ops.pallas_segment import segment_sum_sorted
+
+        return segment_sum_sorted(data, segment_ids, num_segments)
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments, indices_are_sorted=indices_sorted)
 
 
 def segment_count(segment_ids: jnp.ndarray, num_segments: int, valid: jnp.ndarray | None = None) -> jnp.ndarray:

@@ -52,3 +52,36 @@ def test_pallas_segment_sum_unsorted_interpret() -> None:
         pytest.skip(f"pallas interpret mode unavailable here: {e}")
 
     assert np.allclose(out, _oracle(msgs, rows, num_segments), atol=1e-4)
+
+
+def test_model_forward_matches_with_pallas_backend() -> None:
+    """GINet forward is identical with the Pallas segment backend (interpret mode)."""
+    from deeprank2_tpu.neuralnets.gnn.ginet_nocluster import GINet
+    from deeprank2_tpu.ops import segment
+    from deeprank2_tpu.ops.batch import collate_graphs
+    from deeprank2_tpu.ops.synthetic import synthetic_entries
+
+    model = GINet(12, 2, 3)
+    params = model.init(jax.random.PRNGKey(0))
+    batch, _ = collate_graphs(synthetic_entries(2, 24, 12, 3), pad_graphs=2)
+
+    ref = np.asarray(model.apply(params, batch))
+    try:
+        segment.set_segment_backend("pallas")
+        # the backend only engages on TPU; force engagement via a fake default
+        import unittest.mock as mock
+
+        with mock.patch.object(jax, "default_backend", lambda: "tpu"), pltpu.force_tpu_interpret_mode():
+            out = np.asarray(model.apply(params, batch))
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"pallas interpret mode unavailable here: {e}")
+    finally:
+        segment.set_segment_backend("xla")
+    assert np.allclose(out, ref, atol=1e-4)
+
+
+def test_set_segment_backend_validates() -> None:
+    from deeprank2_tpu.ops import segment
+
+    with pytest.raises(ValueError):
+        segment.set_segment_backend("cuda")
