@@ -54,15 +54,35 @@ def _kernel(block_start_ref, block_count_ref, rows_vmem, msg_hbm, out_ref, msg_b
     jax.lax.fori_loop(0, count, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("num_segments",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def segment_sum_sorted(messages: jnp.ndarray, rows: jnp.ndarray, num_segments: int) -> jnp.ndarray:
     """Segment sum over edges pre-sorted by ``rows`` (OOB rows must sort last).
+
+    Differentiable wrt ``messages`` (the VJP is a row gather).
 
     Args:
         messages: f32 [E, F]; E padded to a multiple of TILE_E, F to 128.
         rows: i32 [E] ascending; padded entries >= num_segments.
         num_segments: output rows (padded to a multiple of TILE_V internally).
     """
+    return _segment_sum_sorted_impl(messages, rows, num_segments)
+
+
+def _segment_sum_fwd(messages, rows, num_segments):
+    return _segment_sum_sorted_impl(messages, rows, num_segments), rows
+
+
+def _segment_sum_bwd(num_segments, rows, g):
+    safe = jnp.clip(rows, 0, num_segments - 1)
+    d_messages = g[safe] * (rows < num_segments).astype(g.dtype)[:, None]
+    return d_messages, None
+
+
+segment_sum_sorted.defvjp(_segment_sum_fwd, _segment_sum_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def _segment_sum_sorted_impl(messages: jnp.ndarray, rows: jnp.ndarray, num_segments: int) -> jnp.ndarray:
     num_edges, feat = messages.shape
     pad_e = (-num_edges) % TILE_E
     pad_f = (-feat) % 128
