@@ -141,14 +141,7 @@ class DeeprankDataset:
             self.hdf5_paths.remove(hdf5_path)
 
     def _check_task_and_classes(self, task: str | None, classes: list | None = None) -> None:
-        target_to_task_map = {
-            targets.IRMSD: targets.REGRESS,
-            targets.LRMSD: targets.REGRESS,
-            targets.FNAT: targets.REGRESS,
-            targets.DOCKQ: targets.REGRESS,
-            targets.BINARY: targets.CLASSIF,
-            targets.CAPRI: targets.CLASSIF,
-        }
+        target_to_task_map = targets.TARGET_TASKS
         if task is None:
             self.task = target_to_task_map.get(self.target)
         else:

@@ -1,44 +1,55 @@
-"""Loss-function validity whitelists per task (reference: deeprank2/domain/losstypes.py),
-referencing the in-repo JAX loss classes."""
+"""Loss-function validity whitelists per task.
 
-from deeprank2_tpu.ops import losses as nn
+The registry maps each in-repo JAX loss class (ops/losses.py) to the task
+families it is valid for; the module-level tuples below are derived views kept
+for API parity with the reference framework's whitelists
+(deeprank2/domain/losstypes.py).
+"""
 
-regression_losses = (
-    nn.L1Loss,
-    nn.SmoothL1Loss,
-    nn.MSELoss,
-    nn.HuberLoss,
-)
+from deeprank2_tpu.ops import losses as _losses
 
-binary_classification_losses = (
-    nn.SoftMarginLoss,
-    nn.BCELoss,
-    nn.BCEWithLogitsLoss,
-)
+_REGISTRY: dict[type, str] = {
+    # regression
+    _losses.L1Loss: "regression",
+    _losses.SmoothL1Loss: "regression",
+    _losses.MSELoss: "regression",
+    _losses.HuberLoss: "regression",
+    # binary classification
+    _losses.SoftMarginLoss: "binary",
+    _losses.BCELoss: "binary",
+    _losses.BCEWithLogitsLoss: "binary",
+    # multiclass classification
+    _losses.CrossEntropyLoss: "multiclass",
+    _losses.NLLLoss: "multiclass",
+    _losses.PoissonNLLLoss: "multiclass",
+    _losses.GaussianNLLLoss: "multiclass",
+    _losses.KLDivLoss: "multiclass",
+    _losses.MultiLabelMarginLoss: "multiclass",
+    _losses.MultiLabelSoftMarginLoss: "multiclass",
+    # valid for neither task family (rejected unless override_invalid)
+    _losses.HingeEmbeddingLoss: "other",
+    _losses.CosineEmbeddingLoss: "other",
+    _losses.MarginRankingLoss: "other",
+    _losses.TripletMarginLoss: "other",
+    _losses.CTCLoss: "other",
+}
 
-multi_classification_losses = (
-    nn.CrossEntropyLoss,
-    nn.NLLLoss,
-    nn.PoissonNLLLoss,
-    nn.GaussianNLLLoss,
-    nn.KLDivLoss,
-    nn.MultiLabelMarginLoss,
-    nn.MultiLabelSoftMarginLoss,
-)
 
-other_losses = (
-    nn.HingeEmbeddingLoss,
-    nn.CosineEmbeddingLoss,
-    nn.MarginRankingLoss,
-    nn.TripletMarginLoss,
-    nn.CTCLoss,
-)
+def _family(name: str) -> tuple[type, ...]:
+    return tuple(cls for cls, fam in _REGISTRY.items() if fam == name)
+
+
+regression_losses = _family("regression")
+binary_classification_losses = _family("binary")
+multi_classification_losses = _family("multiclass")
+other_losses = _family("other")
 
 classification_losses = multi_classification_losses + binary_classification_losses
 
+# classification losses with validated Trainer output formatting
 classification_tested = (
-    nn.CrossEntropyLoss,
-    nn.NLLLoss,
-    nn.BCELoss,
-    nn.BCEWithLogitsLoss,
+    _losses.CrossEntropyLoss,
+    _losses.NLLLoss,
+    _losses.BCELoss,
+    _losses.BCEWithLogitsLoss,
 )

@@ -1,8 +1,9 @@
-"""Unordered pairs and contacts (reference: deeprank2/molstruct/pair.py).
+"""Unordered pairs and contacts.
 
 The array-first graph (utils/graph.py) stores contacts as index arrays, so
-these classes are not on the hot path; they are provided for API parity and
-for user code that manipulates individual contacts.
+these classes are off the hot path; they exist for user code that manipulates
+individual contacts and for API compatibility with the reference's
+``Pair``/``Contact`` types.
 """
 
 from __future__ import annotations
@@ -12,39 +13,42 @@ from typing import Any
 
 
 class Pair:
-    """A hashable, comparable set of two items where order doesn't matter."""
+    """Two items treated as an unordered set: hashing and equality ignore order."""
+
+    __slots__ = ("item1", "item2")
 
     def __init__(self, item1: Any, item2: Any):
         self.item1 = item1
         self.item2 = item2
 
+    def _canonical(self) -> tuple[str, str]:
+        first, second = str(self.item1), str(self.item2)
+        return (first, second) if first <= second else (second, first)
+
     def __hash__(self) -> int:
-        s1, s2 = str(self.item1), str(self.item2)
-        return hash(s1 + s2) if s1 < s2 else hash(s2 + s1)
+        return hash("".join(self._canonical()))
 
     def __eq__(self, other: object) -> bool:
-        if isinstance(other, Pair):
-            return (self.item1 == other.item1 and self.item2 == other.item2) or (
-                self.item1 == other.item2 and self.item2 == other.item1
-            )
-        return NotImplemented
+        if not isinstance(other, Pair):
+            return NotImplemented
+        same = self.item1 == other.item1 and self.item2 == other.item2
+        swapped = self.item1 == other.item2 and self.item2 == other.item1
+        return same or swapped
 
     def __iter__(self):
-        return iter([self.item1, self.item2])
+        yield self.item1
+        yield self.item2
 
     def __repr__(self) -> str:
-        return str(self.item1) + str(self.item2)
+        return f"{self.item1}{self.item2}"
 
 
 class Contact(Pair, ABC):
-    """Parent of :class:`ResidueContact` and :class:`AtomicContact`."""
+    """Marker base for residue/atom contacts."""
 
 
 class ResidueContact(Contact):
-    """A contact between two residues."""
-
-    def __init__(self, residue1, residue2):
-        super().__init__(residue1, residue2)
+    """An unordered contact between two residues."""
 
     @property
     def residue1(self):
@@ -56,10 +60,7 @@ class ResidueContact(Contact):
 
 
 class AtomicContact(Contact):
-    """A contact between two atoms."""
-
-    def __init__(self, atom1, atom2):
-        super().__init__(atom1, atom2)
+    """An unordered contact between two atoms."""
 
     @property
     def atom1(self):
