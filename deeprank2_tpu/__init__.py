@@ -13,3 +13,21 @@ Re-designed from scratch for TPU hardware with the same capabilities as DeepRank
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (keeps `import deeprank2_tpu` light)."""
+    if name in ("GraphDataset", "GridDataset", "save_hdf5_keys"):
+        import deeprank2_tpu.dataset as _m
+
+        return getattr(_m, name)
+    if name == "Trainer":
+        from deeprank2_tpu.trainer import Trainer
+
+        return Trainer
+    if name in ("Query", "QueryCollection", "ProteinProteinInterfaceQuery", "SingleResidueVariantQuery"):
+        import deeprank2_tpu.query as _m
+
+        return getattr(_m, name)
+    msg = f"module {__name__!r} has no attribute {name!r}"
+    raise AttributeError(msg)
