@@ -30,9 +30,9 @@ def main() -> None:
     from deeprank2_tpu.ops.optim import Adam
 
     feat_dim, edge_dim = 38, 6
-    # ~PPI scale: 256 graphs x 160 nodes x ~8 edges/node -> ~320k undirected edges
-    entries = _synthetic_entries(256, 160, feat_dim, edge_dim, seed=7)
-    batch, _ = collate_graphs(entries, pad_graphs=256)
+    # ~PPI scale: 4096 graphs x 160 nodes x ~8 edges/node -> ~5.2M undirected edges
+    entries = _synthetic_entries(4096, 160, feat_dim, edge_dim, seed=7)
+    batch, _ = collate_graphs(entries, pad_graphs=4096)
     real_edges = int(np.asarray(batch.edge_mask).sum())  # mirrored count
     # steady-state compute throughput: batch staged on device (a pipelined
     # loader prefetches batches; this box's host->TPU tunnel has high
