@@ -481,11 +481,25 @@ class Trainer:
         best_model: bool = True,
         filename: str | None = "model.pth.tar",
         profile_dir: str | None = None,
+        checkpoint_every: int | None = None,
+        checkpoint_path: str = "resume.pth.tar",
+        resume_from: str | None = None,
     ) -> None:
         """Train the model (same arguments and semantics as the reference).
 
         ``profile_dir``: if set, captures a ``jax.profiler`` trace of the first
         training epoch there (open with TensorBoard / xprof).
+
+        Mid-training resume (beyond the reference, whose checkpoints only
+        support reload-to-test — reference trainer.py:910-958):
+
+        - ``checkpoint_every=k`` writes a resumable training-state snapshot to
+          ``checkpoint_path`` every k epochs (current params + optimizer state,
+          RNG chain, loader shuffle state, loss history, early-stopping state,
+          and the best-model checkpoint so far).
+        - ``resume_from=path`` restores that snapshot and continues at the next
+          epoch; ``nepoch`` is the *total* epoch count. A resumed run is
+          bitwise-identical to an uninterrupted one (same seed).
         """
         if self.dataset_train is None:
             msg = "No training dataset provided."
@@ -523,6 +537,7 @@ class Trainer:
         valid_losses = []
         saved_model = False
         checkpoint_model = None
+        start_epoch = 1
 
         early_stopping = (
             EarlyStopping(patience=earlystop_patience, maxgap=earlystop_maxgap, min_epoch=min_epoch, trace_func=_log.info)
@@ -530,17 +545,32 @@ class Trainer:
             else None
         )
 
+        if resume_from is not None:
+            runtime = self._restore_training_state(resume_from, loader_rng, early_stopping)
+            train_losses = runtime["train_losses"]
+            valid_losses = runtime["valid_losses"]
+            checkpoint_model = runtime["best"]
+            saved_model = checkpoint_model is not None
+            start_epoch = runtime["epoch"] + 1
+            if start_epoch > nepoch:
+                msg = f"Checkpoint at {resume_from} is already at epoch {runtime['epoch']}; nothing to resume for nepoch={nepoch}."
+                raise ValueError(msg)
+            _log.info(f"Resuming training from {resume_from} at epoch {start_epoch}.")
+
         with self._output_exporters:
             self.nepoch = nepoch
-            _log.info("Epoch 0:")
-            self._eval(self.dataset_train, 0, "training", batch_size)
+            if start_epoch == 1:
+                _log.info("Epoch 0:")
+                self._eval(self.dataset_train, 0, "training", batch_size)
             if validate:
                 if self.dataset_val is None:
                     msg = "No validation dataset provided."
                     raise ValueError(msg)
-                self._eval(self.dataset_val, 0, "validation", batch_size)
+                if start_epoch == 1:
+                    self._eval(self.dataset_val, 0, "validation", batch_size)
 
-            for epoch in range(1, nepoch + 1):
+            epoch = start_epoch - 1
+            for epoch in range(start_epoch, nepoch + 1):
                 _log.info(f"Epoch {epoch}:")
                 if profile_dir and epoch == 1:
                     with jax.profiler.trace(profile_dir):
@@ -566,6 +596,9 @@ class Trainer:
                     saved_model = True
                     self.epoch_saved_model = epoch
                     _log.info(f"Best model saved at epoch # {self.epoch_saved_model}.")
+
+                if checkpoint_every and epoch % checkpoint_every == 0:
+                    self._write_training_state(checkpoint_path, epoch, loader_rng, train_losses, valid_losses, checkpoint_model, early_stopping)
 
             if best_model is False or not saved_model:
                 checkpoint_model = self._save_model()
@@ -717,6 +750,75 @@ class Trainer:
         self.devs = state["devs"]
         self.cuda = state["cuda"]
         self.ngpu = state["ngpu"]
+
+    def _write_training_state(
+        self,
+        path: str,
+        epoch: int,
+        loader_rng: np.random.Generator,
+        train_losses: list,
+        valid_losses: list,
+        best: dict | None,
+        early_stopping: EarlyStopping | None,
+    ) -> None:
+        """Snapshot the full training state for mid-training resume.
+
+        Beyond the reference's reload-to-test checkpoints: stores the *current*
+        params/opt-state (``_save_model`` stores whatever is current) plus every
+        piece of loop state needed to make a resumed run bitwise-identical.
+        Pickle format only (the runtime state is nested host objects).
+        """
+        from deeprank2_tpu.utils.checkpoint import is_orbax_path
+
+        if is_orbax_path(path):
+            msg = "Resumable training snapshots are pickle-only; use a non-.orbax checkpoint_path."
+            raise ValueError(msg)
+        state = {
+            "current": self._save_model(),
+            "best": best,
+            "runtime": {
+                "epoch": epoch,
+                "rng": np.asarray(self._rng),
+                "loader_rng_state": loader_rng.bit_generator.state,
+                "train_losses": list(train_losses),
+                "valid_losses": list(valid_losses),
+                "epoch_saved_model": self.epoch_saved_model,
+                "early_stopping": None
+                if early_stopping is None
+                else {
+                    "counter": early_stopping.counter,
+                    "best_score": early_stopping.best_score,
+                    "val_loss_min": early_stopping.val_loss_min,
+                    "early_stop": early_stopping.early_stop,
+                },
+            },
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+        _log.info(f"Resumable training state written to {path} (epoch {epoch}).")
+
+    def _restore_training_state(self, path: str, loader_rng: np.random.Generator, early_stopping: EarlyStopping | None) -> dict:
+        """Restore a :meth:`_write_training_state` snapshot; returns the loop
+        state (epoch, loss history, best checkpoint) for ``train`` to resume."""
+        with open(path, "rb") as f:
+            state = pickle.load(f)  # noqa: S301
+
+        current = state["current"]
+        self.params = jax.tree.map(jnp.asarray, current["model_state"])
+        self.opt_state = jax.tree.map(jnp.asarray, current["optimizer_state"])
+        runtime = state["runtime"]
+        self._rng = jnp.asarray(runtime["rng"])
+        loader_rng.bit_generator.state = runtime["loader_rng_state"]
+        self.epoch_saved_model = runtime["epoch_saved_model"]
+        if early_stopping is not None and runtime["early_stopping"] is not None:
+            for key, value in runtime["early_stopping"].items():
+                setattr(early_stopping, key, value)
+        return {
+            "epoch": runtime["epoch"],
+            "train_losses": runtime["train_losses"],
+            "valid_losses": runtime["valid_losses"],
+            "best": state["best"],
+        }
 
     def _save_model(self) -> dict[str, Any]:
         """Build the checkpoint dict (the reference's 28-key schema,

@@ -193,3 +193,39 @@ def test_orbax_checkpoint_roundtrip(srv_hdf5, tmp_path) -> None:
     _, pred1 = trainer._eval_step(trainer.params, batch1)
     _, pred2 = trainer2._eval_step(trainer2.params, batch2)
     assert np.allclose(np.asarray(pred1), np.asarray(pred2), atol=1e-6)
+
+
+def test_midtraining_resume_matches_uninterrupted(srv_hdf5, tmp_path) -> None:
+    """A run interrupted at epoch 2 and resumed to epoch 4 reproduces the
+    uninterrupted 4-epoch run exactly (params, loss history, best epoch)."""
+    import jax
+
+    def make_trainer():
+        ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+        return Trainer(VanillaNetwork, dataset_train=ds, output_exporters=[], seed=11)
+
+    straight = make_trainer()
+    straight.train(nepoch=4, batch_size=4, filename=None)
+
+    snap = str(tmp_path / "resume.pth.tar")
+    interrupted = make_trainer()
+    interrupted.train(nepoch=2, batch_size=4, filename=None, checkpoint_every=1, checkpoint_path=snap)
+
+    resumed = make_trainer()
+    resumed.train(nepoch=4, batch_size=4, filename=None, resume_from=snap)
+
+    assert resumed.epoch_saved_model == straight.epoch_saved_model
+    flat_a = jax.tree.leaves(straight.params)
+    flat_b = jax.tree.leaves(resumed.params)
+    for a, b in zip(flat_a, flat_b):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_past_end_raises(srv_hdf5, tmp_path) -> None:
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    trainer = Trainer(VanillaNetwork, dataset_train=ds, output_exporters=[])
+    snap = str(tmp_path / "resume.pth.tar")
+    trainer.train(nepoch=2, batch_size=4, filename=None, checkpoint_every=2, checkpoint_path=snap)
+    trainer2 = Trainer(VanillaNetwork, dataset_train=GraphDataset(hdf5_path=srv_hdf5, target="binary"), output_exporters=[])
+    with pytest.raises(ValueError, match="nothing to resume"):
+        trainer2.train(nepoch=2, batch_size=4, filename=None, resume_from=snap)
