@@ -92,6 +92,7 @@ class Trainer:
         self.batch_size_test = None
         self.shuffle = None
         self.model_load_state_dict = None
+        self._prefetch = 2
         self._rng = jax.random.PRNGKey(seed)
 
         if self.pretrained_model is None:
@@ -387,32 +388,71 @@ class Trainer:
             batch.y = mapped
         return batch, names
 
-    def _iter_batches(self, dataset, batch_size: int, shuffle: bool, rng: np.random.Generator | None):
-        """Batches with one-deep device prefetch: the next batch's host->device
-        transfer overlaps the current step (transfer latency would otherwise
-        serialize with compute)."""
+    def _iter_batches(self, dataset, batch_size: int, shuffle: bool, rng: np.random.Generator | None, prefetch: int = 2):
+        """Batches built by a background producer thread with ``prefetch``-deep
+        device staging: HDF5 reads + collation + the host->device transfer of
+        the next batches all overlap the current step (the TPU replacement for
+        the reference's ``DataLoader(num_workers, pin_memory)``,
+        trainer.py:541-547). Batch order (and so exporter output and RNG
+        consumption) is identical to the synchronous loader.
+        """
+        import queue
+        import threading
+
         indices = np.arange(len(dataset))
         if shuffle and rng is not None:
             rng.shuffle(indices)
+        chunks = [indices[start : start + batch_size] for start in range(0, len(indices), batch_size)]
 
-        pending = None
-        for start in range(0, len(indices), batch_size):
-            chunk = indices[start : start + batch_size]
-            entries = [dataset.get(int(i)) for i in chunk]
-            batch, names = self._collate(entries, pad_graphs=batch_size)
-            # host-side stats (avoids per-batch device->host syncs in the loop)
-            stats = {
-                "n_valid": int(np.asarray(batch.y_mask).sum()),
-                "n_edges": int(np.asarray(batch.edge_mask).sum()) if hasattr(batch, "edge_mask") else 0,
-                "y_host": np.array(batch.y),
-                "y_mask_host": np.array(batch.y_mask),
-            }
-            staged = (jax.device_put(batch), names, stats)  # async transfer
-            if pending is not None:
-                yield pending
-            pending = staged
-        if pending is not None:
-            yield pending
+        out_q: queue.Queue = queue.Queue(maxsize=max(2, prefetch))
+        stop = threading.Event()
+        sentinel = object()
+        failure: list[BaseException] = []
+
+        def _produce() -> None:
+            try:
+                for chunk in chunks:
+                    entries = [dataset.get(int(i)) for i in chunk]
+                    batch, names = self._collate(entries, pad_graphs=batch_size)
+                    # host-side stats (avoids per-batch device->host syncs in the loop)
+                    stats = {
+                        "n_valid": int(np.asarray(batch.y_mask).sum()),
+                        "n_edges": int(np.asarray(batch.edge_mask).sum()) if hasattr(batch, "edge_mask") else 0,
+                        "y_host": np.array(batch.y),
+                        "y_mask_host": np.array(batch.y_mask),
+                    }
+                    staged = (jax.device_put(batch), names, stats)  # async transfer
+                    while not stop.is_set():
+                        try:
+                            out_q.put(staged, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except BaseException as e:  # noqa: BLE001 — re-raised on the consumer side
+                failure.append(e)
+            finally:
+                while not stop.is_set():
+                    try:
+                        out_q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+
+        producer = threading.Thread(target=_produce, name="deeprank2-batch-loader", daemon=True)
+        producer.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+            producer.join()
+        if failure:
+            raise failure[0]
 
     def _build_step_functions(self) -> None:
         model = self.model
@@ -477,7 +517,7 @@ class Trainer:
         earlystop_maxgap: float | None = None,
         min_epoch: int = 10,
         validate: bool = False,
-        num_workers: int = 0,  # noqa: ARG002 (API parity; loading is in-process)
+        num_workers: int = 0,  # sizes the prefetch queue (loading is one background thread)
         best_model: bool = True,
         filename: str | None = "model.pth.tar",
         profile_dir: str | None = None,
@@ -507,6 +547,7 @@ class Trainer:
 
         self.data_type = type(self.dataset_train).__name__
         self.batch_size_train = batch_size
+        self._prefetch = max(2, num_workers)
         self.shuffle = shuffle
         loader_rng = np.random.default_rng(self.seed)
 
@@ -651,7 +692,7 @@ class Trainer:
         outputs = []
         entry_names = []
         t0 = time()
-        for batch, names, stats in self._iter_batches(self.dataset_train, batch_size, shuffle, loader_rng):
+        for batch, names, stats in self._iter_batches(self.dataset_train, batch_size, shuffle, loader_rng, prefetch=self._prefetch):
             self.params, self.opt_state, loss_, pred, self._rng = self._train_step(self.params, self.opt_state, self._rng, batch)
             n_valid = stats["n_valid"]
             count_predictions += n_valid
@@ -677,7 +718,7 @@ class Trainer:
         sum_of_losses = 0.0
         count_predictions = 0
         t0 = time()
-        for batch, names, stats in self._iter_batches(dataset, batch_size, shuffle=False, rng=None):
+        for batch, names, stats in self._iter_batches(dataset, batch_size, shuffle=False, rng=None, prefetch=self._prefetch):
             loss_, pred = self._eval_step(self.params, batch)
             n_valid = stats["n_valid"]
             if n_valid > 0:
@@ -698,12 +739,13 @@ class Trainer:
     def _log_epoch_data(stage: str, loss: float | None, time_: float) -> None:
         _log.info(f"{stage} loss {loss} | time {time_}")
 
-    def test(self, batch_size: int = 32, num_workers: int = 0) -> None:  # noqa: ARG002
+    def test(self, batch_size: int = 32, num_workers: int = 0) -> None:
         """Evaluate on the independent test set."""
         if (not self.pretrained_model) and (self.model_load_state_dict is None):
             msg = "No pretrained model provided and no training performed. Please provide a pretrained model or train the model before testing."
             raise ValueError(msg)
         self.batch_size_test = batch_size
+        self._prefetch = max(2, num_workers)
         if self.dataset_test is None:
             msg = "No test dataset provided."
             raise ValueError(msg)
