@@ -187,6 +187,80 @@ def community_pooling_host(cluster: np.ndarray, edge_index: np.ndarray) -> tuple
     return pooled, len(uniq)
 
 
+def community_detection_per_batch(
+    edge_index: np.ndarray,
+    batch: np.ndarray,
+    num_nodes: int,
+    edge_attr: np.ndarray | None = None,
+    method: str = "mcl",
+) -> np.ndarray:
+    """Cluster each graph of a batch independently, with batch-global cluster ids
+    (reference: community_pooling.py:30-93).
+
+    Args:
+        edge_index: [E, 2] or [2, E] batch-global edge list.
+        batch: int [V] graph id per node.
+        num_nodes: total node count across the batch.
+        edge_attr: ignored (parity — detection is unweighted, like the trainer's use).
+        method: ``"mcl"`` or ``"louvain"``.
+
+    Returns:
+        int64 [V] cluster id per node; ids of graph g start after graph g-1's.
+    """
+    edges = np.asarray(edge_index)
+    if edges.size and edges.shape[0] == 2 and edges.shape[1] != 2:
+        edges = edges.T
+    if edges.size:  # drop padded slots (OOB node ids mark padding)
+        edges = edges[(edges[:, 0] < num_nodes) & (edges[:, 1] < num_nodes)]
+    batch = np.asarray(batch)
+    cluster = np.zeros(num_nodes, dtype=np.int64)
+    offset = 0
+    for g in np.unique(batch):
+        node_ids = np.flatnonzero(batch == g)
+        local = np.full(num_nodes, -1, dtype=np.int64)
+        local[node_ids] = np.arange(node_ids.size)
+        if edges.size:
+            own = (batch[edges[:, 0]] == g) & (batch[edges[:, 1]] == g)
+            local_edges = local[edges[own]]
+        else:
+            local_edges = np.zeros((0, 2), dtype=np.int64)
+        sub = community_detection(local_edges, node_ids.size, edge_attr=None, method=method)
+        cluster[node_ids] = sub + offset
+        offset += int(sub.max()) + 1 if sub.size else 0
+    return cluster
+
+
+def community_pooling(cluster: np.ndarray, data):
+    """Pool a :class:`GraphBatch` by cluster assignment (reference: community_pooling.py:165-242).
+
+    Max-pools node features, mean-pools positions, maps edges to cluster pairs
+    (self loops dropped, duplicates coalesced by attr sum). Thin host-facing
+    wrapper over the jit-compatible :func:`deeprank2_tpu.ops.pooling.community_pool`;
+    inside a model forward use that directly.
+
+    Returns a new ``GraphBatch`` with the same array capacities (padded slots
+    masked) whose rows are clusters.
+    """
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    from deeprank2_tpu.ops.pooling import community_pool
+
+    cluster = jnp.asarray(cluster)
+    x, pos, ei, ea, em, node_graph, node_mask = community_pool(
+        data.x,
+        data.pos,
+        data.edge_index,
+        data.edge_attr,
+        data.edge_mask,
+        data.node_graph,
+        cluster,
+        data.num_graphs,
+    )
+    return replace(data, x=x, pos=pos, edge_index=ei, edge_attr=ea, edge_mask=em, node_graph=node_graph, node_mask=node_mask)
+
+
 def get_preloaded_cluster(cluster: np.ndarray, batch: np.ndarray) -> np.ndarray:
     """Offset per-graph cluster ids to be batch-global (reference: community_pooling.py:23)."""
     cluster = np.array(cluster)

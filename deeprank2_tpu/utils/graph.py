@@ -76,6 +76,16 @@ class Graph:
     def num_edges(self) -> int:
         return int(self.edge_index.shape[0])
 
+    @property
+    def nodes(self) -> list[Node]:
+        """Per-node views (reference-style access; columns stay the storage)."""
+        return [Node(self, v) for v in range(self.num_nodes)]
+
+    @property
+    def edges(self) -> list[Edge]:
+        """Per-edge views (reference-style access; columns stay the storage)."""
+        return [Edge(self, e) for e in range(self.num_edges)]
+
     # ------------------------------------------------------------------
     # Derived node-level columns
     # ------------------------------------------------------------------
@@ -354,6 +364,88 @@ class Graph:
                     targets_group[target_name][()] = target_data
 
         return hdf5_path
+
+
+class Node:
+    """Read view of one node of a :class:`Graph` (reference: utils/graph.py:53-91).
+
+    The array-first Graph stores features column-wise; this view exposes the
+    reference's per-node surface (``id``, ``type``, ``features``, ``position``)
+    for user code and migration. Rows of multi-column features are numpy views,
+    so in-place writes propagate back into the graph's columns (scalar features
+    come back as numpy scalars — write those via the column).
+    """
+
+    __slots__ = ("graph", "index")
+
+    def __init__(self, graph: Graph, index: int):
+        self.graph = graph
+        self.index = int(index)
+
+    @property
+    def id(self):
+        """The backing :class:`Atom` or :class:`Residue` view."""
+        sa = self.graph.arrays
+        if self.graph.node_type == "atom":
+            return sa.atom_view(int(self.graph.node_indices[self.index]))
+        return sa.residue_view(int(self.graph.node_indices[self.index]))
+
+    @property
+    def type(self) -> str:
+        """``"atom"`` or ``"residue"``."""
+        return self.graph.node_type
+
+    @property
+    def features(self) -> dict[str, np.ndarray]:
+        return {name: data[self.index] for name, data in self.graph.node_features.items()}
+
+    @property
+    def position(self) -> np.ndarray:
+        return np.asarray(self.graph.node_features[Nfeat.POSITION][self.index])
+
+    def has_nan(self) -> bool:
+        return any(np.any(np.isnan(v)) for v in self.features.values())
+
+    def __repr__(self) -> str:
+        return f"Node({self.id!r})"
+
+
+class Edge:
+    """Read view of one edge of a :class:`Graph` (reference: utils/graph.py:28-51)."""
+
+    __slots__ = ("graph", "index")
+
+    def __init__(self, graph: Graph, index: int):
+        self.graph = graph
+        self.index = int(index)
+
+    @property
+    def id(self):
+        """An :class:`AtomicContact` / :class:`ResidueContact` over the node views."""
+        from deeprank2_tpu.molstruct.pair import AtomicContact, ResidueContact
+
+        i, j = self.graph.edge_index[self.index]
+        node_i, node_j = Node(self.graph, int(i)).id, Node(self.graph, int(j)).id
+        cls = AtomicContact if self.graph.node_type == "atom" else ResidueContact
+        return cls(node_i, node_j)
+
+    @property
+    def features(self) -> dict[str, np.ndarray]:
+        return {name: data[self.index] for name, data in self.graph.edge_features.items()}
+
+    @property
+    def position1(self) -> np.ndarray:
+        return np.asarray(self.graph.node_features[Nfeat.POSITION][int(self.graph.edge_index[self.index, 0])])
+
+    @property
+    def position2(self) -> np.ndarray:
+        return np.asarray(self.graph.node_features[Nfeat.POSITION][int(self.graph.edge_index[self.index, 1])])
+
+    def has_nan(self) -> bool:
+        return any(np.any(np.isnan(v)) for v in self.features.values())
+
+    def __repr__(self) -> str:
+        return f"Edge({self.id!r})"
 
 
 def _number_string(sa: StructureArrays, residue_index: int) -> str:

@@ -110,3 +110,36 @@ def test_augmentation_names(tmp_path, data_path) -> None:
     graph.write_as_grid_to_hdf5(path, settings, MapMethod.FAST_GAUSSIAN, Augmentation(np.array([0, 1.0, 0]), 0.25))
     with h5py.File(path, "r") as f:
         assert set(f.keys()) == {"entry0", "entry0_000", "entry0_001"}
+
+
+def test_node_edge_views(data_path) -> None:
+    """Node/Edge views expose the reference's per-node surface over the array graph."""
+    arrays = parse_pdb(str(data_path / "pdb" / "1CRN" / "1CRN.pdb"))
+    graph = Graph.build_graph(arrays, np.arange(arrays.num_residues), "residue", "views", 10.0)
+    graph.node_features["f"] = np.arange(graph.num_nodes, dtype=np.float64)
+    graph.edge_features["e"] = np.ones(graph.num_edges)
+
+    node = graph.nodes[0]
+    assert node.type == "residue"
+    assert node.id.index == graph.node_indices[0]
+    assert node.features["f"] == 0.0
+    assert node.position.shape == (3,)
+    assert not node.has_nan()
+
+    edge = graph.edges[0]
+    i, j = graph.edge_index[0]
+    assert edge.id.residue1.index == graph.node_indices[i]
+    assert edge.id.residue2.index == graph.node_indices[j]
+    assert edge.features["e"] == 1.0
+    np.testing.assert_allclose(edge.position1, graph.positions()[i])
+
+    # multi-column feature rows are views into the columns: writes propagate
+    graph.node_features["vec"] = np.zeros((graph.num_nodes, 2))
+    node.features["vec"][...] = 42.0
+    assert graph.node_features["vec"][0, 0] == 42.0
+
+    atom_graph = Graph.build_graph(arrays, np.arange(arrays.num_atoms), "atom", "views-atom", 4.5)
+    from deeprank2_tpu.molstruct.pair import AtomicContact
+
+    assert atom_graph.nodes[0].id.name == arrays.atom_names[atom_graph.node_indices[0]]
+    assert isinstance(atom_graph.edges[0].id, AtomicContact)
