@@ -295,9 +295,13 @@ class Graph:
     def map_to_grid(self, grid, method, augmentation=None) -> None:
         """Accumulate all node and edge features onto a 3D grid.
 
-        All channels sharing the same point set (all node features; all edge
-        features) are mapped in one pass, so the kernel matrix over the grid is
-        computed once per point set instead of once per feature.
+        Every channel is mapped in ONE pass over the node positions: the grid
+        kernel depends only on the source position, and each edge contributes
+        its value at both endpoint positions (reference semantics,
+        graph.py:161-208) — so edge channels are first scatter-summed onto
+        their endpoint nodes and then share the nodes' kernel matrix. This
+        turns the reference's per-point x per-feature hot loop into a single
+        [V, G] kernel evaluation + one matmul.
         """
         from deeprank2_tpu.utils.grid import rotate_points
 
@@ -314,21 +318,26 @@ class Graph:
                     columns.append(values)
             return names, (np.concatenate(columns, axis=1) if columns else np.zeros((0, 0)))
 
-        # edge features: each edge contributes at both endpoint positions
-        positions = self.positions()
+        names: list[str] = []
+        columns: list[np.ndarray] = []
         if self.num_edges and self.edge_features:
-            edge_points = positions[self.edge_index.reshape(-1)]  # [2E, 3]
-            if augmentation is not None:
-                edge_points = rotate_points(edge_points, augmentation.axis, augmentation.angle, self.center)
-            names, matrix = channel_matrix(self.edge_features)
-            grid.map_channels_batch(edge_points, names, np.repeat(matrix, 2, axis=0), method)
-
+            e_names, e_matrix = channel_matrix(self.edge_features)
+            node_acc = np.zeros((self.num_nodes, e_matrix.shape[1]))
+            np.add.at(node_acc, self.edge_index[:, 0], e_matrix)
+            np.add.at(node_acc, self.edge_index[:, 1], e_matrix)
+            names += e_names
+            columns.append(node_acc)
         if self.node_features:
-            node_points = positions
-            if augmentation is not None:
-                node_points = rotate_points(node_points, augmentation.axis, augmentation.angle, self.center)
-            names, matrix = channel_matrix(self.node_features)
-            grid.map_channels_batch(node_points, names, matrix, method)
+            n_names, n_matrix = channel_matrix(self.node_features)
+            names += n_names
+            columns.append(n_matrix)
+        if not names:
+            return
+
+        positions = self.positions()
+        if augmentation is not None:
+            positions = rotate_points(positions, augmentation.axis, augmentation.angle, self.center)
+        grid.map_channels_batch(positions, names, np.concatenate(columns, axis=1), method)
 
     @staticmethod
     def _find_unused_augmentation_name(unaugmented_id: str, hdf5_path: str) -> str:

@@ -173,23 +173,32 @@ class Grid:
     def _grid_points(self) -> np.ndarray:
         if not hasattr(self, "_grid_points_cache"):
             gx, gy, gz = np.meshgrid(self._xs, self._ys, self._zs, indexing="ij")
-            self._grid_points_cache = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)  # [G, 3]
-            self._grid_sqnorm_cache = (self._grid_points_cache**2).sum(axis=1)
+            pts = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)  # [G, 3]
+            self._grid_points_cache = pts
+            # f32 kernel path: coordinates relative to the grid center keep
+            # magnitudes ~ the box size, so the |p|^2+|g|^2-2p.g expansion does
+            # not cancel catastrophically in single precision
+            rel = (pts - self._center[None, :]).astype(np.float32)
+            self._grid_rel_cache = rel
+            self._grid_sqnorm_cache = (rel**2).sum(axis=1)
         return self._grid_points_cache
 
     def _kernel_gaussian(self, points: np.ndarray, truncate: float | None = None) -> np.ndarray:
-        """``[P, G]`` Gaussian kernel matrix ``exp(-beta * |p - g|)`` (beta = 1).
+        """``[P, G]`` f32 Gaussian kernel matrix ``exp(-beta * |p - g|)`` (beta = 1).
 
-        Distances via ``|p|^2 + |g|^2 - 2 p.g`` — one [P,3]x[3,G] matmul instead
-        of a [P,G,3] broadcast intermediate.
+        Distances via ``|p|^2 + |g|^2 - 2 p.g`` on center-relative f32
+        coordinates — one [P,3]x[3,G] matmul instead of a [P,G,3] broadcast
+        intermediate, and f32 halves the bandwidth of the exp/sqrt passes
+        (the featurization hot spot).
         """
-        beta = 1.0
-        grid_points = self._grid_points()
-        d2 = (points**2).sum(axis=1)[:, None] + self._grid_sqnorm_cache[None, :] - 2.0 * (points @ grid_points.T)
-        d = np.sqrt(np.maximum(d2, 0.0))
+        beta = np.float32(1.0)
+        self._grid_points()
+        rel = (points - self._center[None, :]).astype(np.float32)
+        d2 = (rel**2).sum(axis=1)[:, None] + self._grid_sqnorm_cache[None, :] - np.float32(2.0) * (rel @ self._grid_rel_cache.T)
+        d = np.sqrt(np.maximum(d2, np.float32(0.0)))
         k = np.exp(-beta * d)
         if truncate is not None:
-            k = np.where(d < truncate, k, 0.0)
+            k = np.where(d < truncate, k, np.float32(0.0))
         return k
 
     def _kernel_bspline(self, points: np.ndarray) -> np.ndarray:
@@ -283,7 +292,8 @@ class Grid:
             else:
                 msg = f"Unknown map method: {method}"
                 raise ValueError(msg)
-            total += values[chunk].T @ kernel
+            # f32 matmul per chunk, f64 accumulation across chunks
+            total += values[chunk].astype(np.float32).T @ kernel.astype(np.float32, copy=False)
 
         for c, name in enumerate(channel_names):
             self.add_feature_values(name, total[c].reshape(self.shape))

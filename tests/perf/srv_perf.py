@@ -16,9 +16,12 @@ import time
 FEATURE_MODULES = ["components", "contact", "exposure", "secondary_structure", "surfacearea"]
 
 
-def run(pdb_path: str, residues: list[int], chain_id: str = "A") -> dict:
+def run(pdb_path: str, residues: list[int], chain_id: str = "A", with_grid: bool = False) -> dict:
     from deeprank2_tpu.molstruct.aminoacid import alanine, phenylalanine
     from deeprank2_tpu.query import SingleResidueVariantQuery
+    from deeprank2_tpu.utils.grid import GridSettings, MapMethod
+
+    grid_settings = GridSettings(points_counts=[35, 30, 30], sizes=[1.0, 1.0, 1.0])
 
     times = []
     sizes = []
@@ -38,6 +41,8 @@ def run(pdb_path: str, residues: list[int], chain_id: str = "A") -> dict:
             t0 = time.perf_counter()
             graph = query.build(FEATURE_MODULES)
             graph.write_to_hdf5(out)
+            if with_grid:
+                graph.write_as_grid_to_hdf5(out, grid_settings, MapMethod.GAUSSIAN)
             times.append(time.perf_counter() - t0)
             sizes.append(os.path.getsize(out) / 1e6)
 
@@ -57,4 +62,10 @@ if __name__ == "__main__":
         f"SRV featurization (graph only): {stats['time_mean_s']:.3f} s/structure "
         f"(std {stats['time_std_s']:.3f}) over {stats['structures']} variants; "
         f"{stats['mb_mean']:.2f} MB/structure  [reference baseline: 2.20 s, 0.05 MB]"
+    )
+    stats = run(pdb_path, residues, with_grid=True)
+    print(
+        f"SRV featurization (graph+grid): {stats['time_mean_s']:.3f} s/structure "
+        f"(std {stats['time_std_s']:.3f}) over {stats['structures']} variants; "
+        f"{stats['mb_mean']:.2f} MB/structure  [reference baseline: 2.85 s, 17.52 MB]"
     )
