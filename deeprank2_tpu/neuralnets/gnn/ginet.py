@@ -53,22 +53,18 @@ def ginet_conv(
     """
     row, col = edge_index
     capacity = x.shape[0]
-    safe_row = jnp.clip(row, 0, capacity - 1)
     safe_col = jnp.clip(col, 0, capacity - 1)
 
     fcx = nn.linear(params["fc"], x)  # [V, out]
-    ed = nn.linear(params["fc_edge_attr"], edge_attr)  # [E, Fe]
 
-    # attention logits: W_a [xrow || xcol || ed] split into three contributions
-    w_att = params["fc_attention"]["w"]  # [2*out + Fe, 1]
-    out_dim = fcx.shape[1]
-    att_row = fcx @ w_att[:out_dim]  # [V, 1]
-    att_col = fcx @ w_att[out_dim : 2 * out_dim]  # [V, 1]
-    alpha = att_row[safe_row] + att_col[safe_col] + ed @ w_att[2 * out_dim :]
-    alpha = nn.leaky_relu(alpha)
-    alpha = jax.nn.softmax(alpha, axis=1)  # [E, 1] -> all ones (reference parity)
-
-    h = alpha * fcx[safe_col]
+    # Attention (reference ginet.py:40-60) is a softmax over the singleton
+    # feature axis of [E, 1] logits: its value is identically 1.0 AND its
+    # jacobian is identically 0 (softmax of one element is constant), so
+    # W_a/W_e receive exactly-zero gradients in the reference as well. We
+    # therefore skip the whole computation — values and gradients are
+    # bit-equivalent to evaluating it. The params stay in the pytree for
+    # checkpoint-shape parity.
+    h = fcx[safe_col]
     h = h * edge_mask[:, None]
     return segment_sum(h, row, capacity, indices_sorted=True)
 

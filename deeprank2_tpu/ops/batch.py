@@ -239,6 +239,75 @@ def _repad(batch: GraphBatch, cap_v: int, cap_e: int) -> GraphBatch:
 
 @jax.tree_util.register_dataclass
 @dataclass
+class DenseGraphBatch:
+    """Block-dense batch: per-graph node arrays + dense adjacency blocks.
+
+    The batch adjacency of collated graphs is block-diagonal (edges never cross
+    graphs), so with graphs bucketed to ``N`` nodes the aggregation
+    ``segment_sum(x[col], row)`` is exactly the batched MXU matmul
+    ``adj @ x`` — no gather/scatter at all. This is the TPU-native layout for
+    graph batches whose per-graph node count is small (residue PPI/SRV graphs:
+    tens to a few hundred nodes); the COO :class:`GraphBatch` remains for
+    models that need per-edge features in their messages.
+    """
+
+    x: jax.Array  # f32 [G, N, F] node features (padded rows 0)
+    adj: jax.Array  # f32 [G, N, N]; adj[g, i, j] = 1 if directed edge j->i
+    pos: jax.Array  # f32 [G, N, 3]
+    node_mask: jax.Array  # bool [G, N]
+    y: jax.Array  # f32 [G]
+    y_mask: jax.Array  # bool [G]
+
+    @property
+    def num_graphs(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def nodes_per_graph(self) -> int:
+        return self.x.shape[1]
+
+
+def collate_graphs_dense(entries: list[dict], pad_graphs: int | None = None, pad_nodes: int | None = None) -> tuple[DenseGraphBatch, list[str]]:
+    """Collate entries (same dicts as :func:`collate_graphs`) into a
+    :class:`DenseGraphBatch`. Edges are mirrored into a symmetric adjacency.
+
+    ``pad_nodes`` bounds nodes per graph (bucketed from the data when None).
+    """
+    num_real = len(entries)
+    num_graphs = pad_graphs or num_real
+    names = [e["entry_name"] for e in entries] + [""] * (num_graphs - num_real)
+    max_v = max(e["x"].shape[0] for e in entries)
+    cap_n = pad_nodes or bucket_size(max_v, quantum=32)
+    if max_v > cap_n:
+        msg = f"graph with {max_v} nodes exceeds dense node capacity {cap_n}"
+        raise ValueError(msg)
+    feat_dim = entries[0]["x"].shape[1]
+
+    x = np.zeros((num_graphs, cap_n, feat_dim), dtype=np.float32)
+    adj = np.zeros((num_graphs, cap_n, cap_n), dtype=np.float32)
+    pos = np.zeros((num_graphs, cap_n, 3), dtype=np.float32)
+    node_mask = np.zeros((num_graphs, cap_n), dtype=bool)
+    y = np.zeros(num_graphs, dtype=np.float32)
+    y_mask = np.zeros(num_graphs, dtype=bool)
+
+    for g, entry in enumerate(entries):
+        v = entry["x"].shape[0]
+        x[g, :v] = entry["x"]
+        pos[g, :v] = entry["pos"]
+        node_mask[g, :v] = True
+        und = np.asarray(entry["edge_index"], dtype=np.int64)
+        if und.size:
+            adj[g, und[:, 0], und[:, 1]] = 1.0
+            adj[g, und[:, 1], und[:, 0]] = 1.0
+        if entry.get("y") is not None:
+            y[g] = entry["y"]
+            y_mask[g] = True
+
+    return DenseGraphBatch(x=x, adj=adj, pos=pos, node_mask=node_mask, y=y, y_mask=y_mask), names
+
+
+@jax.tree_util.register_dataclass
+@dataclass
 class GridBatch:
     """One padded batch of 3D grids: ``x [G, C, W, H, D]``, targets ``y [G]``."""
 

@@ -367,6 +367,10 @@ class Trainer:
 
                 per_shard = max(1, pad_graphs // num_shards)
                 batch, names = collate_graphs_sharded(entries, num_shards, per_shard)
+            elif getattr(self.neuralnet, "dense_batches", False):
+                from deeprank2_tpu.ops.batch import collate_graphs_dense
+
+                batch, names = collate_graphs_dense(entries, pad_graphs)
             else:
                 batch, names = collate_graphs(entries, pad_graphs)
         elif num_shards > 1:

@@ -186,3 +186,38 @@ def test_cnn_conv_parity() -> None:
         out_torch = h @ torch.tensor(np.asarray(params["fc001"]["w"])) + torch.tensor(np.asarray(params["fc001"]["b"]))
 
     assert np.allclose(out_jax, out_torch.numpy(), atol=1e-3)
+
+
+def test_ginet_dense_matches_coo() -> None:
+    """GINetDense (block-dense MXU path) == no-cluster GINet (COO path):
+    same params, same graphs, equal outputs and equal parameter gradients."""
+    from deeprank2_tpu.neuralnets.gnn.ginet_dense import GINetDense
+    from deeprank2_tpu.neuralnets.gnn.ginet_nocluster import GINet
+    from deeprank2_tpu.ops.batch import collate_graphs, collate_graphs_dense
+    from deeprank2_tpu.ops.synthetic import synthetic_entries
+
+    entries = synthetic_entries(6, 20, feat_dim=11, edge_dim=3, seed=3)
+    coo_batch, _ = collate_graphs(entries)
+    dense_batch, _ = collate_graphs_dense(entries)
+
+    coo_model = GINet(11, 2, 3)
+    dense_model = GINetDense(11, 2, 3)
+    params = coo_model.init(jax.random.PRNGKey(0))
+
+    out_coo = coo_model.apply(params, coo_batch)
+    out_dense = dense_model.apply(params, dense_batch)
+    np.testing.assert_allclose(np.asarray(out_coo), np.asarray(out_dense), rtol=2e-4, atol=1e-5)
+
+    def loss_coo(p):
+        return (coo_model.apply(p, coo_batch) ** 2).sum()
+
+    def loss_dense(p):
+        return (dense_model.apply(p, dense_batch) ** 2).sum()
+
+    from jax.flatten_util import ravel_pytree
+
+    g_coo = jax.grad(loss_coo)(params)
+    g_dense = jax.grad(loss_dense)(params)
+    flat_coo, _ = ravel_pytree(g_coo)
+    flat_dense, _ = ravel_pytree(g_dense)
+    np.testing.assert_allclose(np.asarray(flat_coo), np.asarray(flat_dense), rtol=2e-3, atol=1e-4)

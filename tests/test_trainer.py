@@ -42,6 +42,15 @@ def test_ginet_nocluster(srv_hdf5, tmp_path) -> None:
     _train(GINetNoCluster, ds, tmp_path)
 
 
+def test_ginet_dense(srv_hdf5, tmp_path) -> None:
+    """The block-dense MXU GINet trains through the same Trainer surface."""
+    from deeprank2_tpu.neuralnets.gnn.ginet_dense import GINetDense
+
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    trainer = _train(GINetDense, ds, tmp_path)
+    assert trainer.epoch_saved_model is not None
+
+
 def test_foutnet(srv_hdf5, tmp_path) -> None:
     ds = GraphDataset(hdf5_path=srv_hdf5, target="binary", clustering_method="mcl")
     _train(FoutNet, ds, tmp_path)
