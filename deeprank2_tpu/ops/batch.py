@@ -306,6 +306,42 @@ def collate_graphs_dense(entries: list[dict], pad_graphs: int | None = None, pad
     return DenseGraphBatch(x=x, adj=adj, pos=pos, node_mask=node_mask, y=y, y_mask=y_mask), names
 
 
+def collate_graphs_dense_sharded(
+    entries: list[dict],
+    num_shards: int,
+    pad_graphs_per_shard: int,
+    pad_nodes: int | None = None,
+) -> tuple[DenseGraphBatch, list[str]]:
+    """Round-robin dense collation with a leading device axis (shard_map DP).
+
+    Dense batches shard on the graph axis with no cross-shard coupling (the
+    adjacency is per-graph), so DP is a plain stack of per-shard batches.
+    """
+    shards: list[list[dict]] = [[] for _ in range(num_shards)]
+    for i, entry in enumerate(entries):
+        shards[i % num_shards].append(entry)
+
+    cap_n = pad_nodes or bucket_size(max(e["x"].shape[0] for e in entries), quantum=32)
+    feat_dim = entries[0]["x"].shape[1]
+    batches = []
+    names: list[str] = []
+    for shard in shards:
+        if not shard:
+            shard = [
+                {
+                    "x": np.zeros((1, feat_dim), dtype=np.float32),
+                    "edge_index": np.zeros((0, 2), dtype=np.int64),
+                    "pos": np.zeros((1, 3), dtype=np.float32),
+                    "y": None,
+                    "entry_name": "",
+                }
+            ]
+        batch, shard_names = collate_graphs_dense(shard, pad_graphs=pad_graphs_per_shard, pad_nodes=cap_n)
+        batches.append(batch)
+        names.extend(shard_names)
+    return jax.tree.map(lambda *leaves: np.stack(leaves), *batches), names
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class GridBatch:

@@ -362,12 +362,18 @@ class Trainer:
     def _collate(self, entries: list[dict], pad_graphs: int):
         num_shards = getattr(self, "_num_shards", 1)
         if self._is_graph():
-            if num_shards > 1:
+            dense = getattr(self.neuralnet, "dense_batches", False)
+            if num_shards > 1 and dense:
+                from deeprank2_tpu.ops.batch import collate_graphs_dense_sharded
+
+                per_shard = max(1, pad_graphs // num_shards)
+                batch, names = collate_graphs_dense_sharded(entries, num_shards, per_shard)
+            elif num_shards > 1:
                 from deeprank2_tpu.ops.batch import collate_graphs_sharded
 
                 per_shard = max(1, pad_graphs // num_shards)
                 batch, names = collate_graphs_sharded(entries, num_shards, per_shard)
-            elif getattr(self.neuralnet, "dense_batches", False):
+            elif dense:
                 from deeprank2_tpu.ops.batch import collate_graphs_dense
 
                 batch, names = collate_graphs_dense(entries, pad_graphs)
