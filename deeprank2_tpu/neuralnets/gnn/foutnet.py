@@ -49,6 +49,21 @@ def fout_layer(
     return out
 
 
+def fout_layer_dense(params: dict, x: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndarray:
+    """Fout layer on ``[G, N, F]`` blocks: the neighbor mean is the
+    row-normalized batched matmul ``(adj @ x Wn) / deg`` (MXU; the reference's
+    per-node Python loop, foutnet.py:55-58, and the COO segment-mean both
+    compute the same quantity)."""
+    alpha = x @ params["wc"]
+    beta = x @ params["wn"]
+    deg = jnp.maximum(adj.sum(axis=-1), 1.0)  # [G, N]
+    gamma = (adj @ beta) / deg[:, :, None]
+    out = alpha + gamma
+    if "b" in params:
+        out = out + params["b"]
+    return out
+
+
 class FoutNet:
     """FoutLayer x2 with community pooling."""
 
@@ -90,5 +105,47 @@ class FoutNet:
 
         x, pooled_graph = max_pool_x(batch.cluster1, x, node_graph, batch.num_graphs)
         x = graph_mean_pool(x, pooled_graph, batch.num_graphs)
+        x = act(nn.linear(params["fc1"], x))
+        return nn.linear(params["fc2"], x)
+
+
+class FoutNetDense:
+    """FoutNet over block-dense batches (see ops/batch.py:DenseGraphBatch):
+    convs and community pooling are batched MXU matmuls."""
+
+    needs_clusters = True
+    dense_batches = True
+    clustering = "mcl"
+
+    def __init__(self, input_shape: int, output_shape: int = 1, input_shape_edge: int | None = None):
+        self.input_shape = input_shape
+        self.output_shape = output_shape
+        self.input_shape_edge = input_shape_edge
+
+    def init(self, rng: jax.Array) -> dict:
+        keys = jax.random.split(rng, 4)
+        return {
+            "conv1": init_fout_layer(keys[0], self.input_shape, 16),
+            "conv2": init_fout_layer(keys[1], 16, 32),
+            "fc1": nn.init_linear(keys[2], 32, 64),
+            "fc2": nn.init_linear(keys[3], 64, self.output_shape),
+        }
+
+    def apply(self, params: dict, batch, training: bool = False, rng: jax.Array | None = None) -> jnp.ndarray:
+        from deeprank2_tpu.neuralnets.gnn.ginet_dense import dense_masked_graph_mean
+        from deeprank2_tpu.ops.pooling import dense_community_pool, dense_segment_max
+
+        act = nn.relu
+        x = act(fout_layer_dense(params["conv1"], batch.x, batch.adj))
+        x = x * batch.node_mask[:, :, None]
+
+        x, _pos, adj1, _adj_w, mask1 = dense_community_pool(x, batch.pos, batch.adj, batch.cluster0)
+
+        x = act(fout_layer_dense(params["conv2"], x, adj1))
+        x = x * mask1[:, :, None]
+
+        x = dense_segment_max(x, batch.cluster1)
+        counts1 = dense_segment_max(mask1[:, :, None].astype(x.dtype), batch.cluster1)[:, :, 0]
+        x = dense_masked_graph_mean(x, counts1 > 0)
         x = act(nn.linear(params["fc1"], x))
         return nn.linear(params["fc2"], x)

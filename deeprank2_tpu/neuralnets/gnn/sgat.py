@@ -99,3 +99,64 @@ class SGAT:
         x = graph_mean_pool(x, pooled_graph, batch.num_graphs)
         x = act(nn.linear(params["fc1"], x))
         return nn.linear(params["fc2"], x)
+
+
+def sgat_layer_dense(params: dict, x: jnp.ndarray, adj: jnp.ndarray, adj_w: jnp.ndarray) -> jnp.ndarray:
+    """sGAT layer on ``[G, N, F]`` blocks with a scalar-edge-weighted adjacency:
+
+        out_i = mean_j a_ij ([x_i || x_j] W) = (row_i * sum_j a_ij + (A_w col)_i) / deg_i
+
+    where ``deg`` counts neighbors (the COO segment-mean denominator) and
+    ``A_w`` carries the scalar edge weights (the reference broadcasts the edge
+    attr over the message, sgat.py:56-84 — scalar edge features only)."""
+    f = x.shape[-1]
+    row_part = x @ params["weight"][:f]
+    col_part = x @ params["weight"][f:]
+    deg = jnp.maximum(adj.sum(axis=-1), 1.0)  # [G, N]
+    weight_sums = adj_w.sum(axis=-1)  # [G, N]
+    out = (row_part * weight_sums[:, :, None] + adj_w @ col_part) / deg[:, :, None]
+    if "b" in params:
+        out = out + params["b"]
+    return out
+
+
+class SGATDense:
+    """sGAT over block-dense batches (scalar edge feature, e.g. distance)."""
+
+    needs_clusters = True
+    dense_batches = True
+    dense_edge_weights = True
+    clustering = "mcl"
+
+    def __init__(self, input_shape: int, output_shape: int = 1, input_shape_edge: int | None = None):
+        self.input_shape = input_shape
+        self.output_shape = output_shape
+        self.input_shape_edge = input_shape_edge
+
+    def init(self, rng: jax.Array) -> dict:
+        keys = jax.random.split(rng, 4)
+        return {
+            "conv1": init_sgat_layer(keys[0], self.input_shape, 16),
+            "conv2": init_sgat_layer(keys[1], 16, 32),
+            "fc1": nn.init_linear(keys[2], 32, 64),
+            "fc2": nn.init_linear(keys[3], 64, self.output_shape),
+        }
+
+    def apply(self, params: dict, batch, training: bool = False, rng: jax.Array | None = None) -> jnp.ndarray:
+        from deeprank2_tpu.neuralnets.gnn.ginet_dense import dense_masked_graph_mean
+        from deeprank2_tpu.ops.pooling import dense_community_pool, dense_segment_max
+
+        act = nn.relu
+        x = act(sgat_layer_dense(params["conv1"], batch.x, batch.adj, batch.adj_w))
+        x = x * batch.node_mask[:, :, None]
+
+        x, _pos, adj1, adj_w1, mask1 = dense_community_pool(x, batch.pos, batch.adj, batch.cluster0, adj_w=batch.adj_w)
+
+        x = act(sgat_layer_dense(params["conv2"], x, adj1, adj_w1))
+        x = x * mask1[:, :, None]
+
+        x = dense_segment_max(x, batch.cluster1)
+        counts1 = dense_segment_max(mask1[:, :, None].astype(x.dtype), batch.cluster1)[:, :, 0]
+        x = dense_masked_graph_mean(x, counts1 > 0)
+        x = act(nn.linear(params["fc1"], x))
+        return nn.linear(params["fc2"], x)

@@ -257,6 +257,14 @@ class DenseGraphBatch:
     node_mask: jax.Array  # bool [G, N]
     y: jax.Array  # f32 [G]
     y_mask: jax.Array  # bool [G]
+    # scalar-edge-weighted adjacency (first edge-attr channel; for models whose
+    # messages scale by a scalar edge feature, e.g. sGAT x distance). Empty
+    # [G, 0, 0] when not collated.
+    adj_w: jax.Array = None  # type: ignore[assignment]
+    # per-graph local cluster ids (precluster depth 0/1); padded entries = N.
+    # cluster1 is indexed by depth-0 cluster id. Empty [G, 0] when absent.
+    cluster0: jax.Array = None  # type: ignore[assignment]
+    cluster1: jax.Array = None  # type: ignore[assignment]
 
     @property
     def num_graphs(self) -> int:
@@ -267,11 +275,19 @@ class DenseGraphBatch:
         return self.x.shape[1]
 
 
-def collate_graphs_dense(entries: list[dict], pad_graphs: int | None = None, pad_nodes: int | None = None) -> tuple[DenseGraphBatch, list[str]]:
+def collate_graphs_dense(
+    entries: list[dict],
+    pad_graphs: int | None = None,
+    pad_nodes: int | None = None,
+    with_clusters: bool = False,
+    with_edge_weights: bool = False,
+) -> tuple[DenseGraphBatch, list[str]]:
     """Collate entries (same dicts as :func:`collate_graphs`) into a
     :class:`DenseGraphBatch`. Edges are mirrored into a symmetric adjacency.
 
     ``pad_nodes`` bounds nodes per graph (bucketed from the data when None).
+    ``with_clusters`` fills ``cluster0``/``cluster1`` from precluster entries;
+    ``with_edge_weights`` fills ``adj_w`` from the first edge-attr channel.
     """
     num_real = len(entries)
     num_graphs = pad_graphs or num_real
@@ -289,6 +305,9 @@ def collate_graphs_dense(entries: list[dict], pad_graphs: int | None = None, pad
     node_mask = np.zeros((num_graphs, cap_n), dtype=bool)
     y = np.zeros(num_graphs, dtype=np.float32)
     y_mask = np.zeros(num_graphs, dtype=bool)
+    adj_w = np.zeros((num_graphs, cap_n, cap_n), dtype=np.float32) if with_edge_weights else np.zeros((num_graphs, 0, 0), dtype=np.float32)
+    cluster0 = np.full((num_graphs, cap_n if with_clusters else 0), cap_n, dtype=np.int32)
+    cluster1 = np.full((num_graphs, cap_n if with_clusters else 0), cap_n, dtype=np.int32)
 
     for g, entry in enumerate(entries):
         v = entry["x"].shape[0]
@@ -299,11 +318,22 @@ def collate_graphs_dense(entries: list[dict], pad_graphs: int | None = None, pad
         if und.size:
             adj[g, und[:, 0], und[:, 1]] = 1.0
             adj[g, und[:, 1], und[:, 0]] = 1.0
+            if with_edge_weights:
+                ea = np.asarray(entry["edge_attr"], dtype=np.float32).reshape(len(und), -1)[:, 0]
+                adj_w[g, und[:, 0], und[:, 1]] = ea
+                adj_w[g, und[:, 1], und[:, 0]] = ea
+        if with_clusters:
+            c0 = np.asarray(entry["cluster0"], dtype=np.int32)
+            c1 = np.asarray(entry["cluster1"], dtype=np.int32)
+            cluster0[g, :v] = c0
+            cluster1[g, : len(c1)] = c1
         if entry.get("y") is not None:
             y[g] = entry["y"]
             y_mask[g] = True
 
-    return DenseGraphBatch(x=x, adj=adj, pos=pos, node_mask=node_mask, y=y, y_mask=y_mask), names
+    return DenseGraphBatch(
+        x=x, adj=adj, pos=pos, node_mask=node_mask, y=y, y_mask=y_mask, adj_w=adj_w, cluster0=cluster0, cluster1=cluster1
+    ), names
 
 
 def collate_graphs_dense_sharded(
@@ -311,6 +341,8 @@ def collate_graphs_dense_sharded(
     num_shards: int,
     pad_graphs_per_shard: int,
     pad_nodes: int | None = None,
+    with_clusters: bool = False,
+    with_edge_weights: bool = False,
 ) -> tuple[DenseGraphBatch, list[str]]:
     """Round-robin dense collation with a leading device axis (shard_map DP).
 
@@ -333,10 +365,14 @@ def collate_graphs_dense_sharded(
                     "edge_index": np.zeros((0, 2), dtype=np.int64),
                     "pos": np.zeros((1, 3), dtype=np.float32),
                     "y": None,
+                    "cluster0": np.zeros(1, dtype=np.int32),
+                    "cluster1": np.zeros(1, dtype=np.int32),
                     "entry_name": "",
                 }
             ]
-        batch, shard_names = collate_graphs_dense(shard, pad_graphs=pad_graphs_per_shard, pad_nodes=cap_n)
+        batch, shard_names = collate_graphs_dense(
+            shard, pad_graphs=pad_graphs_per_shard, pad_nodes=cap_n, with_clusters=with_clusters, with_edge_weights=with_edge_weights
+        )
         batches.append(batch)
         names.extend(shard_names)
     return jax.tree.map(lambda *leaves: np.stack(leaves), *batches), names

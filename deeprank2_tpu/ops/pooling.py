@@ -13,6 +13,7 @@ carry out-of-range ids so scatters drop them.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from deeprank2_tpu.ops.segment import segment_max, segment_mean, segment_sum
@@ -114,3 +115,52 @@ def max_pool_x(
 def graph_mean_pool(x: jnp.ndarray, node_graph: jnp.ndarray, num_graphs: int) -> jnp.ndarray:
     """Mean of node features per graph (padded nodes carry OOB graph ids)."""
     return segment_mean(x, node_graph, num_graphs)
+
+
+# ----------------------------------------------------------------------
+# Block-dense pooling (see ops/batch.py:DenseGraphBatch)
+# ----------------------------------------------------------------------
+def dense_segment_max(x: jnp.ndarray, cluster: jnp.ndarray) -> jnp.ndarray:
+    """Per-cluster feature max on ``[G, N, F]`` blocks with per-graph local
+    cluster ids ``[G, N]`` (padded entries >= N). Returns ``[G, N, F]`` where
+    row k of graph g is cluster k (empty clusters 0)."""
+    num_graphs, cap_n, feat = x.shape
+    offsets = jnp.arange(num_graphs, dtype=cluster.dtype)[:, None] * cap_n
+    flat_ids = jnp.where(cluster < cap_n, cluster + offsets, num_graphs * cap_n)
+    flat = segment_max(x.reshape(num_graphs * cap_n, feat), flat_ids.reshape(-1), num_graphs * cap_n)
+    return flat.reshape(num_graphs, cap_n, feat)
+
+
+def dense_community_pool(
+    x: jnp.ndarray,  # f32 [G, N, F]
+    pos: jnp.ndarray,  # f32 [G, N, 3]
+    adj: jnp.ndarray,  # f32 [G, N, N]
+    cluster: jnp.ndarray,  # i32 [G, N] local cluster ids (padded >= N)
+    adj_w: jnp.ndarray | None = None,  # f32 [G, N, N] scalar edge weights
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray | None, jnp.ndarray]:
+    """Community pooling on dense blocks: max features, mean positions, and
+    pooled adjacency via the one-hot congruence ``C^T A C`` (two batched MXU
+    matmuls) — the dense equivalent of :func:`community_pool`.
+
+    Coalesce parity: pooled 0/1 adjacency marks distinct cluster pairs (PyG
+    ``coalesce`` keeps one edge per pair); ``adj_w`` entries are summed over
+    member edges (coalesce sums attrs). Self-loops are dropped.
+
+    Returns ``(x', pos', adj', adj_w', node_mask')`` with rows = clusters.
+    """
+    num_graphs, cap_n, _ = x.shape
+    onehot = jax.nn.one_hot(jnp.where(cluster < cap_n, cluster, cap_n), cap_n, dtype=x.dtype, axis=-1)  # [G, N, K]
+
+    x_pooled = dense_segment_max(x, cluster)
+    counts = onehot.sum(axis=1)  # [G, K]
+    pos_pooled = jnp.einsum("gnk,gnd->gkd", onehot, pos) / jnp.maximum(counts, 1.0)[:, :, None]
+
+    pooled_counts = jnp.einsum("gik,gij,gjl->gkl", onehot, adj, onehot)  # member-edge counts per cluster pair
+    eye = jnp.eye(cap_n, dtype=x.dtype)
+    adj_pooled = (pooled_counts > 0).astype(x.dtype) * (1.0 - eye)
+    adj_w_pooled = None
+    if adj_w is not None:
+        adj_w_pooled = jnp.einsum("gik,gij,gjl->gkl", onehot, adj_w, onehot) * (1.0 - eye)
+
+    node_mask_pooled = counts > 0
+    return x_pooled, pos_pooled, adj_pooled, adj_w_pooled, node_mask_pooled

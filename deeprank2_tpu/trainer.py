@@ -363,11 +363,15 @@ class Trainer:
         num_shards = getattr(self, "_num_shards", 1)
         if self._is_graph():
             dense = getattr(self.neuralnet, "dense_batches", False)
+            dense_kwargs = {
+                "with_clusters": getattr(self.neuralnet, "needs_clusters", False),
+                "with_edge_weights": getattr(self.neuralnet, "dense_edge_weights", False),
+            }
             if num_shards > 1 and dense:
                 from deeprank2_tpu.ops.batch import collate_graphs_dense_sharded
 
                 per_shard = max(1, pad_graphs // num_shards)
-                batch, names = collate_graphs_dense_sharded(entries, num_shards, per_shard)
+                batch, names = collate_graphs_dense_sharded(entries, num_shards, per_shard, **dense_kwargs)
             elif num_shards > 1:
                 from deeprank2_tpu.ops.batch import collate_graphs_sharded
 
@@ -376,7 +380,7 @@ class Trainer:
             elif dense:
                 from deeprank2_tpu.ops.batch import collate_graphs_dense
 
-                batch, names = collate_graphs_dense(entries, pad_graphs)
+                batch, names = collate_graphs_dense(entries, pad_graphs, **dense_kwargs)
             else:
                 batch, names = collate_graphs(entries, pad_graphs)
         elif num_shards > 1:

@@ -221,3 +221,32 @@ def test_ginet_dense_matches_coo() -> None:
     flat_coo, _ = ravel_pytree(g_coo)
     flat_dense, _ = ravel_pytree(g_dense)
     np.testing.assert_allclose(np.asarray(flat_coo), np.asarray(flat_dense), rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("family", ["ginet", "fout", "sgat"])
+def test_clustered_dense_matches_coo(family) -> None:
+    """Dense clustered pipelines (one-hot C^T A C pooling) == COO community
+    pooling: same params, same graphs + preclusters, equal outputs."""
+    from deeprank2_tpu.ops.batch import collate_graphs, collate_graphs_dense
+    from deeprank2_tpu.ops.synthetic import synthetic_entries
+
+    entries = synthetic_entries(5, 24, feat_dim=9, edge_dim=1, seed=11)
+    coo_batch, _ = collate_graphs(entries)
+    dense_batch, _ = collate_graphs_dense(entries, with_clusters=True, with_edge_weights=True)
+
+    if family == "ginet":
+        from deeprank2_tpu.neuralnets.gnn.ginet import GINet as Coo
+        from deeprank2_tpu.neuralnets.gnn.ginet_dense import GINetClusteredDense as Dense
+    elif family == "fout":
+        from deeprank2_tpu.neuralnets.gnn.foutnet import FoutNet as Coo
+        from deeprank2_tpu.neuralnets.gnn.foutnet import FoutNetDense as Dense
+    else:
+        from deeprank2_tpu.neuralnets.gnn.sgat import SGAT as Coo
+        from deeprank2_tpu.neuralnets.gnn.sgat import SGATDense as Dense
+
+    coo_model = Coo(9, 2, 1)
+    dense_model = Dense(9, 2, 1)
+    params = coo_model.init(jax.random.PRNGKey(0))
+    out_coo = np.asarray(coo_model.apply(params, coo_batch))
+    out_dense = np.asarray(dense_model.apply(params, dense_batch))
+    np.testing.assert_allclose(out_coo, out_dense, rtol=2e-4, atol=1e-5)

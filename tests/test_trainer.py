@@ -42,6 +42,19 @@ def test_ginet_nocluster(srv_hdf5, tmp_path) -> None:
     _train(GINetNoCluster, ds, tmp_path)
 
 
+def test_clustered_dense_models(srv_hdf5, tmp_path) -> None:
+    """Dense clustered models train through the Trainer (preclustering + dense collation)."""
+    from deeprank2_tpu.neuralnets.gnn.foutnet import FoutNetDense
+    from deeprank2_tpu.neuralnets.gnn.ginet_dense import GINetClusteredDense
+    from deeprank2_tpu.neuralnets.gnn.sgat import SGATDense
+
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary", clustering_method="mcl")
+    _train(GINetClusteredDense, ds, tmp_path)
+    _train(FoutNetDense, ds, tmp_path)
+    ds_sgat = GraphDataset(hdf5_path=srv_hdf5, target="binary", clustering_method="mcl", edge_features=["distance"])
+    _train(SGATDense, ds_sgat, tmp_path)
+
+
 def test_ginet_dense(srv_hdf5, tmp_path) -> None:
     """The block-dense MXU GINet trains through the same Trainer surface."""
     from deeprank2_tpu.neuralnets.gnn.ginet_dense import GINetDense
