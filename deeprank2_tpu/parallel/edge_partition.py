@@ -103,31 +103,21 @@ def partition_graph_batch(batch: GraphBatch, num_shards: int) -> EdgePartitioned
 
 def _ginet_conv_sharded(params, x_local, batch: EdgePartitionedBatch, axis: str):
     """One GINet conv with sharded nodes: all_gather the per-node transforms,
-    local gather + masked segment-sum (math identical to ginet.ginet_conv)."""
+    local gather + masked segment-sum (math identical to ginet.ginet_conv;
+    attention elided — identically 1.0 with zero gradient, see ginet.py)."""
     v_local = x_local.shape[0]
 
     fcx_local = nn.linear(params["fc"], x_local)  # [Vd, out]
-    out_dim = fcx_local.shape[1]
-    w_att = params["fc_attention"]["w"]
-    att_row_local = fcx_local @ w_att[:out_dim]  # [Vd, 1]
-    att_col_local = fcx_local @ w_att[out_dim : 2 * out_dim]
 
-    # ICI collective: gather the (low-dim) transformed node tensors
+    # ICI collective: gather the (low-dim) transformed node tensor
     fcx_full = jax.lax.all_gather(fcx_local, axis, axis=0, tiled=True)  # [V, out]
-    att_col_full = jax.lax.all_gather(att_col_local, axis, axis=0, tiled=True)
 
     row = batch.edge_row_local[0]
     col = batch.edge_col[0]
     mask = batch.edge_mask[0]
-    safe_row = jnp.clip(row, 0, v_local - 1)
     safe_col = jnp.clip(col, 0, fcx_full.shape[0] - 1)
 
-    ed = nn.linear(params["fc_edge_attr"], batch.edge_attr[0])
-    alpha = att_row_local[safe_row] + att_col_full[safe_col] + ed @ w_att[2 * out_dim :]
-    alpha = nn.leaky_relu(alpha)
-    alpha = jax.nn.softmax(alpha, axis=1)  # reference parity (singleton softmax)
-
-    h = alpha * fcx_full[safe_col]
+    h = fcx_full[safe_col]
     h = h * mask[:, None]
     return segment_sum(h, row, v_local)
 
@@ -157,6 +147,148 @@ def make_edge_partitioned_ginet_forward(model, mesh: Mesh | None = None, axis: s
             h = nn.relu(_ginet_conv_sharded(conv2, h, part, axis))
             h = h * node_mask[:, None]
             # per-graph mean over ALL shards: psum of sums and counts
+            sums = segment_sum(h, node_graph, part.num_graphs)
+            counts = segment_sum(node_mask.astype(jnp.float32), node_graph, part.num_graphs)
+            sums = jax.lax.psum(sums, axis)
+            counts = jax.lax.psum(counts, axis)
+            return sums / jnp.maximum(counts, 1.0)[:, None]
+
+        pooled = tower(params["conv1"], params["conv2"])
+        pooled_ext = tower(params["conv1_ext"], params["conv2_ext"])
+        h = jnp.concatenate([pooled, pooled_ext], axis=1)
+        h = nn.relu(nn.linear(params["fc1"], h))
+        return nn.linear(params["fc2"], h)
+
+    return jax.jit(forward)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class RingPartitionedBatch:
+    """Edge partition bucketed by (destination owner, source owner) for the
+    ppermute ring: shard ``d``'s bucket ``s`` holds the edges whose destination
+    lives on ``d`` and whose source lives on ``s``, with *source-local* column
+    indices — so ring step ``k`` (holding shard ``(d - k) % D``'s node block)
+    aggregates bucket ``(d - k) % D`` directly from the rotating buffer.
+    """
+
+    x: jax.Array  # f32 [D, Vd, F]
+    edge_row_local: jax.Array  # i32 [D, S, Eb] destination row, local to d (OOB = Vd)
+    edge_col_local: jax.Array  # i32 [D, S, Eb] source row, local to s (OOB = Vd)
+    edge_mask: jax.Array  # bool [D, S, Eb]
+    node_graph: jax.Array  # i32 [D, Vd]
+    node_mask: jax.Array  # bool [D, Vd]
+    num_graphs: int = field(metadata={"static": True})
+
+
+def partition_graph_batch_ring(batch: GraphBatch, num_shards: int) -> RingPartitionedBatch:
+    """Bucket a padded GraphBatch by (dest owner, source owner) for ring halo
+    exchange. Bucket capacity is the max over all (d, s) pairs."""
+    num_nodes = batch.num_nodes
+    v_per = -(-num_nodes // num_shards)
+    v_cap = v_per * num_shards
+
+    x = np.asarray(batch.x)
+    node_graph = np.asarray(batch.node_graph)
+    node_mask = np.asarray(batch.node_mask)
+    if v_cap > num_nodes:
+        pad = v_cap - num_nodes
+        x = np.pad(x, ((0, pad), (0, 0)))
+        node_graph = np.pad(node_graph, (0, pad), constant_values=batch.num_graphs)
+        node_mask = np.pad(node_mask, (0, pad))
+
+    rows = np.asarray(batch.edge_index[0])
+    cols = np.asarray(batch.edge_index[1])
+    mask = np.asarray(batch.edge_mask)
+    dest_owner = np.where(mask, rows // v_per, -1)
+    src_owner = np.where(mask, cols // v_per, -1)
+
+    counts = np.zeros((num_shards, num_shards), dtype=np.int64)
+    for d in range(num_shards):
+        for s in range(num_shards):
+            counts[d, s] = int(((dest_owner == d) & (src_owner == s)).sum())
+    e_cap = max(int(counts.max()), 1)
+
+    edge_row_local = np.full((num_shards, num_shards, e_cap), v_per, dtype=np.int32)
+    edge_col_local = np.full((num_shards, num_shards, e_cap), v_per, dtype=np.int32)
+    edge_mask = np.zeros((num_shards, num_shards, e_cap), dtype=bool)
+    for d in range(num_shards):
+        for s in range(num_shards):
+            sel = np.flatnonzero((dest_owner == d) & (src_owner == s))
+            edge_row_local[d, s, : len(sel)] = rows[sel] - d * v_per
+            edge_col_local[d, s, : len(sel)] = cols[sel] - s * v_per
+            edge_mask[d, s, : len(sel)] = True
+
+    return RingPartitionedBatch(
+        x=x.reshape(num_shards, v_per, -1),
+        edge_row_local=edge_row_local,
+        edge_col_local=edge_col_local,
+        edge_mask=edge_mask,
+        node_graph=node_graph.reshape(num_shards, v_per),
+        node_mask=node_mask.reshape(num_shards, v_per),
+        num_graphs=batch.num_graphs,
+    )
+
+
+def _ginet_conv_ring(params, x_local, part: RingPartitionedBatch, axis: str, num_shards: int):
+    """One GINet conv with ring halo exchange: the transformed node block
+    rotates around the ring via ``ppermute`` while each step's local
+    segment-sum aggregates the matching source bucket — peak memory stays
+    [Vd, F] (vs [V, F] for all_gather) and each hop overlaps with compute."""
+    v_local = x_local.shape[0]
+    fcx_local = nn.linear(params["fc"], x_local)  # [Vd, out]
+    my = jax.lax.axis_index(axis)
+
+    rows = part.edge_row_local[0]  # [S, Eb]
+    cols = part.edge_col_local[0]
+    masks = part.edge_mask[0]
+
+    def bucket_contrib(buf, source_shard):
+        row = jax.lax.dynamic_index_in_dim(rows, source_shard, keepdims=False)
+        col = jax.lax.dynamic_index_in_dim(cols, source_shard, keepdims=False)
+        msk = jax.lax.dynamic_index_in_dim(masks, source_shard, keepdims=False)
+        h = buf[jnp.clip(col, 0, v_local - 1)] * msk[:, None]
+        return segment_sum(h, row, v_local)
+
+    perm = [(i, (i + 1) % num_shards) for i in range(num_shards)]
+
+    def step(k, carry):
+        acc, buf = carry
+        source_shard = (my - k) % num_shards
+        acc = acc + bucket_contrib(buf, source_shard)
+        buf = jax.lax.ppermute(buf, axis, perm)
+        return acc, buf
+
+    acc = jnp.zeros((v_local, fcx_local.shape[1]), dtype=fcx_local.dtype)
+    acc, _ = jax.lax.fori_loop(0, num_shards, step, (acc, fcx_local))
+    return acc
+
+
+def make_ring_ginet_forward(model, mesh: Mesh | None = None, axis: str = "gp"):
+    """Jitted ring-halo-exchange forward for the no-cluster GINet.
+
+    Returns ``fn(params, ring_batch) -> [G, out]`` with the output replicated.
+    """
+    mesh = mesh or default_mesh(axis)
+    axis = mesh.axis_names[0]
+    num_shards = mesh.devices.size
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def forward(params, part):
+        x_local = part.x[0]
+        node_graph = part.node_graph[0]
+        node_mask = part.node_mask[0]
+
+        def tower(conv1, conv2):
+            h = nn.relu(_ginet_conv_ring(conv1, x_local, part, axis, num_shards))
+            h = nn.relu(_ginet_conv_ring(conv2, h, part, axis, num_shards))
+            h = h * node_mask[:, None]
             sums = segment_sum(h, node_graph, part.num_graphs)
             counts = segment_sum(node_mask.astype(jnp.float32), node_graph, part.num_graphs)
             sums = jax.lax.psum(sums, axis)
