@@ -395,16 +395,45 @@ class QueryCollection:
         grid_augmentation_count: int = 0,
         log_error_traceback: bool = False,
         mp_context: str | None = None,
+        num_hosts: int | None = None,
+        host_index: int | None = None,
     ) -> list[str]:
         """Render queries into graphs (and optionally grids) in parallel.
 
-        Same parameters and defaults as the reference (query.py:481-569), plus
-        ``mp_context``: multiprocessing start method ("fork"/"spawn"/
-        "forkserver"). Defaults to "spawn" when JAX backends are already
-        initialized in this process (fork-after-JAX can deadlock), else "fork".
+        Same parameters and defaults as the reference (query.py:481-569), plus:
+
+        - ``mp_context``: multiprocessing start method ("fork"/"spawn"/
+          "forkserver"). Defaults to "spawn" when JAX backends are already
+          initialized in this process (fork-after-JAX can deadlock), else
+          "fork".
+        - ``num_hosts``/``host_index``: multi-host fan-out — this host
+          processes ``queries[host_index::num_hosts]`` and writes
+          ``<prefix>-host<h>.hdf5`` (single-writer-per-file discipline, like
+          the per-PID worker shards). Defaults follow
+          ``jax.process_count()/process_index()`` when a multi-host JAX
+          runtime is initialized, else 1/0. Feed all per-host files to
+          ``GraphDataset``/``GridDataset`` (they accept lists) — no cross-host
+          merge step is needed.
         """
         feature_modules = feature_modules or [components, contact]
         self._prefix = "processed-queries" if not prefix else re.sub(".hdf5$", "", prefix)
+
+        if num_hosts is None or host_index is None:
+            num_hosts, host_index = 1, 0
+            if "jax" in sys.modules:
+                try:
+                    import jax
+
+                    num_hosts = jax.process_count()
+                    host_index = jax.process_index()
+                except RuntimeError:
+                    pass
+        if not 0 <= host_index < num_hosts:
+            msg = f"host_index {host_index} out of range for num_hosts {num_hosts}"
+            raise ValueError(msg)
+        host_queries = self.queries[host_index::num_hosts]
+        if num_hosts > 1:
+            self._prefix = f"{self._prefix}-host{host_index}"
 
         max_cpus = os.cpu_count()
         self._cpu_count = max_cpus if cpu_count is None else min(cpu_count, max_cpus)
@@ -428,7 +457,7 @@ class QueryCollection:
             mp_context = "spawn" if jax_initialized else "fork"
         pool_function = partial(self._process_one_query, log_error_traceback=log_error_traceback)
         with multiprocessing.get_context(mp_context).Pool(self._cpu_count) as pool:
-            pool.map(pool_function, self.queries)
+            pool.map(pool_function, host_queries)
 
         output_paths = glob(f"{self._prefix}-*.hdf5")
         if combine_output:
@@ -447,9 +476,9 @@ class QueryCollection:
         if not n_processed:
             msg = "No queries have been processed."
             raise ValueError(msg)
-        if n_processed != len(self.queries):
+        if n_processed != len(host_queries):
             _log.warning(
-                f"Not all queries have been processed. You can proceed with the analysis of {n_processed}/{len(self.queries)} queries.\n"
+                f"Not all queries have been processed. You can proceed with the analysis of {n_processed}/{len(host_queries)} queries.\n"
                 "Set `log_error_traceback` to True for advanced troubleshooting.",
             )
         return output_paths

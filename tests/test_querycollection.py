@@ -131,3 +131,41 @@ def test_default_feature_modules(tmp_path, data_path) -> None:
         assert Nfeat.RESTYPE in entry[Nfeat.NODE]
         assert Efeat.ELEC in entry[Efeat.EDGE]
         assert Nfeat.PSSM not in entry[Nfeat.NODE]
+
+
+def test_process_host_sharding(data_path, tmp_path) -> None:
+    """Multi-host fan-out: each host processes queries[host::num_hosts] into
+    its own <prefix>-host<h>.hdf5; the union covers every query exactly once."""
+    import h5py
+
+    from deeprank2_tpu.dataset import GraphDataset
+
+    def make_collection():
+        qc = QueryCollection()
+        for i, res in enumerate([27, 25, 20, 64, 89]):
+            query = _srv_query(data_path)
+            query.variant_residue_number = res
+            query.targets = {"binary": i % 2}
+            qc.add(query)
+        return qc
+
+    all_names = set()
+    paths = []
+    for host in range(2):
+        qc = make_collection()
+        out = qc.process(
+            prefix=str(tmp_path / "sharded"),
+            feature_modules=["components", "contact"],
+            cpu_count=1,
+            num_hosts=2,
+            host_index=host,
+        )
+        paths.extend(out)
+        with h5py.File(out[0]) as f:
+            names = set(f.keys())
+        assert not (all_names & names)
+        all_names |= names
+    assert len(all_names) == 5
+
+    ds = GraphDataset(hdf5_path=paths, target="binary")
+    assert len(ds) == 5
