@@ -246,3 +246,30 @@ def test_multi_file(tmp_path, srv_hdf5) -> None:
     ds = GraphDataset(hdf5_path=[srv_hdf5, second], target="binary")
     single = GraphDataset(hdf5_path=srv_hdf5, target="binary")
     assert len(ds) == 2 * len(single)
+
+
+def test_grid_target_filter(grid_hdf5) -> None:
+    """Target filter conditions apply to grid datasets too (reference: test_filter_griddataset)."""
+    from deeprank2_tpu.dataset import GridDataset
+
+    ds_all = GridDataset(hdf5_path=grid_hdf5, target="irmsd", task="regress")
+    ds_low = GridDataset(hdf5_path=grid_hdf5, target="irmsd", task="regress", target_filter={"irmsd": "<2"})
+    assert 0 < len(ds_low) < len(ds_all)
+
+
+def test_incompatible_train_source_type(srv_hdf5, grid_hdf5) -> None:
+    """A grid dataset cannot inherit from a graph dataset and vice versa."""
+    from deeprank2_tpu.dataset import GraphDataset, GridDataset
+
+    graph_ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    with pytest.raises(TypeError):
+        GridDataset(hdf5_path=grid_hdf5, train_source=graph_ds)
+
+
+def test_invalid_pretrained_path(srv_hdf5, tmp_path) -> None:
+    bad = tmp_path / "not_a_model.pth.tar"
+    bad.write_bytes(b"garbage")
+    from deeprank2_tpu.dataset import GraphDataset
+
+    with pytest.raises(ValueError):
+        GraphDataset(hdf5_path=srv_hdf5, train_source=str(bad))
