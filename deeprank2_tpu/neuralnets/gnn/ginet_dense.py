@@ -63,27 +63,28 @@ class GINetClusteredDense:
             "fc2": nn.init_linear(keys[5], 128, self.output_shape),
         }
 
-    def _tower(self, conv1: dict, conv2: dict, batch: DenseGraphBatch) -> jnp.ndarray:
+    def apply(self, params: dict, batch: DenseGraphBatch, training: bool = False, rng: jax.Array | None = None) -> jnp.ndarray:
+        # Towers fused channel-wise (see GINetDense.apply): pooling is
+        # channel-independent and the pooled adjacency/clusters are
+        # tower-independent, so the community-pool congruence runs ONCE for
+        # both towers instead of twice.
         from deeprank2_tpu.ops.pooling import dense_community_pool, dense_segment_max
 
         act = nn.relu
-        x = act(ginet_conv_dense(conv1, batch.x, batch.adj))
-        x = x * batch.node_mask[:, :, None]
+        fcx = jnp.concatenate([batch.x @ params["conv1"]["fc"]["w"], batch.x @ params["conv1_ext"]["fc"]["w"]], axis=-1)
+        h = act(batch.adj @ fcx)  # [G, N, 32]
+        h = h * batch.node_mask[:, :, None]
 
-        x, _pos, adj1, _adj_w, mask1 = dense_community_pool(x, batch.pos, batch.adj, batch.cluster0)
+        h, _pos, adj1, _adj_w, mask1 = dense_community_pool(h, batch.pos, batch.adj, batch.cluster0)
 
-        x = act(ginet_conv_dense(conv2, x, adj1))
-        x = x * mask1[:, :, None]
+        fcx2 = jnp.concatenate([h[..., :16] @ params["conv2"]["fc"]["w"], h[..., 16:] @ params["conv2_ext"]["fc"]["w"]], axis=-1)
+        h = act(adj1 @ fcx2)  # [G, N, 64]
+        h = h * mask1[:, :, None]
 
         # depth-1 max pooling; cluster1 is indexed by depth-0 cluster id
-        x = dense_segment_max(x, batch.cluster1)
-        counts1 = dense_segment_max(mask1[:, :, None].astype(x.dtype), batch.cluster1)[:, :, 0]
-        return dense_masked_graph_mean(x, counts1 > 0)
-
-    def apply(self, params: dict, batch: DenseGraphBatch, training: bool = False, rng: jax.Array | None = None) -> jnp.ndarray:
-        x = self._tower(params["conv1"], params["conv2"], batch)
-        x_ext = self._tower(params["conv1_ext"], params["conv2_ext"], batch)
-        h = jnp.concatenate([x, x_ext], axis=1)
+        h = dense_segment_max(h, batch.cluster1)
+        counts1 = dense_segment_max(mask1[:, :, None].astype(h.dtype), batch.cluster1)[:, :, 0]
+        h = dense_masked_graph_mean(h, counts1 > 0)
         h = nn.relu(nn.linear(params["fc1"], h))
         h = nn.dropout(rng, h, self.dropout, training)
         return nn.linear(params["fc2"], h)
@@ -113,18 +114,19 @@ class GINetDense:
             "fc2": nn.init_linear(keys[5], 128, self.output_shape),
         }
 
-    def _tower(self, conv1: dict, conv2: dict, batch: DenseGraphBatch) -> jnp.ndarray:
-        act = nn.relu
-        x = act(ginet_conv_dense(conv1, batch.x, batch.adj))
-        x = act(ginet_conv_dense(conv2, x, batch.adj))
-        x = x * batch.node_mask[:, :, None]
-        counts = jnp.maximum(batch.node_mask.sum(axis=1), 1.0)
-        return x.sum(axis=1) / counts[:, None]  # masked per-graph mean [G, 32]
-
     def apply(self, params: dict, batch: DenseGraphBatch, training: bool = False, rng: jax.Array | None = None) -> jnp.ndarray:
-        x = self._tower(params["conv1"], params["conv2"], batch)
-        x_ext = self._tower(params["conv1_ext"], params["conv2_ext"], batch)
-        h = jnp.concatenate([x, x_ext], axis=1)
+        # Both towers share the adjacency, so their convs run fused
+        # channel-wise: one adj @ [G,N,2*out] matmul per layer instead of two
+        # half-width ones (identical math — relu and the final concat commute
+        # with the channel split).
+        act = nn.relu
+        fcx = jnp.concatenate([batch.x @ params["conv1"]["fc"]["w"], batch.x @ params["conv1_ext"]["fc"]["w"]], axis=-1)
+        h = act(batch.adj @ fcx)  # [G, N, 32] = tower1(16) || tower2(16)
+        fcx2 = jnp.concatenate([h[..., :16] @ params["conv2"]["fc"]["w"], h[..., 16:] @ params["conv2_ext"]["fc"]["w"]], axis=-1)
+        h = act(batch.adj @ fcx2)  # [G, N, 64] = tower1(32) || tower2(32)
+        h = h * batch.node_mask[:, :, None]
+        counts = jnp.maximum(batch.node_mask.sum(axis=1), 1.0)
+        h = h.sum(axis=1) / counts[:, None]  # masked per-graph mean [G, 64]
         h = nn.relu(nn.linear(params["fc1"], h))
         h = nn.dropout(rng, h, self.dropout, training)
         return nn.linear(params["fc2"], h)
