@@ -397,6 +397,7 @@ class QueryCollection:
         mp_context: str | None = None,
         num_hosts: int | None = None,
         host_index: int | None = None,
+        resume: bool = False,
     ) -> list[str]:
         """Render queries into graphs (and optionally grids) in parallel.
 
@@ -414,6 +415,9 @@ class QueryCollection:
           runtime is initialized, else 1/0. Feed all per-host files to
           ``GraphDataset``/``GridDataset`` (they accept lists) — no cross-host
           merge step is needed.
+        - ``resume``: skip queries whose entry already exists in this prefix's
+          output files — checkpoint-restart for interrupted runs (the
+          reference has no processing elasticity; SURVEY §5.3).
         """
         feature_modules = feature_modules or [components, contact]
         self._prefix = "processed-queries" if not prefix else re.sub(".hdf5$", "", prefix)
@@ -455,6 +459,19 @@ class QueryCollection:
             except AttributeError:
                 jax_initialized = "jax" in sys.modules
             mp_context = "spawn" if jax_initialized else "fork"
+        if resume:
+            existing: set[str] = set()
+            for path in glob(f"{self._prefix}.hdf5") + glob(f"{self._prefix}-*.hdf5"):
+                try:
+                    with h5py.File(path, "r") as f:
+                        existing.update(f.keys())
+                except OSError:
+                    continue
+            skipped = [q for q in host_queries if q.get_query_id() in existing]
+            host_queries = [q for q in host_queries if q.get_query_id() not in existing]
+            if skipped:
+                _log.info(f"resume: skipping {len(skipped)} already-processed queries.")
+
         pool_function = partial(self._process_one_query, log_error_traceback=log_error_traceback)
         with multiprocessing.get_context(mp_context).Pool(self._cpu_count) as pool:
             pool.map(pool_function, host_queries)

@@ -169,3 +169,28 @@ def test_process_host_sharding(data_path, tmp_path) -> None:
 
     ds = GraphDataset(hdf5_path=paths, target="binary")
     assert len(ds) == 5
+
+
+def test_process_resume_skips_done(data_path, tmp_path, caplog) -> None:
+    """resume=True skips queries whose entries already exist in the output."""
+    import logging
+
+    import h5py
+
+    def make_collection(residues):
+        qc = QueryCollection()
+        for i, res in enumerate(residues):
+            query = _srv_query(data_path)
+            query.variant_residue_number = res
+            query.targets = {"binary": i % 2}
+            qc.add(query)
+        return qc
+
+    prefix = str(tmp_path / "resumable")
+    make_collection([27, 25]).process(prefix=prefix, feature_modules=["components"], cpu_count=1)
+
+    with caplog.at_level(logging.INFO):
+        paths = make_collection([27, 25, 20]).process(prefix=prefix, feature_modules=["components"], cpu_count=1, resume=True)
+    assert any("skipping 2" in rec.message for rec in caplog.records)
+    with h5py.File(paths[0]) as f:
+        assert len(f.keys()) == 3
