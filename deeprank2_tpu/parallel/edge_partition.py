@@ -324,12 +324,12 @@ def edge_partition_scaling_report(num_shards: int, num_graphs: int = 8, nodes_pe
     part = partition_graph_batch(batch, num_shards)
     forward = make_edge_partitioned_ginet_forward(model, mesh=mesh)
     out = forward(params, part)
-    jax.block_until_ready(out)
+    float(np.asarray(out).sum())  # value transfer: block_until_ready can return early on tunnel devices
 
     t0 = time.perf_counter()
     for _ in range(10):
         out = forward(params, part)
-    jax.block_until_ready(out)
+    float(np.asarray(out).sum())
     dt = (time.perf_counter() - t0) / 10
 
     return {

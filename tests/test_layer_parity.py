@@ -250,3 +250,85 @@ def test_clustered_dense_matches_coo(family) -> None:
     out_coo = np.asarray(coo_model.apply(params, coo_batch))
     out_dense = np.asarray(dense_model.apply(params, dense_batch))
     np.testing.assert_allclose(out_coo, out_dense, rtol=2e-4, atol=1e-5)
+
+
+def test_full_train_step_parity() -> None:
+    """One complete training step (forward, CrossEntropy loss, backward, Adam
+    with L2 weight decay) matches a torch re-implementation of the reference
+    pipeline: identical updated parameters to float tolerance."""
+    from deeprank2_tpu.neuralnets.gnn.ginet_nocluster import GINet
+    from deeprank2_tpu.ops.batch import collate_graphs
+    from deeprank2_tpu.ops.losses import CrossEntropyLoss
+    from deeprank2_tpu.ops.optim import Adam
+    from deeprank2_tpu.ops.synthetic import synthetic_entries
+
+    entries = synthetic_entries(4, 16, feat_dim=6, edge_dim=2, seed=21)
+    # exact-size batch (no padding): pad_graphs=None and bucketing still pads
+    # nodes/edges, but masks make that equivalent; targets 0/1
+    batch, _ = collate_graphs(entries)
+    model = GINet(6, 2, 2)
+    params = model.init(jax.random.PRNGKey(3))
+    loss_fn = CrossEntropyLoss()
+    optimizer = Adam(lr=1e-3, weight_decay=1e-5)
+    opt_state = optimizer.init(params)
+
+    def compute(p):
+        pred = model.apply(p, batch, training=False)
+        return loss_fn(pred, batch.y.astype(jnp.int32), batch.y_mask)
+
+    loss_jax, grads = jax.value_and_grad(compute)(params)
+    new_params, _ = optimizer.step(params, grads, opt_state)
+
+    # ---- torch mirror ----
+    tp = {}  # name -> torch tensor with grad
+    for tower in ("conv1", "conv2", "conv1_ext", "conv2_ext"):
+        tp[tower] = torch.tensor(np.asarray(params[tower]["fc"]["w"]), requires_grad=True)
+    for fc in ("fc1", "fc2"):
+        tp[fc + ".w"] = torch.tensor(np.asarray(params[fc]["w"]), requires_grad=True)
+        tp[fc + ".b"] = torch.tensor(np.asarray(params[fc]["b"]), requires_grad=True)
+
+    x = torch.tensor(np.asarray(batch.x))
+    row = torch.tensor(np.asarray(batch.edge_index[0]).astype(np.int64))
+    col = torch.tensor(np.asarray(batch.edge_index[1]).astype(np.int64))
+    emask = torch.tensor(np.asarray(batch.edge_mask))
+    nmask = torch.tensor(np.asarray(batch.node_mask))
+    ngraph = torch.tensor(np.asarray(batch.node_graph).astype(np.int64))
+    num_v = x.shape[0]
+    G = batch.num_graphs
+
+    def conv(w, h):
+        fcx = h @ w
+        msg = fcx[torch.clamp(col, max=num_v - 1)] * emask[:, None]
+        out = torch.zeros(num_v, w.shape[1], dtype=h.dtype)
+        out.index_add_(0, torch.clamp(row, max=num_v - 1), msg * (row < num_v)[:, None])
+        return out
+
+    def tower(w1, w2):
+        h = torch.relu(conv(w1, x))
+        h = torch.relu(conv(w2, h))
+        h = h * nmask[:, None]
+        sums = torch.zeros(G, h.shape[1], dtype=h.dtype)
+        sums.index_add_(0, torch.clamp(ngraph, max=G - 1), h * (ngraph < G)[:, None])
+        counts = torch.zeros(G, dtype=h.dtype)
+        counts.index_add_(0, torch.clamp(ngraph, max=G - 1), nmask.to(h.dtype) * (ngraph < G))
+        return sums / counts.clamp(min=1.0)[:, None]
+
+    emb = torch.cat([tower(tp["conv1"], tp["conv2"]), tower(tp["conv1_ext"], tp["conv2_ext"])], dim=1)
+    h = torch.relu(emb @ tp["fc1.w"] + tp["fc1.b"])
+    logits = h @ tp["fc2.w"] + tp["fc2.b"]
+    y = torch.tensor(np.asarray(batch.y).astype(np.int64))
+    loss_torch = torch.nn.functional.cross_entropy(logits, y)
+    assert abs(float(loss_jax) - float(loss_torch.detach())) < 1e-5
+
+    opt = torch.optim.Adam(tp.values(), lr=1e-3, weight_decay=1e-5)
+    opt.zero_grad()
+    loss_torch.backward()
+    opt.step()
+
+    for tower_name in ("conv1", "conv2", "conv1_ext", "conv2_ext"):
+        np.testing.assert_allclose(
+            np.asarray(new_params[tower_name]["fc"]["w"]), tp[tower_name].detach().numpy(), rtol=1e-4, atol=1e-6
+        )
+    for fc in ("fc1", "fc2"):
+        np.testing.assert_allclose(np.asarray(new_params[fc]["w"]), tp[fc + ".w"].detach().numpy(), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(new_params[fc]["b"]), tp[fc + ".b"].detach().numpy(), rtol=1e-4, atol=1e-6)
