@@ -1,10 +1,11 @@
 """Residue depth and half-sphere exposure node features (reference: features/exposure.py).
 
-- ``res_depth``: mean distance of the residue's atoms to the nearest solvent-
-  accessible surface point. The reference uses Bio.PDB ResidueDepth over an
-  MSMS molecular surface; here the surface is the in-repo SAS point cloud
-  (utils/sasa.py) — a uniform ~probe-radius offset from the SES, with no
-  external binary and no 20 s SIGALRM timeout to need.
+- ``res_depth``: mean distance of the residue's atoms to the nearest
+  molecular-surface point. The reference uses Bio.PDB ResidueDepth over an
+  MSMS SES; here the surface is the in-repo SAS point cloud (utils/sasa.py),
+  which sits one probe radius outside the SES — so the probe radius is
+  subtracted from the SAS distances (floored at 0) to approximate SES depth.
+  No external binary and no 20 s SIGALRM timeout to need.
 - ``hse``: half-sphere exposure (Hamelryck 2005) from CA-only coordinates
   (Bio.PDB HSExposureCA semantics): a pseudo-CB direction from the two chain
   neighbors splits a 12 Å sphere; counts of CA atoms in the upper/lower halves
@@ -105,8 +106,13 @@ def add_features(
         raise ValueError(msg)
     surface_tree = cKDTree(surface)
 
-    # residue depth per residue: mean over its atoms' nearest-surface distances
+    # residue depth per residue: mean over its atoms' nearest-surface distances.
+    # SAS points sit one probe radius outside the SES -> subtract it (floor 0)
+    # to approximate the reference's MSMS SES depth.
+    from deeprank2_tpu.utils.sasa import PROBE_RADIUS
+
     atom_depth, _ = surface_tree.query(sa.positions, k=1)
+    atom_depth = np.maximum(atom_depth - PROBE_RADIUS, 0.0)
     res_depth = np.zeros(sa.num_residues, dtype=np.float64)
     np.add.at(res_depth, sa.atom_residue, atom_depth)
     res_depth = res_depth / np.maximum(sa.res_atom_count, 1)

@@ -16,7 +16,7 @@ def test_exposure_residue_graph(data_path) -> None:
     depth = graph.node_features[Nfeat.RESDEPTH]
     hse = graph.node_features[Nfeat.HSE]
     assert depth.shape == (graph.num_nodes,)
-    assert np.all(depth > 0)
+    assert np.all(depth >= 0)
     assert depth.max() > depth.min()  # buried vs surface residues differ
     assert hse.shape == (graph.num_nodes, 3)
     assert np.any(hse[:, 0] + hse[:, 1] > 0)
