@@ -29,6 +29,21 @@ def ginet_conv_dense(params: dict, x: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndar
     return adj @ fcx
 
 
+_TOWER_BACKEND = "xla"
+
+
+def set_dense_tower_backend(name: str) -> None:
+    """Select the no-cluster tower implementation: "xla" (default; batched
+    matmuls, ~90 % of HBM speed-of-light on v5e) or "pallas" (fused
+    single-adjacency-pass kernel, ops/pallas_ginet.py — see the measured
+    numbers there; kept for re-profiling on directly-attached chips)."""
+    global _TOWER_BACKEND
+    if name not in ("xla", "pallas"):
+        msg = f"unknown dense tower backend: {name}"
+        raise ValueError(msg)
+    _TOWER_BACKEND = name
+
+
 def dense_masked_graph_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Masked mean over the node/cluster axis of ``[G, N, F]`` blocks."""
     x = x * mask[:, :, None]
@@ -120,12 +135,24 @@ class GINetDense:
         # half-width ones (identical math — relu and the final concat commute
         # with the channel split).
         act = nn.relu
+        counts = jnp.maximum(batch.node_mask.sum(axis=1), 1.0)
+        if _TOWER_BACKEND == "pallas":
+            from deeprank2_tpu.ops import pallas_ginet
+
+            if pallas_ginet.supports(batch.num_graphs):
+                w1 = jnp.concatenate([params["conv1"]["fc"]["w"], params["conv1_ext"]["fc"]["w"]], axis=-1)
+                w2a, w2b = params["conv2"]["fc"]["w"], params["conv2_ext"]["fc"]["w"]
+                w2 = jnp.block([[w2a, jnp.zeros_like(w2b)], [jnp.zeros_like(w2a), w2b]])
+                pooled = pallas_ginet.ginet_tower_pooled(w1, w2, batch.x, batch.adj, batch.node_mask.astype(jnp.float32))
+                h = pooled / counts[:, None]
+                h = nn.relu(nn.linear(params["fc1"], h))
+                h = nn.dropout(rng, h, self.dropout, training)
+                return nn.linear(params["fc2"], h)
         fcx = jnp.concatenate([batch.x @ params["conv1"]["fc"]["w"], batch.x @ params["conv1_ext"]["fc"]["w"]], axis=-1)
         h = act(batch.adj @ fcx)  # [G, N, 32] = tower1(16) || tower2(16)
         fcx2 = jnp.concatenate([h[..., :16] @ params["conv2"]["fc"]["w"], h[..., 16:] @ params["conv2_ext"]["fc"]["w"]], axis=-1)
         h = act(batch.adj @ fcx2)  # [G, N, 64] = tower1(32) || tower2(32)
         h = h * batch.node_mask[:, :, None]
-        counts = jnp.maximum(batch.node_mask.sum(axis=1), 1.0)
         h = h.sum(axis=1) / counts[:, None]  # masked per-graph mean [G, 64]
         h = nn.relu(nn.linear(params["fc1"], h))
         h = nn.dropout(rng, h, self.dropout, training)

@@ -42,6 +42,15 @@ _log = logging.getLogger(__name__)
 VALID_RESOLUTIONS = ["atom", "residue"]
 
 
+def _jax_backends_initialized() -> bool:
+    """True when a JAX backend is live in this process (fork would then be
+    unsafe for worker pools). Never *initializes* a backend itself."""
+    try:
+        return bool("jax" in sys.modules and sys.modules["jax"]._src.xla_bridge._backends)
+    except AttributeError:
+        return "jax" in sys.modules
+
+
 @dataclass(repr=False, kw_only=True)
 class Query:
     """Parent class of :class:`SingleResidueVariantQuery` and :class:`ProteinProteinInterfaceQuery`.
@@ -424,10 +433,14 @@ class QueryCollection:
 
         if num_hosts is None or host_index is None:
             num_hosts, host_index = 1, 0
-            if "jax" in sys.modules:
-                try:
-                    import jax
+            # only consult jax when its backends are ALREADY initialized:
+            # jax.process_count() itself initializes a backend, which would
+            # silently flip the mp_context heuristic below to "spawn" for
+            # every caller (and spawn re-imports the user's __main__).
+            if _jax_backends_initialized():
+                import jax
 
+                try:
                     num_hosts = jax.process_count()
                     host_index = jax.process_index()
                 except RuntimeError:
@@ -454,11 +467,7 @@ class QueryCollection:
         self._grid_augmentation_count = grid_augmentation_count
 
         if mp_context is None:
-            try:
-                jax_initialized = bool("jax" in sys.modules and sys.modules["jax"]._src.xla_bridge._backends)
-            except AttributeError:
-                jax_initialized = "jax" in sys.modules
-            mp_context = "spawn" if jax_initialized else "fork"
+            mp_context = "spawn" if _jax_backends_initialized() else "fork"
         if resume:
             existing: set[str] = set()
             for path in glob(f"{self._prefix}.hdf5") + glob(f"{self._prefix}-*.hdf5"):
@@ -473,8 +482,15 @@ class QueryCollection:
                 _log.info(f"resume: skipping {len(skipped)} already-processed queries.")
 
         pool_function = partial(self._process_one_query, log_error_traceback=log_error_traceback)
-        with multiprocessing.get_context(mp_context).Pool(self._cpu_count) as pool:
-            pool.map(pool_function, host_queries)
+        if self._cpu_count == 1:
+            # single worker: run in-process. Same single-writer-per-file
+            # semantics (one PID, one shard), none of the start-method
+            # hazards (spawn re-imports the caller's __main__).
+            for query in host_queries:
+                pool_function(query)
+        else:
+            with multiprocessing.get_context(mp_context).Pool(self._cpu_count) as pool:
+                pool.map(pool_function, host_queries)
 
         output_paths = glob(f"{self._prefix}-*.hdf5")
         if combine_output:
