@@ -2,10 +2,12 @@
 
 - ``res_depth``: mean distance of the residue's atoms to the nearest
   molecular-surface point. The reference uses Bio.PDB ResidueDepth over an
-  MSMS SES; here the surface is the in-repo SAS point cloud (utils/sasa.py),
+  MSMS SES; the default here is the in-repo SAS point cloud (utils/sasa.py),
   which sits one probe radius outside the SES — so the probe radius is
   subtracted from the SAS distances (floored at 0) to approximate SES depth.
-  No external binary and no 20 s SIGALRM timeout to need.
+  ``set_depth_method("ses_edt")`` switches to the exact grid-EDT SES
+  (utils/ses.py, MSMS-faithful including reentrant surface, ~1 s/structure
+  slower). No external binary and no 20 s SIGALRM timeout to need.
 - ``hse``: half-sphere exposure (Hamelryck 2005) from CA-only coordinates
   (Bio.PDB HSExposureCA semantics): a pseudo-CB direction from the two chain
   neighbors splits a 12 Å sphere; counts of CA atoms in the upper/lower halves
@@ -22,6 +24,18 @@ from deeprank2_tpu.utils.graph import Graph
 from deeprank2_tpu.utils.sasa import surface_points
 
 HSE_RADIUS = 12.0
+
+_DEPTH_METHOD = "sas_offset"
+
+
+def set_depth_method(name: str) -> None:
+    """Residue-depth backend: "sas_offset" (default, fast SAS-point-cloud
+    approximation) or "ses_edt" (exact grid-EDT solvent-excluded surface)."""
+    global _DEPTH_METHOD
+    if name not in ("sas_offset", "ses_edt"):
+        msg = f"unknown depth method: {name}"
+        raise ValueError(msg)
+    _DEPTH_METHOD = name
 
 
 def _ca_table(arrays) -> tuple[np.ndarray, np.ndarray]:
@@ -100,19 +114,25 @@ def add_features(
     single_amino_acid_variant=None,  # noqa: ARG001
 ) -> None:  # noqa: D103
     sa = graph.arrays
-    surface = surface_points(sa)
-    if len(surface) == 0:
-        msg = "Empty solvent-accessible surface; cannot compute residue depth."
-        raise ValueError(msg)
-    surface_tree = cKDTree(surface)
+    if _DEPTH_METHOD == "ses_edt":
+        from deeprank2_tpu.utils.sasa import atom_radii
+        from deeprank2_tpu.utils.ses import atom_ses_depth
 
-    # residue depth per residue: mean over its atoms' nearest-surface distances.
-    # SAS points sit one probe radius outside the SES -> subtract it (floor 0)
-    # to approximate the reference's MSMS SES depth.
-    from deeprank2_tpu.utils.sasa import PROBE_RADIUS
+        atom_depth = atom_ses_depth(sa.positions, atom_radii(np.asarray(sa.elements)))
+    else:
+        surface = surface_points(sa)
+        if len(surface) == 0:
+            msg = "Empty solvent-accessible surface; cannot compute residue depth."
+            raise ValueError(msg)
+        surface_tree = cKDTree(surface)
 
-    atom_depth, _ = surface_tree.query(sa.positions, k=1)
-    atom_depth = np.maximum(atom_depth - PROBE_RADIUS, 0.0)
+        # residue depth per residue: mean over its atoms' nearest-surface
+        # distances. SAS points sit one probe radius outside the SES ->
+        # subtract it (floor 0) to approximate the reference's MSMS SES depth.
+        from deeprank2_tpu.utils.sasa import PROBE_RADIUS
+
+        atom_depth, _ = surface_tree.query(sa.positions, k=1)
+        atom_depth = np.maximum(atom_depth - PROBE_RADIUS, 0.0)
     res_depth = np.zeros(sa.num_residues, dtype=np.float64)
     np.add.at(res_depth, sa.atom_residue, atom_depth)
     res_depth = res_depth / np.maximum(sa.res_atom_count, 1)
