@@ -64,12 +64,11 @@ def assign_secondary_structure(arrays) -> dict[int, str]:
     # amide H from previous residue C=O; none for chain starts and prolines
     h_pos = np.full((n, 3), np.nan)
     is_pro = np.array([arrays.res_aa_ids[r] >= 0 and _is_proline(arrays, r) for r in res_ids])
-    for i in range(1, n):
-        if connected[i - 1] and not is_pro[i]:
-            co = bb["C"][i - 1] - bb["O"][i - 1]
-            norm = np.linalg.norm(co)
-            if norm > 0:
-                h_pos[i] = bb["N"][i] + co / norm
+    if n > 1:
+        co = bb["C"][:-1] - bb["O"][:-1]
+        co_norm = np.linalg.norm(co, axis=1)
+        ok = connected[:-1] & ~is_pro[1:] & (co_norm > 0)
+        h_pos[1:][ok] = bb["N"][1:][ok] + co[ok] / co_norm[ok, None]
 
     # H-bond energy matrix: donor NH(i) ... acceptor CO(j) (fully vectorized)
     has_h = ~np.isnan(h_pos[:, 0])
