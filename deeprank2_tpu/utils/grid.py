@@ -152,6 +152,11 @@ class Grid:
     def zs(self) -> np.ndarray:
         return self._zs
 
+    # reference-parity aliases (reference grid.py: Grid.xgrid/ygrid/zgrid)
+    xgrid = xs
+    ygrid = ys
+    zgrid = zs
+
     @property
     def shape(self) -> tuple[int, int, int]:
         return (len(self._xs), len(self._ys), len(self._zs))
