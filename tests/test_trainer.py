@@ -264,3 +264,22 @@ def test_resume_past_end_raises(srv_hdf5, tmp_path) -> None:
     trainer2 = Trainer(VanillaNetwork, dataset_train=GraphDataset(hdf5_path=srv_hdf5, target="binary"), output_exporters=[])
     with pytest.raises(ValueError, match="nothing to resume"):
         trainer2.train(nepoch=2, batch_size=4, filename=None, resume_from=snap)
+
+
+@pytest.mark.parametrize(("validate", "best_model"), [(True, True), (False, True), (False, False), (True, False)])
+def test_nan_loss_cases(validate, best_model, srv_hdf5, tmp_path) -> None:
+    """Exploding SGD -> NaN losses: a model is still saved, with the warning
+    (reference: tests/test_integration.py:252-299)."""
+    import warnings
+
+    from deeprank2_tpu.ops.optim import SGD
+
+    ds_train = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    ds_valid = GraphDataset(hdf5_path=srv_hdf5, train_source=ds_train)
+    trainer = Trainer(VanillaNetwork, dataset_train=ds_train, dataset_val=ds_valid, output_exporters=[])
+    trainer.configure_optimizers(SGD, lr=10000, weight_decay=10000)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        trainer.train(nepoch=5, batch_size=1, validate=validate, best_model=best_model, filename=str(tmp_path / "nan.pth.tar"))
+    messages = [str(w.message) for w in caught if issubclass(w.category, UserWarning)]
+    assert any("losses were NaN" in m for m in messages)

@@ -38,3 +38,13 @@ def test_residue_contact_pairs(data_path) -> None:
     chain_a = arrays.chain_ids.index("A")
     chain_b = arrays.chain_ids.index("B")
     assert all(arrays.res_chain[r1] == chain_a and arrays.res_chain[r2] == chain_b for r1, r2 in pairs)
+
+
+def test_get_structure_from_nmr_with_dna(data_path) -> None:
+    """NMR multi-model PDB with DNA chains: first model only, DNA residues
+    carry no amino acid (reference: tests/utils/test_buildgraph.py:37-46)."""
+    from deeprank2_tpu.utils.buildgraph import get_structure
+
+    structure = get_structure(str(data_path / "pdb" / "1A6B" / "1A6B.pdb"), "1A6B").to_structure()
+    assert len(structure.chains) > 0
+    assert structure.chains[0].residues[0].amino_acid is None  # DNA

@@ -81,3 +81,36 @@ def test_rotate_points() -> None:
     center = np.array([1.0, 2.0, 3.0])
     out2 = rotate_points(points, np.array([0.3, 0.5, 0.8]), 1.234, center)
     assert np.linalg.norm(out2 - center) == pytest.approx(np.linalg.norm(points - center))
+
+
+def test_grid_orientation(data_path) -> None:
+    """Grid axes/center must match the original DeepRank convention
+    (back-compat oracle: reference tests/utils/test_grid.py:8-49 against
+    its pre-generated original-deeprank-1ak4.hdf5)."""
+    import h5py
+
+    from deeprank2_tpu.query import ProteinProteinInterfaceQuery
+
+    coord_error_margin = 1.0  # Angstrom
+    with h5py.File(str(data_path / "hdf5" / "original-deeprank-1ak4.hdf5"), "r") as f:
+        grid_points = f["1AK4/grid_points"]
+        target_xs = grid_points["x"][()]
+        target_ys = grid_points["y"][()]
+        target_zs = grid_points["z"][()]
+        target_center = grid_points["center"][()]
+
+    for resolution in ("residue", "atom"):
+        query = ProteinProteinInterfaceQuery(
+            pdb_path=str(data_path / "pdb" / "1ak4" / "1ak4.pdb"),
+            resolution=resolution,
+            chain_ids=["C", "D"],
+            influence_radius=8.5,
+            max_edge_length=8.5,
+        )
+        graph = query.build([])
+        g = Grid("test_grid", graph.center, GridSettings([10, 10, 10], [30.0, 30.0, 30.0]))
+        graph.map_to_grid(g, MapMethod.FAST_GAUSSIAN)
+        assert np.all(np.abs(target_center - g.center) < coord_error_margin)
+        for ours, target in ((g.xs, target_xs), (g.ys, target_ys), (g.zs, target_zs)):
+            assert ours.shape == target.shape
+            assert np.all(np.abs(ours - target) < coord_error_margin)
