@@ -194,3 +194,47 @@ def test_process_resume_skips_done(data_path, tmp_path, caplog) -> None:
     assert any("skipping 2" in rec.message for rec in caplog.records)
     with h5py.File(paths[0]) as f:
         assert len(f.keys()) == 3
+
+
+def test_augmentation(tmp_path, data_path) -> None:
+    """Grid augmentation through process(): (count+1) entries per query, all
+    loadable by GridDataset (reference: tests/test_query.py test_augmentation)."""
+    import h5py
+
+    from deeprank2_tpu.dataset import GridDataset
+    from deeprank2_tpu.utils.grid import GridSettings, MapMethod
+
+    qc = QueryCollection()
+    qc.add(
+        ProteinProteinInterfaceQuery(
+            pdb_path=str(data_path / "pdb" / "3C8P" / "3C8P.pdb"),
+            resolution="residue",
+            chain_ids=["A", "B"],
+            targets={"binary": 0},
+        )
+    )
+    qc.add(
+        ProteinProteinInterfaceQuery(
+            pdb_path=str(data_path / "pdb" / "3C8P" / "3C8P.pdb"),
+            resolution="atom",
+            chain_ids=["A", "B"],
+            targets={"binary": 1},
+        )
+    )
+
+    augmentation_count = 3
+    expected = (augmentation_count + 1) * len(qc.queries)
+    paths = qc.process(
+        prefix=str(tmp_path / "qc"),
+        feature_modules=["components", "contact"],
+        cpu_count=1,
+        grid_settings=GridSettings([20, 20, 20], [20.0, 20.0, 20.0]),
+        grid_map_method=MapMethod.GAUSSIAN,
+        grid_augmentation_count=augmentation_count,
+    )
+    with h5py.File(paths[0], "r") as f5:
+        entry_names = list(f5.keys())
+    assert len(entry_names) == expected
+
+    dataset = GridDataset(paths[0], target="binary")
+    assert len(dataset) == expected
