@@ -660,6 +660,10 @@ class Trainer:
                 self.epoch_saved_model = epoch
                 _log.info(f"Last model saved at epoch # {self.epoch_saved_model}.")
                 if not saved_model:
+                    # reference parity (trainer.py:648-656): with
+                    # best_model=False the reference also emits this NaN
+                    # warning on perfectly healthy losses (saved_model can
+                    # only become True on the best_model path) — reproduced.
                     warnings.warn(
                         "A model has been saved but the validation and/or the training losses were NaN;\n\t"
                         "try to increase the cutoff distance during the data processing or the number of data points during the training.",
