@@ -710,8 +710,15 @@ class Trainer:
         outputs = []
         entry_names = []
         t0 = time()
+        # keep losses/predictions on device during the loop: every step only
+        # queues async work, the epoch pipelines without a host sync per batch
+        # (a device->host value fetch costs ~ms; much more over a TPU tunnel)
+        pending = []
         for batch, names, stats in self._iter_batches(self.dataset_train, batch_size, shuffle, loader_rng, prefetch=self._prefetch):
             self.params, self.opt_state, loss_, pred, self._rng = self._train_step(self.params, self.opt_state, self._rng, batch)
+            pending.append((loss_, pred, names, stats))
+
+        for loss_, pred, names, stats in pending:
             n_valid = stats["n_valid"]
             count_predictions += n_valid
             total_edges += stats["n_edges"]
@@ -736,8 +743,12 @@ class Trainer:
         sum_of_losses = 0.0
         count_predictions = 0
         t0 = time()
+        pending = []
         for batch, names, stats in self._iter_batches(dataset, batch_size, shuffle=False, rng=None, prefetch=self._prefetch):
             loss_, pred = self._eval_step(self.params, batch)
+            pending.append((loss_, pred, names, stats))
+
+        for loss_, pred, names, stats in pending:
             n_valid = stats["n_valid"]
             if n_valid > 0:
                 count_predictions += n_valid
