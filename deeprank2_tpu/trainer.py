@@ -116,6 +116,15 @@ class Trainer:
 
             self._load_model()
 
+            if getattr(self.neuralnet, "needs_clusters", False) and self.clustering_method is None:
+                # fail clearly at setup instead of a TypeError from the batch
+                # collator (the reference fails just as opaquely in forward)
+                msg = (
+                    f"{self.neuralnet.__name__} pools over communities and needs preclustered data: "
+                    'construct the dataset with clustering_method="mcl" (or "louvain").'
+                )
+                raise ValueError(msg)
+
             if self.clustering_method is not None:
                 if self.clustering_method in ("mcl", "louvain"):
                     _log.info("Loading clusters")

@@ -283,3 +283,11 @@ def test_nan_loss_cases(validate, best_model, srv_hdf5, tmp_path) -> None:
         trainer.train(nepoch=5, batch_size=1, validate=validate, best_model=best_model, filename=str(tmp_path / "nan.pth.tar"))
     messages = [str(w.message) for w in caught if issubclass(w.category, UserWarning)]
     assert any("losses were NaN" in m for m in messages)
+
+
+def test_clustered_model_without_clustering_method_raises(srv_hdf5) -> None:
+    from deeprank2_tpu.neuralnets.gnn.ginet_dense import GINetClusteredDense
+
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")  # no clustering_method
+    with pytest.raises(ValueError, match="needs preclustered data"):
+        Trainer(GINetClusteredDense, dataset_train=ds, output_exporters=[])
