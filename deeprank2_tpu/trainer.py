@@ -241,6 +241,12 @@ class Trainer:
 
     def _load_pretrained_model(self) -> None:
         self._put_model_to_device(self.dataset_test)
+        if getattr(self, "_model_state_format", "native") == "torch":
+            # reference (PyTorch) checkpoint: translate the flat state_dict
+            # into this architecture's parameter pytree
+            from deeprank2_tpu.neuralnets.torch_interop import translate_state_dict
+
+            self.model_load_state_dict = translate_state_dict(self.neuralnet.__name__, self.model_load_state_dict, template=self.params)
         # restore parameters and optimizer state
         self.optimizer = self._optimizer_cls(lr=self.lr, weight_decay=self.weight_decay)
         self.params = jax.tree.map(jnp.asarray, self.model_load_state_dict)
@@ -803,6 +809,7 @@ class Trainer:
 
         self.data_type = state["data_type"]
         self.model_load_state_dict = state["model_state"]
+        self._model_state_format = state.get("model_state_format", "native")
         self._optimizer_cls = state["optimizer"]
         self.opt_loaded_state_dict = state["optimizer_state"]
         self.lossfunction = state["lossfunction"]

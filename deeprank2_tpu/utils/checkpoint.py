@@ -55,8 +55,13 @@ def save_checkpoint(state: dict, path: str) -> None:
 
 
 def load_checkpoint(path: str) -> dict:
-    """Load a checkpoint saved by :func:`save_checkpoint` (either format)."""
+    """Load a checkpoint saved by :func:`save_checkpoint` (either format), or
+    a checkpoint produced by the reference (PyTorch) framework."""
     if not is_orbax_path(path):
+        import zipfile
+
+        if zipfile.is_zipfile(path):  # torch.save zip container
+            return _load_reference_checkpoint(path)
         with open(path, "rb") as f:
             return pickle.load(f)  # noqa: S301
 
@@ -99,3 +104,98 @@ def _maybe_int(key: str):
         return int(key)
     except (TypeError, ValueError):
         return key
+
+
+# ---------------------------------------------------------------------------
+# Reference (PyTorch) checkpoint import
+# ---------------------------------------------------------------------------
+class _InertMeta(type):
+    """Metaclass for stub classes standing in for unimportable pickled types.
+
+    Calling a stub returns another stub *class* (dill reconstructs functions
+    and types by calling loader helpers whose results are then used as
+    classes); attribute access also yields stubs. ``__setstate__`` absorbs any
+    state. This lets the reference checkpoint's dill-serialized objects and
+    ``deeprank2.*`` class references deserialize inertly — their *data* is
+    not needed, only the surrounding dict — without importing the reference
+    package (whose Python-3.10 code objects crash this interpreter).
+    """
+
+    def __call__(cls, *args, **kwargs):  # noqa: ARG002
+        return _inert(f"{cls.__name__}_r")
+
+    def __getattr__(cls, name):
+        if name.startswith("__") and name.endswith("__"):
+            raise AttributeError(name)
+        return _inert(name)
+
+
+def _inert(name: str) -> type:
+    return _InertMeta(name, (), {"__setstate__": lambda *a, **k: None})
+
+
+def _load_reference_checkpoint(path: str) -> dict:
+    """Load a reference ``torch.save`` checkpoint into our state schema.
+
+    The model weights stay a flat torch-style state_dict (numpy values) with
+    ``model_state_format="torch"``; the Trainer translates them into the
+    selected architecture's pytree (neuralnets/torch_interop.py). The
+    optimizer state is NOT imported (its param ordering is
+    architecture-internal to torch) — fine for inference/fine-tune restarts.
+    """
+    import logging
+
+    import torch
+
+    from deeprank2_tpu.ops import losses as loss_nn
+    from deeprank2_tpu.ops import optim
+
+    log = logging.getLogger(__name__)
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module.split(".")[0] in ("deeprank2", "dill"):
+                return _inert(name)
+            return super().find_class(module, name)
+
+    class _PickleShim:
+        Unpickler = _Unpickler
+        load = staticmethod(pickle.load)
+
+    state = torch.load(path, map_location="cpu", weights_only=False, pickle_module=_PickleShim)
+
+    def to_numpy(value):
+        if isinstance(value, torch.Tensor):
+            return np.asarray(value.detach().numpy())
+        if isinstance(value, dict):
+            return {k: to_numpy(v) for k, v in value.items()}
+        return value
+
+    state["model_state"] = {k: to_numpy(v) for k, v in dict(state["model_state"]).items()}
+    state["model_state_format"] = "torch"
+
+    data_type = state.get("data_type")
+    if not isinstance(data_type, str):
+        state["data_type"] = getattr(data_type, "__name__", str(data_type))
+
+    opt = state.get("optimizer")
+    opt_name = opt.__name__ if isinstance(opt, type) else type(opt).__name__
+    opt_name = opt_name.removesuffix("_r")
+    state["optimizer"] = getattr(optim, opt_name, None)
+    if state["optimizer"] is None:
+        log.warning(f"Unknown optimizer {opt_name!r} in reference checkpoint; defaulting to Adam.")
+        state["optimizer"] = optim.Adam
+    state["optimizer_state"] = None  # torch param ordering is not portable
+
+    loss_name = type(state.get("lossfunction")).__name__.removesuffix("_r")
+    loss_cls = getattr(loss_nn, loss_name, None)
+    if loss_cls is None:
+        log.warning(f"Unknown loss {loss_name!r} in reference checkpoint; using task default.")
+        state["lossfunction"] = None
+    else:
+        state["lossfunction"] = loss_cls()
+
+    for key in ("means", "devs", "class_weights"):
+        if key in state:
+            state[key] = to_numpy(state[key])
+    return state
