@@ -73,6 +73,29 @@ def dp_scaling_report(shard_counts=(1, 2, 4, 8), graphs_per_shard: int = 64, ste
 
 
 if __name__ == "__main__":
+    import os
+
+    import jax
+
+    if os.environ.get("_SCALING_PERF_CPU") == "1":
+        # child: pin the CPU backend before any device query (the
+        # JAX_PLATFORMS env var does not override this box's TPU plugin;
+        # jax.config.update does — same approach as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+    elif jax.device_count() < 8:
+        # single-chip box: re-exec onto an 8-device virtual CPU mesh
+        import subprocess
+        import sys
+
+        env = dict(os.environ, _SCALING_PERF_CPU="1", XLA_FLAGS=os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8")
+        raise SystemExit(subprocess.call([sys.executable, __file__], env=env))
+
+    if os.environ.get("_SCALING_PERF_CPU") == "1":
+        print(
+            "# virtual 8-device CPU mesh (2 physical cores): validates the "
+            "sharded collation + collectives; efficiency numbers reflect core "
+            "oversubscription, not ICI scaling — run on a real slice for those"
+        )
     for r in dp_scaling_report():
         print(
             f"shards={r['shards']:2d} graphs={r['graphs']:4d} "
