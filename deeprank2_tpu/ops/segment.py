@@ -15,13 +15,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_SEGMENT_BACKEND = "xla"
+_SEGMENT_BACKEND = "pallas"
 
 
 def set_segment_backend(name: str) -> None:
-    """Select the segment-sum implementation: "xla" (default scatter) or
-    "pallas" (banded one-hot MXU matmul; used for sorted-row 2D sums on TPU).
-    """
+    """Select the segment-sum implementation: "pallas" (default; banded
+    one-hot MXU matmul for sorted-row 2D sums on TPU — 1.7x XLA's sorted
+    scatter at exact f32, see ops/pallas_segment.py) or "xla" (scatter;
+    also what non-TPU backends and unsorted/1D sums always use)."""
     global _SEGMENT_BACKEND
     if name not in ("xla", "pallas"):
         msg = f"unknown segment backend: {name}"
