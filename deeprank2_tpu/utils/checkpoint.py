@@ -153,10 +153,15 @@ def _load_reference_checkpoint(path: str) -> dict:
     log = logging.getLogger(__name__)
 
     class _Unpickler(pickle.Unpickler):
+        # whitelist unpickler: only torch/numpy/collections reconstruct for
+        # real; everything else (deeprank2.*, dill-by-value objects, and any
+        # os.system-style gadget a tampered file could carry) becomes an
+        # inert stub instead of executing
         def find_class(self, module, name):
-            if module.split(".")[0] in ("deeprank2", "dill"):
-                return _inert(name)
-            return super().find_class(module, name)
+            root = module.split(".")[0]
+            if root in ("torch", "numpy", "collections") or (module, name) == ("_codecs", "encode"):
+                return super().find_class(module, name)
+            return _inert(name)
 
     class _PickleShim:
         Unpickler = _Unpickler
