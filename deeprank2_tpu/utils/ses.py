@@ -51,7 +51,13 @@ def atom_ses_depth(
 
     margin = float(rad.max()) + probe_radius + 2.0 * spacing
     lo = pos.min(axis=0) - margin
-    shape = np.ceil((pos.max(axis=0) + margin - lo) / spacing).astype(int) + 1
+    extent = pos.max(axis=0) + margin - lo
+    # bound the voxel count (the EDT fields are f64): coarsen spacing for
+    # very large complexes rather than allocating multi-GB grids
+    max_voxels = 32e6
+    min_spacing = float(np.cbrt(np.prod(extent) / max_voxels))
+    spacing = max(spacing, min_spacing)
+    shape = np.ceil(extent / spacing).astype(int) + 1
 
     # 1. stamp probe-inflated spheres, vectorized per unique radius
     blocked = np.zeros(shape, dtype=bool)
