@@ -35,3 +35,23 @@ def test_native_parser_missing_file() -> None:
         pytest.skip("native kernels unavailable (no compiler)")
     with pytest.raises(FileNotFoundError):
         parse_pdb("/nonexistent/file.pdb")
+
+
+def test_parser_tolerates_malformed_lines(tmp_path) -> None:
+    """Garbage lines are skipped, never crash the parser (both backends)."""
+    from deeprank2_tpu.io.pdb import parse_pdb
+
+    ok1 = "ATOM      1  CA  ALA A   1      11.104   6.134  -6.504  1.00  0.00           C"
+    ok2 = "ATOM      2  CB  ALA A   1      12.104   6.134  -6.504  1.00  0.00           C"
+    garbage = [
+        "ATOM  incomplete",
+        "ATOM      1  CA  ALA A   1      bad.xx  10.0  10.0  1.00 10.00           C",
+        "\x00\xff binary noise",
+        "A" * 500,
+        "",
+    ]
+    for g in garbage:
+        path = tmp_path / "fuzz.pdb"
+        path.write_text(f"{ok1}\n{g}\n{ok2}\n")
+        arrays = parse_pdb(str(path))
+        assert arrays.num_atoms == 2
