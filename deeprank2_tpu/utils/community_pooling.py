@@ -103,6 +103,9 @@ def louvain_partition(edge_index: np.ndarray, num_nodes: int, seed: int = 0) -> 
         return {i: i for i in range(num_nodes)}
 
     degrees = a.sum(axis=1)
+    # sigma[c] = total degree of community c, maintained incrementally so a
+    # node visit costs O(degree) instead of O(N) per candidate community
+    sigma = degrees.copy()
     improved = True
     while improved:
         improved = False
@@ -112,27 +115,24 @@ def louvain_partition(edge_index: np.ndarray, num_nodes: int, seed: int = 0) -> 
             if neighbors.size == 0:
                 continue
             k_i = degrees[node]
+            weights = a[node, neighbors]
+            # links from `node` into each neighboring community
+            link: dict[int, float] = {}
+            for comm, w in zip(node_to_comm[neighbors], weights):
+                link[comm] = link.get(comm, 0.0) + w
 
-            def gain_of(comm: int) -> float:
-                """Modularity gain of adding `node` (removed from its community) to `comm`."""
-                members = node_to_comm == comm
-                in_links = a[node, members].sum()
-                sigma_tot = degrees[members].sum()
-                if comm == current:
-                    sigma_tot -= k_i
-                    in_links -= a[node, node]  # self weight (zero here)
-                return in_links - sigma_tot * k_i / (2.0 * total_weight)
-
-            candidates = np.unique(node_to_comm[neighbors])
+            # gain of staying: node removed from its community first
             best_comm = current
-            best_gain = gain_of(current)
-            for comm in candidates:
+            best_gain = link.get(current, 0.0) - (sigma[current] - k_i) * k_i / (2.0 * total_weight)
+            for comm, in_links in link.items():
                 if comm == current:
                     continue
-                g = gain_of(comm)
-                if g > best_gain:
-                    best_gain, best_comm = g, comm
+                gain = in_links - sigma[comm] * k_i / (2.0 * total_weight)
+                if gain > best_gain:
+                    best_gain, best_comm = gain, comm
             if best_comm != current:
+                sigma[current] -= k_i
+                sigma[best_comm] += k_i
                 node_to_comm[node] = best_comm
                 improved = True
 
