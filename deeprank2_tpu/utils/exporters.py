@@ -242,7 +242,10 @@ class HDF5OutputExporter(OutputExporter):
                 del f[key]
             grp = f.create_group(key)
             grp.create_dataset("phase", data=np.array([r[0] for r in rows]).astype("S"))
-            grp.create_dataset("epoch", data=np.array([r[1] for r in rows], dtype=np.int64))
+            # epoch may be None when testing a pretrained model whose
+            # checkpoint predates a best-model save (the reference stores
+            # NaN via pandas in that case) -> -1 marks "unknown epoch"
+            grp.create_dataset("epoch", data=np.array([-1 if r[1] is None else r[1] for r in rows], dtype=np.int64))
             grp.create_dataset("entry", data=np.array([r[2] for r in rows]).astype("S"))
             outputs = [np.atleast_1d(np.asarray(r[3], dtype=np.float64)) for r in rows]
             width = max((o.shape[0] for o in outputs), default=1)

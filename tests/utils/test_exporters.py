@@ -90,3 +90,18 @@ def test_collection(tmp_path, epoch_data) -> None:
         collection.process("training", 0, names, outputs, targets, 0.1)
     assert len(e1.read("training")) == 4
     assert len(e2.read("training")) == 4
+
+
+def test_hdf5_exporter_tolerates_none_epoch(tmp_path) -> None:
+    """Testing a pretrained model whose checkpoint predates a best-model save
+    passes epoch=None (reference stores NaN via pandas); we write -1."""
+    import h5py
+    import numpy as np
+
+    from deeprank2_tpu.utils.exporters import HDF5OutputExporter
+
+    exporter = HDF5OutputExporter(str(tmp_path))
+    with exporter:
+        exporter.process("testing", None, ["e0", "e1"], [[0.2, 0.8], [0.7, 0.3]], [1, 0], 0.5)
+    with h5py.File(tmp_path / "output_exporter.hdf5", "r") as f:
+        assert np.all(f["testing"]["epoch"][()] == -1)
