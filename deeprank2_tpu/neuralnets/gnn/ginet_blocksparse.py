@@ -1,0 +1,70 @@
+"""GINet on block-sparse adjacencies — the large-graph (atomic-resolution) path.
+
+Same math and parameter pytree as the no-cluster GINet (reference:
+neuralnets/gnn/ginet_nocluster.py; see ginet.py here for the attention-is-1
+parity notes), but the aggregation runs as BCSR SpMM (ops/block_sparse.py)
+instead of gather + segment-sum, and the two towers are fused channel-wise so
+each layer costs ONE SpMM over the concatenated tower channels:
+
+- layer 1: ``spmm(A, [x W1_int || x W1_ext])``  (F -> 16+16 channels)
+- layer 2: ``spmm(A, [h_int W2_int || h_ext W2_ext])``  (16+16 -> 32+32)
+
+Checkpoints are interchangeable with the COO model: ``init`` delegates to it
+and ``apply`` matches its outputs to float tolerance (tests/utils/
+test_block_sparse.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from deeprank2_tpu.neuralnets import nn
+from deeprank2_tpu.neuralnets.gnn.ginet_nocluster import GINet as GINetCOO
+from deeprank2_tpu.ops.batch import BlockSparseBatch
+from deeprank2_tpu.ops.block_sparse import bcsr_spmm
+from deeprank2_tpu.ops.pooling import graph_mean_pool
+
+
+class GINetBlockSparse:
+    """No-cluster GINet over :class:`BlockSparseBatch` inputs."""
+
+    needs_clusters = False
+    dropout = 0.4
+
+    def __init__(self, input_shape: int, output_shape: int = 1, input_shape_edge: int = 1, precision=jax.lax.Precision.HIGHEST):
+        self.input_shape = input_shape
+        self.output_shape = output_shape
+        self.input_shape_edge = input_shape_edge
+        self.precision = precision
+        self._coo = GINetCOO(input_shape, output_shape, input_shape_edge)
+
+    def init(self, rng: jax.Array) -> dict:
+        return self._coo.init(rng)
+
+    def apply(self, params: dict, batch: BlockSparseBatch, training: bool = False, rng: jax.Array | None = None) -> jnp.ndarray:
+        act = nn.relu
+        spmm = lambda h: bcsr_spmm(batch.structure, h, precision=self.precision)  # noqa: E731
+
+        # layer 1, both towers in one SpMM (channels [0:16] = internal tower)
+        fcx = jnp.concatenate(
+            [nn.linear(params["conv1"]["fc"], batch.x), nn.linear(params["conv1_ext"]["fc"], batch.x)],
+            axis=1,
+        )
+        h = act(spmm(fcx))
+        h_int, h_ext = h[:, :16], h[:, 16:]
+
+        # layer 2
+        fcx2 = jnp.concatenate(
+            [nn.linear(params["conv2"]["fc"], h_int), nn.linear(params["conv2_ext"]["fc"], h_ext)],
+            axis=1,
+        )
+        h2 = act(spmm(fcx2))
+        h2 = h2 * batch.node_mask[:, None]
+
+        pooled = graph_mean_pool(h2, batch.node_graph, batch.num_graphs)
+        # COO model concatenates [internal_tower, external_tower] after pooling
+        # — the fused channels are already in that order.
+        out = nn.relu(nn.linear(params["fc1"], pooled))
+        out = nn.dropout(rng, out, self.dropout, training)
+        return nn.linear(params["fc2"], out)

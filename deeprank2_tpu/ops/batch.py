@@ -420,3 +420,108 @@ def collate_grids_sharded(entries: list[dict], num_shards: int, pad_graphs_per_s
         batches.append(batch)
         names.extend(shard_names)
     return jax.tree.map(lambda *leaves: np.stack(leaves), *batches), names
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class BlockSparseBatch:
+    """A batch of *large* graphs in the block-sparse layout (ops/block_sparse.py).
+
+    Nodes of each graph are locality-reordered, padded to a whole number of
+    128-node tiles (so adjacency blocks never span graphs), and concatenated.
+    This is the layout for atomic-resolution graphs too big for the dense
+    ``[G, N, N]`` adjacency.
+    """
+
+    x: jax.Array  # f32 [NT*B, F] node features in locality order (padded rows 0)
+    pos: jax.Array  # f32 [NT*B, 3]
+    node_graph: jax.Array  # i32 [NT*B] graph id per node; padded = G
+    node_mask: jax.Array  # bool [NT*B]
+    y: jax.Array  # f32 [G]
+    y_mask: jax.Array  # bool [G]
+    structure: "BlockSparseStructure"  # BCSR adjacency over all NT tiles
+    num_graphs: int = field(metadata={"static": True})
+
+    @property
+    def num_nodes(self) -> int:
+        return self.x.shape[0]
+
+
+def collate_graphs_blocksparse(
+    entries: list[dict],
+    block: int = 128,
+    pad_tiles: int | None = None,
+    pad_blocks: int | None = None,
+    pad_graphs: int | None = None,
+) -> tuple[BlockSparseBatch, list[str]]:
+    """Collate entry dicts (same schema as :func:`collate_graphs`) into a
+    :class:`BlockSparseBatch`. ``pad_tiles``/``pad_blocks``/``pad_graphs``
+    bucket the capacities to bound jit recompilation."""
+    from deeprank2_tpu.ops.block_sparse import build_blocksparse, locality_order
+
+    num_real = len(entries)
+    num_graphs = pad_graphs or num_real
+    names = [e["entry_name"] for e in entries] + [""] * (num_graphs - num_real)
+    feat_dim = entries[0]["x"].shape[1]
+
+    xs, poss, graph_ids, masks, pairs = [], [], [], [], []
+    offset = 0
+    for g, entry in enumerate(entries):
+        v = entry["x"].shape[0]
+        order = locality_order(entry["pos"]) if v > block else np.arange(v)
+        inv = np.empty(v, dtype=np.int64)
+        inv[order] = np.arange(v)
+        cap = -(-v // block) * block
+        x = np.zeros((cap, feat_dim), dtype=np.float32)
+        x[:v] = entry["x"][order]
+        pos = np.zeros((cap, 3), dtype=np.float32)
+        pos[:v] = entry["pos"][order]
+        und = np.asarray(entry["edge_index"], dtype=np.int64).reshape(-1, 2)
+        pairs.append(inv[und] + offset)
+        xs.append(x)
+        poss.append(pos)
+        gid = np.full(cap, num_graphs, dtype=np.int32)
+        gid[:v] = g
+        graph_ids.append(gid)
+        m = np.zeros(cap, dtype=bool)
+        m[:v] = True
+        masks.append(m)
+        offset += cap
+
+    num_tiles = offset // block
+    if pad_tiles is not None:
+        if pad_tiles < num_tiles:
+            msg = f"pad_tiles={pad_tiles} < required {num_tiles}"
+            raise ValueError(msg)
+        extra = (pad_tiles - num_tiles) * block
+        if extra:
+            xs.append(np.zeros((extra, feat_dim), np.float32))
+            poss.append(np.zeros((extra, 3), np.float32))
+            graph_ids.append(np.full(extra, num_graphs, np.int32))
+            masks.append(np.zeros(extra, bool))
+        num_tiles = pad_tiles
+
+    structure = build_blocksparse(
+        np.concatenate(pairs) if pairs else np.zeros((0, 2), np.int64),
+        num_nodes=num_tiles * block,
+        block=block,
+        pad_blocks_to=pad_blocks,
+    )
+
+    y = np.zeros(num_graphs, dtype=np.float32)
+    y_mask = np.zeros(num_graphs, dtype=bool)
+    for g, entry in enumerate(entries):
+        if entry.get("y") is not None:
+            y[g] = entry["y"]
+            y_mask[g] = True
+
+    return BlockSparseBatch(
+        x=np.concatenate(xs),
+        pos=np.concatenate(poss),
+        node_graph=np.concatenate(graph_ids),
+        node_mask=np.concatenate(masks),
+        y=y,
+        y_mask=y_mask,
+        structure=structure,
+        num_graphs=num_graphs,
+    ), names

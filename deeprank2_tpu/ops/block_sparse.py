@@ -1,0 +1,355 @@
+"""Block-sparse (BCSR) adjacency SpMM — the large-graph aggregation path.
+
+The block-dense layout (ops/batch.py DenseGraphBatch) owns small graphs: a
+``[G, N, N]`` adjacency is affordable for N up to a few hundred. Atomic-
+resolution interface graphs grow to 10^4-10^5 nodes, where a dense adjacency
+is quadratically impossible and the COO gather/segment path (ops/segment.py)
+leaves the MXU idle. This module covers that regime:
+
+- nodes are reordered by spatial locality (8 Å cell lexsort — geometric
+  graphs with a distance cutoff then have near-banded adjacency);
+- the adjacency is tiled into ``B x B`` blocks (B = 128, the MXU edge);
+  only nonzero blocks are kept (measured fill on locality-sorted atomic
+  graphs: 1-2 %, e.g. 1ATN at 4.5 Å: 1.6 %), stored bfloat16 (entries are
+  exactly 0/1, so bf16 is lossless and halves the dominant HBM stream);
+- the SpMM ``out = A @ x`` runs as ONE Pallas grid over KBATCH-sized block
+  batches in the *transposed* layout (features ride sublanes — no 4x lane
+  padding at the typical F = 16..64). Mosaic's own input pipeline streams
+  the block batches (no manual DMA, no per-tile pipeline drains); each batch
+  contracts as a single ``[F, K*B] @ [K*B, B]`` MXU matmul; the output block
+  is revisited and accumulated in VMEM while consecutive batches share a
+  destination row tile (the builder sorts and zero-pads per tile, so no
+  masking is needed anywhere in the kernel).
+
+Graphs whose ``x^T`` exceeds VMEM are handled by the same kernel through
+*column chunking*: blocks are sorted by (source chunk, dest row tile), the
+x^T chunk is DMA'd into a VMEM scratch whenever the chunk id changes (a few
+times per SpMM), and the kernel emits one output slab per chunk; a masked
+XLA sum collapses the slabs (the mask keeps uninitialized never-visited slab
+tiles out).
+
+Adjacency symmetry (edges are mirrored, reference dataset.py:944-951) makes
+``A^T = A``, so the VJP w.r.t. ``x`` is the same SpMM applied to the
+cotangent — no transposed block structure is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK = 128
+KBATCH = 8  # adjacency blocks per grid step / per MXU contraction
+# tiles per x^T column chunk: sized so an F=64 f32 chunk (the widest the GINet
+# family uses) fits a single ~12 MB VMEM scratch next to the block pipeline
+CHUNK_TILES = 384
+_CELL = 8.0  # Å — locality-sort cell size (≈ 2x the atomic contact cutoff)
+
+
+def locality_order(positions: np.ndarray, cell: float = _CELL) -> np.ndarray:
+    """Node permutation that clusters spatial neighbours: lexsort by 8 Å grid
+    cell, then by coordinates within the cell. Geometric-cutoff graphs sorted
+    this way have ~1-2 % nonzero-block fill at B = 128."""
+    pos = np.asarray(positions, dtype=np.float64)
+    q = np.floor(pos / cell).astype(np.int64)
+    return np.lexsort((pos[:, 2], pos[:, 1], pos[:, 0], q[:, 2], q[:, 1], q[:, 0]))
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BlockSparseStructure:
+    """BCSR adjacency of one (batched) graph, sorted by (col chunk, row tile).
+
+    ``blocks_t[k][c, r] = 1`` iff the graph has the directed edge
+    ``(row_tile[k]*B + r  <-  col_tile[k]*B + c)`` — blocks are stored
+    *transposed* so the kernel's ``x^T_tile @ block`` contraction needs no
+    in-kernel transpose. Each (chunk, row tile) run is zero-padded to a
+    KBATCH multiple (zero blocks contribute nothing); ``visited`` marks the
+    (chunk, row tile) slab entries the kernel writes.
+    """
+
+    blocks_t: jax.Array  # bf16 [NB, B, B], NB a KBATCH multiple
+    block_row: jax.Array  # i32 [NB] destination row tile (zero-pads keep their run's row)
+    block_col: jax.Array  # i32 [NB] source col tile (zero-pads: first tile of their chunk)
+    batch_row: jax.Array  # i32 [NB/KBATCH] destination row tile per batch
+    batch_chunk: jax.Array  # i32 [NB/KBATCH] source col chunk per batch
+    visited: jax.Array  # bool [C, NT] slab entries written by the kernel
+    num_tiles: int = field(metadata={"static": True})
+    num_chunks: int = field(metadata={"static": True})
+    block: int = field(metadata={"static": True})
+
+    @property
+    def num_blocks(self) -> int:
+        return self.blocks_t.shape[0]
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.num_tiles * self.block
+
+
+def build_blocksparse(
+    und_pairs: np.ndarray,
+    num_nodes: int,
+    block: int = DEFAULT_BLOCK,
+    pad_blocks_to: int | None = None,
+) -> BlockSparseStructure:
+    """BCSR structure from *undirected* node-index pairs (mirrored internally,
+    so the adjacency is symmetric by construction). Node indices must already
+    be in the locality order (see :func:`locality_order`); ``num_nodes`` is
+    rounded up to a whole number of tiles.
+    """
+    und = np.asarray(und_pairs, dtype=np.int64).reshape(-1, 2)
+    num_tiles = max(-(-num_nodes // block), 1)
+    num_chunks = -(-num_tiles // CHUNK_TILES)
+    rows = np.concatenate([und[:, 0], und[:, 1]])
+    cols = np.concatenate([und[:, 1], und[:, 0]])
+    if rows.size and (rows.max() >= num_nodes or rows.min() < 0):
+        msg = f"edge index out of range: max {rows.max()} for {num_nodes} nodes"
+        raise ValueError(msg)
+
+    bi, bj = rows // block, cols // block
+    chunk = bj // CHUNK_TILES
+    key = (chunk * num_tiles + bi) * num_tiles + bj
+    order = np.argsort(key, kind="stable")
+    uniq_key, inverse_sorted = np.unique(key[order], return_inverse=True)
+    nb = len(uniq_key)
+
+    uniq_col = (uniq_key % num_tiles).astype(np.int32)
+    uniq_row = ((uniq_key // num_tiles) % num_tiles).astype(np.int32)
+    uniq_chunk = (uniq_key // (num_tiles * num_tiles)).astype(np.int32)
+
+    # group = one (chunk, row tile) run, padded to a KBATCH multiple with zero
+    # blocks so batches never straddle runs and the kernel needs no masks
+    group_key = uniq_chunk.astype(np.int64) * num_tiles + uniq_row
+    group_ids, group_counts = np.unique(group_key, return_counts=True)
+    pad_counts = -(-group_counts // KBATCH) * KBATCH
+    group_start = np.concatenate([[0], np.cumsum(pad_counts)])[:-1]
+    nb_pad = max(int(pad_counts.sum()), KBATCH)
+
+    cap = max(pad_blocks_to or 0, nb_pad)
+    cap = -(-cap // KBATCH) * KBATCH
+    if (pad_blocks_to or 0) and pad_blocks_to < nb_pad:
+        msg = f"pad_blocks={pad_blocks_to} < required {nb_pad}"
+        raise ValueError(msg)
+
+    blocks = np.zeros((cap, block, block), dtype=np.float32)
+    block_row = np.zeros(cap, dtype=np.int32)
+    block_col = np.zeros(cap, dtype=np.int32)
+    block_chunk = np.zeros(cap, dtype=np.int32)
+    visited = np.zeros((num_chunks, num_tiles), dtype=bool)
+    for gi, g in enumerate(group_ids):
+        g_chunk, g_row = int(g // num_tiles), int(g % num_tiles)
+        s, c = group_start[gi], pad_counts[gi]
+        block_row[s : s + c] = g_row
+        block_chunk[s : s + c] = g_chunk
+        block_col[s : s + c] = g_chunk * CHUNK_TILES  # zero-pads point in-chunk
+        visited[g_chunk, g_row] = True
+
+    # destination slot of each unique block: its group's start + rank inside
+    rank = np.arange(nb) - np.searchsorted(group_key, group_key, side="left")
+    slot = (group_start[np.searchsorted(group_ids, group_key)] + rank) if nb else np.zeros(0, np.int64)
+    block_col[slot] = uniq_col
+
+    k = np.empty(len(key), dtype=np.int64)
+    k[order] = slot[inverse_sorted]
+    # transposed fill: [slot, col-within, row-within]
+    blocks[k, cols % block, rows % block] = 1.0
+
+    batch_row = block_row[::KBATCH].astype(np.int32)
+    batch_chunk = block_chunk[::KBATCH].astype(np.int32)
+    # trailing capacity-pad batches: route to the last real batch's slab entry
+    # (their blocks are zero, so they only re-accumulate zeros there)
+    nbatch_real = nb_pad // KBATCH
+    batch_row[nbatch_real:] = batch_row[max(nbatch_real - 1, 0)]
+    batch_chunk[nbatch_real:] = batch_chunk[max(nbatch_real - 1, 0)]
+    if nb == 0:
+        visited[0, 0] = True  # the artificial zero batch writes slab (0, 0)
+
+    return BlockSparseStructure(
+        blocks_t=jnp.asarray(blocks, dtype=jnp.bfloat16),
+        block_row=jnp.asarray(block_row),
+        block_col=jnp.asarray(block_col),
+        batch_row=jnp.asarray(batch_row),
+        batch_chunk=jnp.asarray(batch_chunk),
+        visited=jnp.asarray(visited),
+        num_tiles=num_tiles,
+        num_chunks=num_chunks,
+        block=block,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SpMM
+
+
+def bcsr_spmm(
+    structure: BlockSparseStructure,
+    x: jnp.ndarray,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """``A @ x`` for a symmetric BCSR adjacency; differentiable w.r.t. ``x``
+    (the VJP is the same SpMM on the cotangent — A is symmetric because edges
+    are mirrored). ``x`` must have ``structure.padded_nodes`` rows.
+    """
+    if x.shape[0] != structure.padded_nodes:
+        msg = f"x has {x.shape[0]} rows; structure expects {structure.padded_nodes}"
+        raise ValueError(msg)
+
+    @jax.custom_vjp
+    def spmm(x):
+        return _spmm_impl(structure, x, precision)
+
+    def fwd(x):
+        return spmm(x), None
+
+    def bwd(_, g):
+        return (_spmm_impl(structure, g, precision),)
+
+    spmm.defvjp(fwd, bwd)
+    return spmm(x)
+
+
+_XCHUNK_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _spmm_impl(structure: BlockSparseStructure, x: jnp.ndarray, precision) -> jnp.ndarray:
+    fw = x.shape[1] + (-x.shape[1]) % 8
+    chunk_tiles = min(CHUNK_TILES, structure.num_tiles)
+    if jax.default_backend() == "tpu" and fw * chunk_tiles * structure.block * 4 <= _XCHUNK_VMEM_BUDGET:
+        return _bcsr_spmm_tpu(
+            structure.blocks_t,
+            structure.block_col,
+            structure.batch_row,
+            structure.batch_chunk,
+            structure.visited,
+            x,
+            num_tiles=structure.num_tiles,
+            num_chunks=structure.num_chunks,
+            block=structure.block,
+            precision=precision,
+        )
+    return bcsr_spmm_xla(structure, x, precision)
+
+
+def bcsr_spmm_xla(structure: BlockSparseStructure, x: jnp.ndarray, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Reference/fallback SpMM: gather source tiles, batched block matmuls,
+    segment-sum over destination tiles. Used on CPU and as the kernel oracle."""
+    nt, b = structure.num_tiles, structure.block
+    feat = x.shape[1]
+    xt = x.reshape(nt, b, feat)
+    gathered = xt[jnp.clip(structure.block_col, 0, nt - 1)]  # [NB, B, F]
+    blocks = structure.blocks_t.astype(x.dtype)
+    # blocks_t[k][c, r] contracted over c (source-within-block)
+    prod = jax.lax.dot_general(
+        blocks,
+        gathered,
+        (((1,), (1,)), ((0,), (0,))),
+        precision=precision,
+    )  # [NB, r, F]
+    out = jax.ops.segment_sum(prod, structure.block_row, num_segments=nt)
+    return out.reshape(nt * b, feat)
+
+
+def _kernel_stream(
+    batch_row_ref,
+    batch_chunk_ref,
+    block_col_ref,
+    blk_ref,
+    xt_hbm,
+    out_ref,
+    xchunk,
+    xcat_buf,
+    sem,
+    *,
+    block,
+    kbatch,
+    chunk_tiles,
+    precision,
+):
+    """One grid step = one KBATCH of blocks (see module docstring)."""
+    bi = pl.program_id(0)
+    prev = jnp.maximum(bi - 1, 0)
+    chunk_changed = jnp.logical_or(bi == 0, batch_chunk_ref[bi] != batch_chunk_ref[prev])
+
+    @pl.when(chunk_changed)
+    def _():
+        c = batch_chunk_ref[bi]
+        cp = pltpu.make_async_copy(
+            xt_hbm.at[:, pl.ds(pl.multiple_of(c * chunk_tiles * block, block), chunk_tiles * block)],
+            xchunk,
+            sem,
+        )
+        cp.start()
+        cp.wait()
+
+    @pl.when(jnp.logical_or(chunk_changed, batch_row_ref[bi] != batch_row_ref[prev]))
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    base = batch_chunk_ref[bi] * chunk_tiles
+    for kk in range(kbatch):  # unrolled: kbatch is static
+        local = block_col_ref[bi * kbatch + kk] - base
+        xcat_buf[:, kk * block : (kk + 1) * block] = xchunk[:, pl.ds(pl.multiple_of(local * block, block), block)]
+
+    blk = blk_ref[:].reshape(kbatch * block, block).astype(jnp.float32)
+    out_ref[0] += jax.lax.dot_general(
+        xcat_buf[:],
+        blk,
+        (((1,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_tiles", "num_chunks", "block", "precision"))
+def _bcsr_spmm_tpu(blocks_t, block_col, batch_row, batch_chunk, visited, x, *, num_tiles, num_chunks, block, precision):
+    feat = x.shape[1]
+    pad_f = (-feat) % 8  # sublane quantum for the [F, N] layout
+    if pad_f:
+        x = jnp.pad(x, ((0, 0), (0, pad_f)))
+    fw = feat + pad_f
+    chunk_tiles = min(CHUNK_TILES, num_tiles) if num_chunks == 1 else CHUNK_TILES
+    x_t = x.T.astype(jnp.float32)  # [F, N]: features on sublanes, nodes on lanes
+    pad_n = num_chunks * chunk_tiles * block - x_t.shape[1]
+    if pad_n:
+        x_t = jnp.pad(x_t, ((0, 0), (0, pad_n)))
+
+    num_batches = blocks_t.shape[0] // KBATCH
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_batches,),
+        in_specs=[
+            # one KBATCH of blocks per grid step, pipelined by Mosaic
+            pl.BlockSpec((KBATCH, block, block), lambda bi, *_: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # x^T; chunks DMA'd manually
+        ],
+        # one slab per chunk; revisited while consecutive batches share a row tile
+        out_specs=pl.BlockSpec(
+            (1, fw, block),
+            lambda bi, br, bc, _cols: (bc[bi], 0, br[bi]),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((fw, chunk_tiles * block), jnp.float32),  # resident x^T chunk
+            pltpu.VMEM((fw, KBATCH * block), jnp.float32),  # gathered source tiles
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    slabs = pl.pallas_call(
+        functools.partial(_kernel_stream, block=block, kbatch=KBATCH, chunk_tiles=chunk_tiles, precision=precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_chunks, fw, num_tiles * block), jnp.float32),
+    )(batch_row, batch_chunk, block_col, blocks_t, x_t)
+
+    # collapse chunk slabs; never-visited slab tiles are uninitialized memory,
+    # so select (not multiply) them away before summing
+    mask = jnp.repeat(visited, block, axis=1)[:, None, :]  # [C, 1, N]
+    out_t = jnp.where(mask, slabs, 0.0).sum(axis=0)
+    return out_t[:feat].T.astype(x.dtype)
