@@ -30,6 +30,7 @@ class GINetBlockSparse:
     """No-cluster GINet over :class:`BlockSparseBatch` inputs."""
 
     needs_clusters = False
+    blocksparse_batches = True  # Trainer._collate dispatches on this
     dropout = 0.4
 
     def __init__(self, input_shape: int, output_shape: int = 1, input_shape_edge: int = 1, precision=jax.lax.Precision.HIGHEST):

@@ -456,7 +456,9 @@ def collate_graphs_blocksparse(
 ) -> tuple[BlockSparseBatch, list[str]]:
     """Collate entry dicts (same schema as :func:`collate_graphs`) into a
     :class:`BlockSparseBatch`. ``pad_tiles``/``pad_blocks``/``pad_graphs``
-    bucket the capacities to bound jit recompilation."""
+    bucket the capacities to bound jit recompilation; ``pad_tiles`` and
+    ``pad_blocks`` may be callables ``required -> capacity`` (the Trainer
+    installs grow-only geometric buckets this way)."""
     from deeprank2_tpu.ops.block_sparse import build_blocksparse, locality_order
 
     num_real = len(entries)
@@ -489,6 +491,8 @@ def collate_graphs_blocksparse(
         offset += cap
 
     num_tiles = offset // block
+    if callable(pad_tiles):
+        pad_tiles = pad_tiles(num_tiles)
     if pad_tiles is not None:
         if pad_tiles < num_tiles:
             msg = f"pad_tiles={pad_tiles} < required {num_tiles}"

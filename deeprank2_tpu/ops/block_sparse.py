@@ -103,6 +103,9 @@ def build_blocksparse(
     so the adjacency is symmetric by construction). Node indices must already
     be in the locality order (see :func:`locality_order`); ``num_nodes`` is
     rounded up to a whole number of tiles.
+
+    ``pad_blocks_to`` may be a callable ``required -> capacity`` (e.g. a
+    grow-only bucketing policy) resolved against the KBATCH-padded block count.
     """
     und = np.asarray(und_pairs, dtype=np.int64).reshape(-1, 2)
     num_tiles = max(-(-num_nodes // block), 1)
@@ -132,6 +135,8 @@ def build_blocksparse(
     group_start = np.concatenate([[0], np.cumsum(pad_counts)])[:-1]
     nb_pad = max(int(pad_counts.sum()), KBATCH)
 
+    if callable(pad_blocks_to):
+        pad_blocks_to = pad_blocks_to(nb_pad)
     cap = max(pad_blocks_to or 0, nb_pad)
     cap = -(-cap // KBATCH) * KBATCH
     if (pad_blocks_to or 0) and pad_blocks_to < nb_pad:

