@@ -529,3 +529,89 @@ def collate_graphs_blocksparse(
         structure=structure,
         num_graphs=num_graphs,
     ), names
+
+
+def blocksparse_requirements(entries: list[dict], block: int = 128) -> tuple[int, int]:
+    """(tiles, KBATCH-padded blocks) :func:`collate_graphs_blocksparse` would
+    need for these entries — a light pass (locality orders + block grouping,
+    no feature copies or block materialization) used to equalize shard caps."""
+    from deeprank2_tpu.ops.block_sparse import locality_order, required_blocks
+
+    pairs, offset = [], 0
+    for entry in entries:
+        v = entry["x"].shape[0]
+        order = locality_order(entry["pos"]) if v > block else np.arange(v)
+        inv = np.empty(v, dtype=np.int64)
+        inv[order] = np.arange(v)
+        und = np.asarray(entry["edge_index"], dtype=np.int64).reshape(-1, 2)
+        pairs.append(inv[und] + offset)
+        offset += -(-v // block) * block
+    all_pairs = np.concatenate(pairs) if pairs else np.zeros((0, 2), np.int64)
+    num_tiles = max(offset // block, 1)
+    return num_tiles, required_blocks(all_pairs, num_tiles * block, block)
+
+
+def collate_graphs_blocksparse_sharded(
+    entries: list[dict],
+    num_shards: int,
+    pad_graphs_per_shard: int,
+    block: int = 128,
+    pad_tiles: int | None = None,
+    pad_blocks: int | None = None,
+) -> tuple[BlockSparseBatch, list[str]]:
+    """Collate into ``num_shards`` equally-shaped block-sparse sub-batches
+    stacked on a leading device axis (for shard_map data parallelism).
+
+    Entries are assigned greedily by descending tile count to the least-loaded
+    shard (large graphs vary widely, so round-robin would leave chips idle);
+    all shards are padded to shared (tiles, blocks) caps so the stacked pytree
+    is rectangular. ``pad_tiles``/``pad_blocks`` as in
+    :func:`collate_graphs_blocksparse` (ints or ``required -> capacity``
+    callables), resolved against the max requirement over shards.
+    """
+    template = entries[0]
+    tiles_of = [-(-e["x"].shape[0] // block) for e in entries]
+    order = sorted(range(len(entries)), key=lambda i: -tiles_of[i])
+    shards: list[list[dict]] = [[] for _ in range(num_shards)]
+    loads = [0] * num_shards
+    for i in order:
+        s = loads.index(min(loads))
+        shards[s].append(entries[i])
+        loads[s] += tiles_of[i]
+
+    dummy = [
+        {
+            "x": np.zeros((1, template["x"].shape[1]), dtype=np.float32),
+            "edge_index": np.zeros((0, 2), dtype=np.int64),
+            "pos": np.zeros((1, 3), dtype=np.float32),
+            "y": None,
+            "entry_name": "",
+        }
+    ]
+    shards = [shard or dummy for shard in shards]
+
+    reqs = [blocksparse_requirements(shard, block) for shard in shards]
+    cap_tiles = max(t for t, _ in reqs)
+    cap_blocks = max(b for _, b in reqs)
+    if callable(pad_tiles):
+        cap_tiles = pad_tiles(cap_tiles)
+    elif pad_tiles is not None:
+        cap_tiles = max(cap_tiles, pad_tiles)
+    if callable(pad_blocks):
+        cap_blocks = pad_blocks(cap_blocks)
+    elif pad_blocks is not None:
+        cap_blocks = max(cap_blocks, pad_blocks)
+
+    batches = []
+    names: list[str] = []
+    for shard in shards:
+        batch, shard_names = collate_graphs_blocksparse(
+            shard,
+            block=block,
+            pad_tiles=cap_tiles,
+            pad_blocks=cap_blocks,
+            pad_graphs=pad_graphs_per_shard,
+        )
+        batches.append(batch)
+        names.extend(shard_names)
+    return jax.tree.map(lambda *leaves: np.stack(leaves), *batches), names

@@ -93,6 +93,24 @@ class BlockSparseStructure:
         return self.num_tiles * self.block
 
 
+def required_blocks(und_pairs: np.ndarray, num_nodes: int, block: int = DEFAULT_BLOCK) -> int:
+    """The KBATCH-padded block count :func:`build_blocksparse` would produce
+    for these (locality-ordered) pairs — the light requirements pass used to
+    equalize per-shard capacities before sharded collation."""
+    und = np.asarray(und_pairs, dtype=np.int64).reshape(-1, 2)
+    num_tiles = max(-(-num_nodes // block), 1)
+    rows = np.concatenate([und[:, 0], und[:, 1]])
+    cols = np.concatenate([und[:, 1], und[:, 0]])
+    bi, bj = rows // block, cols // block
+    chunk = bj // CHUNK_TILES
+    key = (chunk * num_tiles + bi) * num_tiles + bj
+    uniq = np.unique(key)
+    if not uniq.size:
+        return KBATCH
+    _, counts = np.unique(uniq // num_tiles, return_counts=True)
+    return max(int((-(-counts // KBATCH) * KBATCH).sum()), KBATCH)
+
+
 def build_blocksparse(
     und_pairs: np.ndarray,
     num_nodes: int,

@@ -404,22 +404,28 @@ class Trainer:
                 "with_edge_weights": getattr(self.neuralnet, "dense_edge_weights", False),
             }
             if blocksparse:
-                if num_shards > 1:
-                    msg = (
-                        "Block-sparse models do not support data-parallel sharding yet; "
-                        "run with data_parallel=False (large graphs scale via parallel/edge_partition.py instead)."
-                    )
-                    raise ValueError(msg)
-                from deeprank2_tpu.ops.batch import collate_graphs_blocksparse
-
                 if not hasattr(self, "_bs_caps"):
                     self._bs_caps = {}
-                batch, names = collate_graphs_blocksparse(
-                    entries,
-                    pad_tiles=self._blocksparse_bucket("tiles"),
-                    pad_blocks=self._blocksparse_bucket("blocks"),
-                    pad_graphs=pad_graphs,
-                )
+                if num_shards > 1:
+                    from deeprank2_tpu.ops.batch import collate_graphs_blocksparse_sharded
+
+                    per_shard = max(1, pad_graphs // num_shards)
+                    batch, names = collate_graphs_blocksparse_sharded(
+                        entries,
+                        num_shards,
+                        per_shard,
+                        pad_tiles=self._blocksparse_bucket("tiles"),
+                        pad_blocks=self._blocksparse_bucket("blocks"),
+                    )
+                else:
+                    from deeprank2_tpu.ops.batch import collate_graphs_blocksparse
+
+                    batch, names = collate_graphs_blocksparse(
+                        entries,
+                        pad_tiles=self._blocksparse_bucket("tiles"),
+                        pad_blocks=self._blocksparse_bucket("blocks"),
+                        pad_graphs=pad_graphs,
+                    )
             elif num_shards > 1 and dense:
                 from deeprank2_tpu.ops.batch import collate_graphs_dense_sharded
 

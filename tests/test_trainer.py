@@ -203,6 +203,19 @@ def test_data_parallel_dense(srv_hdf5, tmp_path) -> None:
     trainer.train(nepoch=1, batch_size=8, filename=None)
 
 
+def test_data_parallel_blocksparse(srv_hdf5, tmp_path) -> None:
+    """DP with the block-sparse model: whole graphs balance across shards."""
+    import jax
+
+    from deeprank2_tpu.neuralnets.gnn.ginet_blocksparse import GINetBlockSparse
+
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    trainer = Trainer(GINetBlockSparse, dataset_train=ds, output_exporters=[], data_parallel=True)
+    trainer.train(nepoch=1, batch_size=8, filename=None)
+
+
 def test_cuda_raises(srv_hdf5) -> None:
     ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
     with pytest.raises(ValueError):

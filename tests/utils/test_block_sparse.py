@@ -208,6 +208,50 @@ def test_ginet_blocksparse_matches_coo() -> None:
         np.testing.assert_allclose(np.asarray(flat_bs[path]), np.asarray(leaf), atol=5e-3, err_msg=str(path))
 
 
+def test_collate_blocksparse_sharded_matches_unsharded() -> None:
+    """Sharded collation: rectangular stacked pytree; each shard's model
+    output equals running that shard's graphs through unsharded collation."""
+    from deeprank2_tpu.neuralnets.gnn.ginet_blocksparse import GINetBlockSparse
+    from deeprank2_tpu.ops.batch import collate_graphs_blocksparse, collate_graphs_blocksparse_sharded
+
+    rng = np.random.default_rng(9)
+    entries = []
+    for g in range(5):
+        n = [170, 260, 140, 300, 90][g]
+        pos = rng.uniform(0, 24, size=(n, 3))
+        from scipy.spatial import cKDTree
+
+        pairs = cKDTree(pos).query_pairs(5.0, output_type="ndarray")
+        entries.append(
+            {
+                "x": rng.normal(size=(n, 12)).astype(np.float32),
+                "edge_index": pairs.astype(np.int64),
+                "pos": pos.astype(np.float32),
+                "y": float(g % 2),
+                "entry_name": f"s{g}",
+            }
+        )
+
+    num_shards, per_shard = 3, 2
+    stacked, names = collate_graphs_blocksparse_sharded(entries, num_shards, per_shard)
+    assert stacked.x.shape[0] == num_shards
+    assert len(names) == num_shards * per_shard
+    assert sorted(n for n in names if n) == [f"s{g}" for g in range(5)]
+
+    model = GINetBlockSparse(12, 2, 1)
+    params = model.init(jax.random.PRNGKey(3))
+    by_name = {e["entry_name"]: e for e in entries}
+    for s in range(num_shards):
+        shard_batch = jax.tree.map(lambda a: a[s], stacked)  # noqa: B023
+        got = np.asarray(model.apply(params, shard_batch, training=False))
+        shard_names = [n for n in names[s * per_shard : (s + 1) * per_shard] if n]
+        if not shard_names:
+            continue
+        solo, _ = collate_graphs_blocksparse([by_name[n] for n in shard_names], pad_graphs=per_shard)
+        want = np.asarray(model.apply(params, solo, training=False))
+        np.testing.assert_allclose(got[: len(shard_names)], want[: len(shard_names)], atol=1e-4)
+
+
 def test_collate_blocksparse_buckets() -> None:
     from deeprank2_tpu.ops.batch import collate_graphs_blocksparse
 
