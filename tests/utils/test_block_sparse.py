@@ -106,7 +106,7 @@ def test_spmm_xla_matches_dense() -> None:
 
 def test_spmm_kernel_interpret_matches_xla() -> None:
     pos, pairs = _geometric_graph(600, seed=3)
-    st = build_blocksparse(pairs, 600, pad_blocks_to=64)
+    st = build_blocksparse(pairs, 600, pad_blocks_to=8 * KBATCH)
     rng = np.random.default_rng(1)
     x = rng.normal(size=(st.padded_nodes, 19)).astype(np.float32)  # odd F exercises sublane padding
     want = np.asarray(bcsr_spmm_xla(st, jnp.asarray(x)))
