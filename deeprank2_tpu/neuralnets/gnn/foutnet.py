@@ -56,7 +56,7 @@ def fout_layer_dense(params: dict, x: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndar
     compute the same quantity)."""
     alpha = x @ params["wc"]
     beta = x @ params["wn"]
-    deg = jnp.maximum(adj.sum(axis=-1), 1.0)  # [G, N]
+    deg = jnp.maximum(adj.sum(axis=-1, dtype=jnp.float32), 1.0)  # [G, N] (f32: exact counts for bf16 adj)
     gamma = (adj @ beta) / deg[:, :, None]
     out = alpha + gamma
     if "b" in params:

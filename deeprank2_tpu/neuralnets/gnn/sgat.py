@@ -112,7 +112,7 @@ def sgat_layer_dense(params: dict, x: jnp.ndarray, adj: jnp.ndarray, adj_w: jnp.
     f = x.shape[-1]
     row_part = x @ params["weight"][:f]
     col_part = x @ params["weight"][f:]
-    deg = jnp.maximum(adj.sum(axis=-1), 1.0)  # [G, N]
+    deg = jnp.maximum(adj.sum(axis=-1, dtype=jnp.float32), 1.0)  # [G, N] (f32: exact counts for bf16 adj)
     weight_sums = adj_w.sum(axis=-1)  # [G, N]
     out = (row_part * weight_sums[:, :, None] + adj_w @ col_part) / deg[:, :, None]
     if "b" in params:

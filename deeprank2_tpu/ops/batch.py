@@ -18,6 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import jax
+import ml_dtypes
 import numpy as np
 
 
@@ -252,7 +253,11 @@ class DenseGraphBatch:
     """
 
     x: jax.Array  # f32 [G, N, F] node features (padded rows 0)
-    adj: jax.Array  # f32 [G, N, N]; adj[g, i, j] = 1 if directed edge j->i
+    # bf16 [G, N, N]; adj[g, i, j] = 1 if directed edge j->i. Entries are
+    # exactly 0/1 (lossless in bf16) and the adjacency stream is the step's
+    # dominant HBM traffic (read 4x: two forward layers + their VJPs), so
+    # bf16 halves the bandwidth bound; consumers accumulate in f32.
+    adj: jax.Array
     pos: jax.Array  # f32 [G, N, 3]
     node_mask: jax.Array  # bool [G, N]
     y: jax.Array  # f32 [G]
@@ -300,7 +305,7 @@ def collate_graphs_dense(
     feat_dim = entries[0]["x"].shape[1]
 
     x = np.zeros((num_graphs, cap_n, feat_dim), dtype=np.float32)
-    adj = np.zeros((num_graphs, cap_n, cap_n), dtype=np.float32)
+    adj = np.zeros((num_graphs, cap_n, cap_n), dtype=ml_dtypes.bfloat16)
     pos = np.zeros((num_graphs, cap_n, 3), dtype=np.float32)
     node_mask = np.zeros((num_graphs, cap_n), dtype=bool)
     y = np.zeros(num_graphs, dtype=np.float32)

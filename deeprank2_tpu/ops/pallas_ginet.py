@@ -51,10 +51,13 @@ _MIN_BLOCK_GRAPHS = 8  # mask/pooled blocks need a sublane-multiple graph axis
 
 
 def _bmm(adj, v):
-    """Batched ``adj[g] @ v[g]`` with f32 accumulation (adj dtype may be bf16)."""
+    """Batched ``adj[g] @ v[g]`` with f32 accumulation. ``adj`` may be stored
+    bf16 (entries are exactly 0/1, so widening to f32 is lossless; Mosaic
+    requires matching matmul operand dtypes, and truncating ``v`` instead
+    would cost ~1e-3 relative error)."""
     return jax.lax.dot_general(
-        adj,
-        v.astype(adj.dtype),
+        adj.astype(jnp.float32),
+        v,
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
