@@ -83,14 +83,23 @@ class BlockSparseStructure:
     """
 
     blocks_t: jax.Array  # int8 [NB, B, B] (entries 0/1), NB a KBATCH multiple
-    block_row: jax.Array  # i32 [NB] destination row tile (zero-pads keep their run's row)
-    block_col: jax.Array  # i32 [NB] source col tile (zero-pads: first tile of their chunk)
-    batch_row: jax.Array  # i32 [NB/KBATCH] destination row tile per batch
+    block_row: jax.Array  # i32 [NB] destination row tile, LOCAL to the row slice (zero-pads keep their run's row)
+    block_col: jax.Array  # i32 [NB] source col tile, global (zero-pads: first tile of their chunk)
+    batch_row: jax.Array  # i32 [NB/KBATCH] destination row tile per batch (local)
     batch_chunk: jax.Array  # i32 [NB/KBATCH] source col chunk per batch
-    visited: jax.Array  # bool [C, NT] slab entries written by the kernel
-    num_tiles: int = field(metadata={"static": True})
+    visited: jax.Array  # bool [C, R] slab entries written by the kernel
+    num_tiles: int = field(metadata={"static": True})  # source/column tile count (global)
     num_chunks: int = field(metadata={"static": True})
     block: int = field(metadata={"static": True})
+    # destination/row tile count: equal to num_tiles for the square symmetric
+    # case; a row slice ``A[r0:r1, :]`` (multi-device graph parallelism,
+    # parallel/blocksparse_partition.py) has R = r1 - r0 < NT. Row indices are
+    # stored local to the slice, so the offset itself is not retained.
+    num_row_tiles: int = field(metadata={"static": True}, default=-1)
+
+    def __post_init__(self):
+        if self.num_row_tiles == -1:
+            object.__setattr__(self, "num_row_tiles", self.num_tiles)
 
     @property
     def num_blocks(self) -> int:
@@ -100,8 +109,21 @@ class BlockSparseStructure:
     def padded_nodes(self) -> int:
         return self.num_tiles * self.block
 
+    @property
+    def padded_rows(self) -> int:
+        return self.num_row_tiles * self.block
 
-def required_blocks(und_pairs: np.ndarray, num_nodes: int, block: int = DEFAULT_BLOCK) -> int:
+    @property
+    def is_square(self) -> bool:
+        return self.num_row_tiles == self.num_tiles
+
+
+def required_blocks(
+    und_pairs: np.ndarray,
+    num_nodes: int,
+    block: int = DEFAULT_BLOCK,
+    row_tile_range: tuple[int, int] | None = None,
+) -> int:
     """The KBATCH-padded block count :func:`build_blocksparse` would produce
     for these (locality-ordered) pairs — the light requirements pass used to
     equalize per-shard capacities before sharded collation."""
@@ -110,6 +132,10 @@ def required_blocks(und_pairs: np.ndarray, num_nodes: int, block: int = DEFAULT_
     rows = np.concatenate([und[:, 0], und[:, 1]])
     cols = np.concatenate([und[:, 1], und[:, 0]])
     bi, bj = rows // block, cols // block
+    if row_tile_range is not None:
+        t0, t1 = row_tile_range
+        sel = (bi >= t0) & (bi < t1)
+        bi, bj = bi[sel], bj[sel]
     chunk = bj // CHUNK_TILES
     key = (chunk * num_tiles + bi) * num_tiles + bj
     uniq = np.unique(key)
@@ -124,6 +150,7 @@ def build_blocksparse(
     num_nodes: int,
     block: int = DEFAULT_BLOCK,
     pad_blocks_to: int | None = None,
+    row_tile_range: tuple[int, int] | None = None,
 ) -> BlockSparseStructure:
     """BCSR structure from *undirected* node-index pairs (mirrored internally,
     so the adjacency is symmetric by construction). Node indices must already
@@ -132,6 +159,12 @@ def build_blocksparse(
 
     ``pad_blocks_to`` may be a callable ``required -> capacity`` (e.g. a
     grow-only bucketing policy) resolved against the KBATCH-padded block count.
+
+    ``row_tile_range=(t0, t1)`` keeps only the blocks whose destination row
+    tile lies in ``[t0, t1)`` — the row slice ``A[t0*B : t1*B, :]`` used for
+    multi-device graph parallelism. Such a slice is NOT symmetric on its own;
+    use :func:`deeprank2_tpu.parallel.blocksparse_partition.bcsr_spmm_sharded`
+    (whose VJP exploits the symmetry of the *global* adjacency).
     """
     und = np.asarray(und_pairs, dtype=np.int64).reshape(-1, 2)
     num_tiles = max(-(-num_nodes // block), 1)
@@ -143,19 +176,25 @@ def build_blocksparse(
         raise ValueError(msg)
 
     bi, bj = rows // block, cols // block
+    t0, t1 = row_tile_range if row_tile_range is not None else (0, num_tiles)
+    num_row_tiles = max(t1 - t0, 1)
+    if row_tile_range is not None:
+        sel = (bi >= t0) & (bi < t1)
+        rows, cols, bi, bj = rows[sel], cols[sel], bi[sel], bj[sel]
+    bi_local = bi - t0
     chunk = bj // CHUNK_TILES
-    key = (chunk * num_tiles + bi) * num_tiles + bj
+    key = (chunk * num_row_tiles + bi_local) * num_tiles + bj
     order = np.argsort(key, kind="stable")
     uniq_key, inverse_sorted = np.unique(key[order], return_inverse=True)
     nb = len(uniq_key)
 
     uniq_col = (uniq_key % num_tiles).astype(np.int32)
-    uniq_row = ((uniq_key // num_tiles) % num_tiles).astype(np.int32)
-    uniq_chunk = (uniq_key // (num_tiles * num_tiles)).astype(np.int32)
+    uniq_row = ((uniq_key // num_tiles) % num_row_tiles).astype(np.int32)
+    uniq_chunk = (uniq_key // (num_tiles * num_row_tiles)).astype(np.int32)
 
     # group = one (chunk, row tile) run, padded to a KBATCH multiple with zero
     # blocks so batches never straddle runs and the kernel needs no masks
-    group_key = uniq_chunk.astype(np.int64) * num_tiles + uniq_row
+    group_key = uniq_chunk.astype(np.int64) * num_row_tiles + uniq_row
     group_ids, group_counts = np.unique(group_key, return_counts=True)
     pad_counts = -(-group_counts // KBATCH) * KBATCH
     group_start = np.concatenate([[0], np.cumsum(pad_counts)])[:-1]
@@ -173,9 +212,9 @@ def build_blocksparse(
     block_row = np.zeros(cap, dtype=np.int32)
     block_col = np.zeros(cap, dtype=np.int32)
     block_chunk = np.zeros(cap, dtype=np.int32)
-    visited = np.zeros((num_chunks, num_tiles), dtype=bool)
+    visited = np.zeros((num_chunks, num_row_tiles), dtype=bool)
     for gi, g in enumerate(group_ids):
-        g_chunk, g_row = int(g // num_tiles), int(g % num_tiles)
+        g_chunk, g_row = int(g // num_row_tiles), int(g % num_row_tiles)
         s, c = group_start[gi], pad_counts[gi]
         block_row[s : s + c] = g_row
         block_chunk[s : s + c] = g_chunk
@@ -190,7 +229,8 @@ def build_blocksparse(
     k = np.empty(len(key), dtype=np.int64)
     k[order] = slot[inverse_sorted]
     # transposed fill: [slot, col-within, row-within]
-    blocks[k, cols % block, rows % block] = 1
+    if len(key):
+        blocks[k, cols % block, rows % block] = 1
 
     batch_row = block_row[::KBATCH].astype(np.int32)
     batch_chunk = block_chunk[::KBATCH].astype(np.int32)
@@ -212,6 +252,7 @@ def build_blocksparse(
         num_tiles=num_tiles,
         num_chunks=num_chunks,
         block=block,
+        num_row_tiles=num_row_tiles if row_tile_range is not None else num_tiles,
     )
 
 
@@ -228,6 +269,13 @@ def bcsr_spmm(
     (the VJP is the same SpMM on the cotangent — A is symmetric because edges
     are mirrored). ``x`` must have ``structure.padded_nodes`` rows.
     """
+    if not structure.is_square:
+        msg = (
+            "bcsr_spmm requires a square (full-row-range) structure — a row "
+            "slice is not symmetric, so its VJP is not the same SpMM; use "
+            "parallel.blocksparse_partition.bcsr_spmm_sharded for slices."
+        )
+        raise ValueError(msg)
     if x.shape[0] != structure.padded_nodes:
         msg = f"x has {x.shape[0]} rows; structure expects {structure.padded_nodes}"
         raise ValueError(msg)
@@ -250,6 +298,8 @@ _XCHUNK_VMEM_BUDGET = 13 * 1024 * 1024
 
 
 def _spmm_impl(structure: BlockSparseStructure, x: jnp.ndarray, precision) -> jnp.ndarray:
+    """Raw (non-differentiable) ``A_slice @ x``: x has ``padded_nodes`` rows
+    (the full column space), the output has ``padded_rows`` rows."""
     fw = x.shape[1] + (-x.shape[1]) % 8
     chunk_tiles = min(CHUNK_TILES, structure.num_tiles)
     if jax.default_backend() == "tpu" and fw * chunk_tiles * structure.block * 4 <= _XCHUNK_VMEM_BUDGET:
@@ -263,6 +313,7 @@ def _spmm_impl(structure: BlockSparseStructure, x: jnp.ndarray, precision) -> jn
             num_tiles=structure.num_tiles,
             num_chunks=structure.num_chunks,
             block=structure.block,
+            num_row_tiles=structure.num_row_tiles,
             precision=precision,
         )
     return bcsr_spmm_xla(structure, x, precision)
@@ -283,8 +334,8 @@ def bcsr_spmm_xla(structure: BlockSparseStructure, x: jnp.ndarray, precision=jax
         (((1,), (1,)), ((0,), (0,))),
         precision=precision,
     )  # [NB, r, F]
-    out = jax.ops.segment_sum(prod, structure.block_row, num_segments=nt)
-    return out.reshape(nt * b, feat)
+    out = jax.ops.segment_sum(prod, structure.block_row, num_segments=structure.num_row_tiles)
+    return out.reshape(structure.num_row_tiles * b, feat)
 
 
 def _kernel_stream(
@@ -340,8 +391,10 @@ def _kernel_stream(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_tiles", "num_chunks", "block", "precision"))
-def _bcsr_spmm_tpu(blocks_t, block_col, batch_row, batch_chunk, visited, x, *, num_tiles, num_chunks, block, precision):
+@functools.partial(jax.jit, static_argnames=("num_tiles", "num_chunks", "block", "num_row_tiles", "precision"))
+def _bcsr_spmm_tpu(blocks_t, block_col, batch_row, batch_chunk, visited, x, *, num_tiles, num_chunks, block, precision, num_row_tiles=None):
+    if num_row_tiles is None:
+        num_row_tiles = num_tiles
     feat = x.shape[1]
     pad_f = (-feat) % 8  # sublane quantum for the [F, N] layout
     if pad_f:
@@ -378,7 +431,7 @@ def _bcsr_spmm_tpu(blocks_t, block_col, batch_row, batch_chunk, visited, x, *, n
     slabs = pl.pallas_call(
         functools.partial(_kernel_stream, block=block, kbatch=KBATCH, chunk_tiles=chunk_tiles, precision=precision),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_chunks, fw, num_tiles * block), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_chunks, fw, num_row_tiles * block), jnp.float32),
     )(batch_row, batch_chunk, block_col, blocks_t, x_t)
 
     # collapse chunk slabs; never-visited slab tiles are uninitialized memory,

@@ -1,0 +1,214 @@
+"""Multi-device graph parallelism for the block-sparse (BCSR) path.
+
+The BCSR SpMM (ops/block_sparse.py) is the MXU aggregation for
+atomic-resolution graphs; this module scales it across a device mesh for
+graphs whose adjacency (or activations) outgrow one chip — the BASELINE
+north-star axis (the reference has no equivalent; its only multi-device mode
+is ``nn.DataParallel``, reference trainer.py:387-389):
+
+- row tiles are split into ``D`` contiguous, equal-length ranges; device ``d``
+  owns the node rows of its range and the adjacency blocks whose *destination*
+  row tile falls in it (``A[r_d : r_{d+1}, :]`` — a rectangular
+  :class:`~deeprank2_tpu.ops.block_sparse.BlockSparseStructure` built with
+  ``row_tile_range``), so block streaming and MXU work shard ~evenly
+  (locality-ordered geometric graphs have near-uniform block density);
+- per layer, each device transforms its local node block and ``all_gather``\\ s
+  the (low-dimensional, already-transformed) features over ICI; the local
+  rectangular SpMM then needs no further communication;
+- **backward**: a row slice is not symmetric, but the global adjacency is
+  (edges are mirrored), so ``(A^T g)[rows of d] = (A g)[rows of d] =
+  A[rows of d, :] @ g_full`` — the VJP is the SAME local SpMM applied to the
+  all-gathered cotangent. ``bcsr_spmm_sharded`` encodes exactly this as a
+  ``custom_vjp`` (the all_gather of the cotangent is the transpose of the
+  forward all_gather's implicit psum).
+
+Validated against the single-device model to float tolerance on the virtual
+CPU mesh (tests/parallel/test_blocksparse_partition.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from deeprank2_tpu.neuralnets import nn
+from deeprank2_tpu.ops.block_sparse import BlockSparseStructure, _spmm_impl, build_blocksparse, required_blocks
+from deeprank2_tpu.ops.segment import segment_sum
+from deeprank2_tpu.parallel.dp import default_mesh
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class PartitionedBlockSparseBatch:
+    """A block-sparse batch split by contiguous row-tile ranges.
+
+    Array leaves carry a leading device axis ``D``; the structure's leaves are
+    stacked the same way (all shards share block/tile capacities so the pytree
+    is rectangular). ``y``/``y_mask`` are replicated per shard.
+    """
+
+    x: jax.Array  # f32 [D, R*B, F] local node features
+    node_graph: jax.Array  # i32 [D, R*B] graph id per local node (padded = G)
+    node_mask: jax.Array  # bool [D, R*B]
+    y: jax.Array  # f32 [D, G] (replicated)
+    y_mask: jax.Array  # bool [D, G]
+    structure: BlockSparseStructure  # leaves stacked [D, ...]; statics shared
+    num_graphs: int = field(metadata={"static": True})
+
+
+def partition_blocksparse_batch(batch, num_shards: int) -> PartitionedBlockSparseBatch:
+    """Split a :class:`~deeprank2_tpu.ops.batch.BlockSparseBatch` (one device)
+    into ``num_shards`` row-tile ranges.
+
+    The full structure's blocks are decomposed back into (row, col) tile
+    coordinates and re-built per range with shared capacities — collation cost
+    is paid once on the host, typically overlapped by the loader thread.
+    """
+    st = batch.structure
+    if not st.is_square:
+        msg = "partition_blocksparse_batch expects a full (square) structure"
+        raise ValueError(msg)
+    block = st.block
+    nt = st.num_tiles
+    r_per = -(-nt // num_shards)
+    nt_pad = r_per * num_shards
+    num_nodes = nt_pad * block
+
+    # recover undirected pairs from the transposed blocks: entry [k, c, r] = 1
+    # means directed edge (row_tile[k]*B + r <- col_tile[k]*B + c); the
+    # builder mirrors internally, so feed each directed edge once as (dst, src)
+    blocks = np.asarray(st.blocks_t)
+    k_idx, c_idx, r_idx = np.nonzero(blocks)
+    br = np.asarray(st.block_row)[k_idx]
+    bc = np.asarray(st.block_col)[k_idx]
+    dst = br.astype(np.int64) * block + r_idx
+    src = bc.astype(np.int64) * block + c_idx
+    directed = np.stack([dst, src], axis=1)
+    # keep one representative per undirected pair (A is symmetric); self loops
+    # appear once and mirror onto themselves
+    keep = directed[:, 0] <= directed[:, 1]
+    pairs = directed[keep]
+
+    ranges = [(d * r_per, (d + 1) * r_per) for d in range(num_shards)]
+    cap_blocks = max(required_blocks(pairs, num_nodes, block, row_tile_range=rng) for rng in ranges)
+    structures = [
+        build_blocksparse(pairs, num_nodes, block, pad_blocks_to=cap_blocks, row_tile_range=rng) for rng in ranges
+    ]
+    stacked = jax.tree.map(lambda *leaves: jnp.stack(leaves), *structures)
+
+    def pad_rows(a, fill=0):
+        a = np.asarray(a)
+        pad = num_nodes - a.shape[0]
+        if pad:
+            width = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+            a = np.pad(a, width, constant_values=fill)
+        return a
+
+    x = pad_rows(batch.x).reshape(num_shards, r_per * block, -1)
+    node_graph = pad_rows(batch.node_graph, fill=batch.num_graphs).reshape(num_shards, r_per * block)
+    node_mask = pad_rows(batch.node_mask).reshape(num_shards, r_per * block)
+    y = np.broadcast_to(np.asarray(batch.y), (num_shards, *np.asarray(batch.y).shape)).copy()
+    y_mask = np.broadcast_to(np.asarray(batch.y_mask), (num_shards, *np.asarray(batch.y_mask).shape)).copy()
+
+    return PartitionedBlockSparseBatch(
+        x=jnp.asarray(x),
+        node_graph=jnp.asarray(node_graph),
+        node_mask=jnp.asarray(node_mask),
+        y=jnp.asarray(y),
+        y_mask=jnp.asarray(y_mask),
+        structure=stacked,
+        num_graphs=batch.num_graphs,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _spmm_sharded(axis, precision, treedef, leaves, xl):
+    structure = jax.tree_util.tree_unflatten(treedef, leaves)
+    x_full = jax.lax.all_gather(xl, axis, axis=0, tiled=True)
+    return _spmm_impl(structure, x_full, precision)
+
+
+def _spmm_sharded_fwd(axis, precision, treedef, leaves, xl):
+    return _spmm_sharded(axis, precision, treedef, leaves, xl), leaves
+
+
+def _spmm_sharded_bwd(axis, precision, treedef, leaves, g):
+    structure = jax.tree_util.tree_unflatten(treedef, leaves)
+    g_full = jax.lax.all_gather(g, axis, axis=0, tiled=True)
+    gx = _spmm_impl(structure, g_full, precision)
+    # structure leaves are integer/bool: their cotangents are symbolic float0s
+    zeros = tuple(np.zeros(np.shape(leaf), dtype=jax.dtypes.float0) for leaf in leaves)
+    return zeros, gx
+
+
+_spmm_sharded.defvjp(_spmm_sharded_fwd, _spmm_sharded_bwd)
+
+
+def bcsr_spmm_sharded(
+    structure: BlockSparseStructure,
+    x_local: jnp.ndarray,
+    axis: str,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """``(A @ x)[rows of this shard]`` inside ``shard_map``: all_gather the
+    local features over ``axis``, then the local rectangular SpMM.
+
+    Differentiable w.r.t. ``x_local``: by global symmetry the VJP is the same
+    gather + local SpMM applied to the cotangent (see module docstring) — the
+    Pallas kernel needs no AD support and no transposed block structure. (The
+    structure rides through the ``custom_vjp`` as an explicit pytree argument
+    — a closure over its traced leaves would break under grad-of-shard_map.)
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(structure)
+    return _spmm_sharded(axis, precision, treedef, tuple(leaves), x_local)
+
+
+def make_blocksparse_ginet_forward(model, mesh: Mesh | None = None, axis: str = "bp"):
+    """Jitted row-partitioned forward for :class:`GINetBlockSparse`.
+
+    Same math as the single-device model (fused dual towers, one SpMM per
+    layer); returns ``fn(params, part_batch) -> [G, out]`` replicated.
+    """
+    mesh = mesh or default_mesh(axis)
+    axis = mesh.axis_names[0]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def forward(params, part):
+        local = jax.tree.map(lambda a: a[0], part)
+        st = local.structure
+        x = local.x
+        act = nn.relu
+
+        fcx = jnp.concatenate([nn.linear(params["conv1"]["fc"], x), nn.linear(params["conv1_ext"]["fc"], x)], axis=1)
+        h = act(bcsr_spmm_sharded(st, fcx, axis))
+        h_int, h_ext = h[:, :16], h[:, 16:]
+
+        fcx2 = jnp.concatenate(
+            [nn.linear(params["conv2"]["fc"], h_int), nn.linear(params["conv2_ext"]["fc"], h_ext)], axis=1
+        )
+        h2 = act(bcsr_spmm_sharded(st, fcx2, axis))
+        h2 = h2 * local.node_mask[:, None]
+
+        # per-graph mean over ALL shards: psum of sums and counts
+        sums = segment_sum(h2, local.node_graph, part.num_graphs)
+        counts = segment_sum(local.node_mask.astype(jnp.float32), local.node_graph, part.num_graphs)
+        sums = jax.lax.psum(sums, axis)
+        counts = jax.lax.psum(counts, axis)
+        pooled = sums / jnp.maximum(counts, 1.0)[:, None]
+
+        out = nn.relu(nn.linear(params["fc1"], pooled))
+        return nn.linear(params["fc2"], out)
+
+    return jax.jit(forward)
