@@ -56,19 +56,30 @@ class PartitionedBlockSparseBatch:
     x: jax.Array  # f32 [D, R*B, F] local node features
     node_graph: jax.Array  # i32 [D, R*B] graph id per local node (padded = G)
     node_mask: jax.Array  # bool [D, R*B]
-    y: jax.Array  # f32 [D, G] (replicated)
-    y_mask: jax.Array  # bool [D, G]
+    y_rep: jax.Array  # f32 [D, G] targets, replicated per shard
+    y_mask_rep: jax.Array  # bool [D, G]
     structure: BlockSparseStructure  # leaves stacked [D, ...]; statics shared
     num_graphs: int = field(metadata={"static": True})
 
+    @property
+    def y(self) -> jax.Array:
+        """Global targets [G] (the replicated copies are identical)."""
+        return self.y_rep[0]
 
-def partition_blocksparse_batch(batch, num_shards: int) -> PartitionedBlockSparseBatch:
+    @property
+    def y_mask(self) -> jax.Array:
+        return self.y_mask_rep[0]
+
+
+def partition_blocksparse_batch(batch, num_shards: int, pad_blocks=None) -> PartitionedBlockSparseBatch:
     """Split a :class:`~deeprank2_tpu.ops.batch.BlockSparseBatch` (one device)
     into ``num_shards`` row-tile ranges.
 
     The full structure's blocks are decomposed back into (row, col) tile
     coordinates and re-built per range with shared capacities — collation cost
     is paid once on the host, typically overlapped by the loader thread.
+    ``pad_blocks`` (int or ``required -> capacity`` callable) bounds jit
+    recompilation across batches, as in ``collate_graphs_blocksparse``.
     """
     st = batch.structure
     if not st.is_square:
@@ -97,6 +108,10 @@ def partition_blocksparse_batch(batch, num_shards: int) -> PartitionedBlockSpars
 
     ranges = [(d * r_per, (d + 1) * r_per) for d in range(num_shards)]
     cap_blocks = max(required_blocks(pairs, num_nodes, block, row_tile_range=rng) for rng in ranges)
+    if callable(pad_blocks):
+        cap_blocks = pad_blocks(cap_blocks)
+    elif pad_blocks is not None:
+        cap_blocks = max(cap_blocks, pad_blocks)
     structures = [
         build_blocksparse(pairs, num_nodes, block, pad_blocks_to=cap_blocks, row_tile_range=rng) for rng in ranges
     ]
@@ -120,8 +135,8 @@ def partition_blocksparse_batch(batch, num_shards: int) -> PartitionedBlockSpars
         x=jnp.asarray(x),
         node_graph=jnp.asarray(node_graph),
         node_mask=jnp.asarray(node_mask),
-        y=jnp.asarray(y),
-        y_mask=jnp.asarray(y_mask),
+        y_rep=jnp.asarray(y),
+        y_mask_rep=jnp.asarray(y_mask),
         structure=stacked,
         num_graphs=batch.num_graphs,
     )
@@ -169,23 +184,25 @@ def bcsr_spmm_sharded(
     return _spmm_sharded(axis, precision, treedef, tuple(leaves), x_local)
 
 
-def make_blocksparse_ginet_forward(model, mesh: Mesh | None = None, axis: str = "bp"):
+def make_blocksparse_ginet_forward(model, mesh: Mesh | None = None, axis: str = "bp", training: bool = False):
     """Jitted row-partitioned forward for :class:`GINetBlockSparse`.
 
     Same math as the single-device model (fused dual towers, one SpMM per
-    layer); returns ``fn(params, part_batch) -> [G, out]`` replicated.
+    layer, dropout when ``training``); returns ``fn(params, part_batch[,
+    rng]) -> [G, out]`` replicated.
     """
     mesh = mesh or default_mesh(axis)
     axis = mesh.axis_names[0]
+    dropout = getattr(model, "dropout", 0.4)
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axis)),
+        in_specs=(P(), P(axis), P()),
         out_specs=P(),
         check_rep=False,
     )
-    def forward(params, part):
+    def forward(params, part, rng):
         local = jax.tree.map(lambda a: a[0], part)
         st = local.structure
         x = local.x
@@ -209,6 +226,45 @@ def make_blocksparse_ginet_forward(model, mesh: Mesh | None = None, axis: str = 
         pooled = sums / jnp.maximum(counts, 1.0)[:, None]
 
         out = nn.relu(nn.linear(params["fc1"], pooled))
+        # rng is replicated, so every shard draws the same mask
+        out = nn.dropout(rng, out, dropout, training)
         return nn.linear(params["fc2"], out)
 
-    return jax.jit(forward)
+    if training:
+        return jax.jit(forward)
+    return jax.jit(lambda params, part, rng=None: forward(params, part, jax.random.PRNGKey(0) if rng is None else rng))
+
+
+class GINetBlockSparseGP:
+    """Graph-parallel :class:`GINetBlockSparse`: each batch is partitioned by
+    row tiles across ALL local devices, so one structure larger than a chip's
+    HBM trains across the mesh. Same ctor contract and parameter pytree as the
+    single-device model (checkpoints interchange); the Trainer collates and
+    partitions automatically (``graph_parallel`` attribute).
+    """
+
+    needs_clusters = False
+    blocksparse_batches = True
+    graph_parallel = True
+    dropout = 0.4
+
+    def __init__(self, input_shape: int, output_shape: int = 1, input_shape_edge: int = 1):
+        from deeprank2_tpu.neuralnets.gnn.ginet_blocksparse import GINetBlockSparse
+
+        self._single = GINetBlockSparse(input_shape, output_shape, input_shape_edge)
+        self.input_shape = input_shape
+        self.output_shape = output_shape
+        self.input_shape_edge = input_shape_edge
+        self._forwards: dict[bool, object] = {}
+
+    def init(self, rng: jax.Array) -> dict:
+        return self._single.init(rng)
+
+    def apply(self, params: dict, batch: PartitionedBlockSparseBatch, training: bool = False, rng: jax.Array | None = None):
+        fwd = self._forwards.get(training)
+        if fwd is None:
+            fwd = make_blocksparse_ginet_forward(self._single, training=training)
+            self._forwards[training] = fwd
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return fwd(params, batch, rng)

@@ -406,7 +406,26 @@ class Trainer:
             if blocksparse:
                 if not hasattr(self, "_bs_caps"):
                     self._bs_caps = {}
-                if num_shards > 1:
+                if getattr(self.neuralnet, "graph_parallel", False):
+                    # row-tile partitioning across ALL local devices (one
+                    # giant structure per batch spans the mesh); composing it
+                    # with DP sharding is contradictory
+                    if num_shards > 1:
+                        msg = "graph_parallel models cannot also use data_parallel=True"
+                        raise ValueError(msg)
+                    from deeprank2_tpu.ops.batch import collate_graphs_blocksparse
+                    from deeprank2_tpu.parallel.blocksparse_partition import partition_blocksparse_batch
+
+                    flat, names = collate_graphs_blocksparse(
+                        entries,
+                        pad_tiles=self._blocksparse_bucket("tiles"),
+                        pad_blocks=self._blocksparse_bucket("blocks"),
+                        pad_graphs=pad_graphs,
+                    )
+                    batch = partition_blocksparse_batch(
+                        flat, jax.device_count(), pad_blocks=self._blocksparse_bucket("gp_blocks")
+                    )
+                elif num_shards > 1:
                     from deeprank2_tpu.ops.batch import collate_graphs_blocksparse_sharded
 
                     per_shard = max(1, pad_graphs // num_shards)
@@ -458,7 +477,10 @@ class Trainer:
                 [float(self.classes_to_index[int(v)]) if m else 0.0 for v, m in zip(y.reshape(-1), mask.reshape(-1))],
                 dtype=np.float32,
             ).reshape(y.shape)
-            batch.y = mapped
+            if hasattr(batch, "y_rep"):  # partitioned batch: y is a read-only view of y_rep
+                batch.y_rep = np.broadcast_to(mapped, batch.y_rep.shape).copy()
+            else:
+                batch.y = mapped
         return batch, names
 
     def _iter_batches(self, dataset, batch_size: int, shuffle: bool, rng: np.random.Generator | None, prefetch: int = 2):

@@ -203,6 +203,33 @@ def test_data_parallel_dense(srv_hdf5, tmp_path) -> None:
     trainer.train(nepoch=1, batch_size=8, filename=None)
 
 
+def test_graph_parallel_blocksparse(srv_hdf5, tmp_path) -> None:
+    """Graph-parallel block-sparse model: each batch's row tiles span the
+    whole virtual mesh; checkpoints interchange with the single-device model."""
+    import jax
+
+    from deeprank2_tpu.parallel.blocksparse_partition import GINetBlockSparseGP
+
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    trainer = _train(GINetBlockSparseGP, ds, tmp_path)
+    assert trainer.epoch_saved_model is not None
+
+    # composing with DP is rejected
+    with pytest.raises(ValueError, match="graph_parallel"):
+        t2 = Trainer(GINetBlockSparseGP, dataset_train=ds, output_exporters=[], data_parallel=True)
+        t2.train(nepoch=1, batch_size=4, filename=None)
+
+    # checkpoint loads into the single-device block-sparse model
+    from deeprank2_tpu.neuralnets.gnn.ginet_blocksparse import GINetBlockSparse
+
+    model_path = str(tmp_path / "model.pth.tar")
+    ds_test = GraphDataset(hdf5_path=srv_hdf5, train_source=model_path)
+    trainer3 = Trainer(GINetBlockSparse, dataset_test=ds_test, pretrained_model=model_path)
+    trainer3.test(batch_size=4)
+
+
 def test_data_parallel_blocksparse(srv_hdf5, tmp_path) -> None:
     """DP with the block-sparse model: whole graphs balance across shards."""
     import jax
