@@ -114,6 +114,25 @@ def test_sgat_atom_ppi(atom_ppi_dataset) -> None:
     trainer.train(nepoch=2, batch_size=2, filename=None)
 
 
+def test_blocksparse_atom_ppi(atom_ppi_dataset, tmp_path) -> None:
+    """PDB -> atomic featurization -> block-sparse (BCSR) GINet training —
+    the large-graph path end to end, including the graph-parallel variant."""
+    import jax
+
+    from deeprank2_tpu.neuralnets.gnn.ginet_blocksparse import GINetBlockSparse
+
+    ds = GraphDataset(hdf5_path=atom_ppi_dataset, target="binary")
+    trainer = Trainer(GINetBlockSparse, dataset_train=ds, output_exporters=[])
+    trainer.train(nepoch=2, batch_size=2, filename=str(tmp_path / "bs.pth.tar"))
+
+    if jax.device_count() >= 2:
+        from deeprank2_tpu.parallel.blocksparse_partition import GINetBlockSparseGP
+
+        ds_gp = GraphDataset(hdf5_path=atom_ppi_dataset, target="binary")
+        trainer_gp = Trainer(GINetBlockSparseGP, dataset_train=ds_gp, output_exporters=[])
+        trainer_gp.train(nepoch=1, batch_size=2, filename=None)
+
+
 def test_grid_data_parallel(grid_hdf5) -> None:
     import jax
 
