@@ -183,18 +183,7 @@ def collate_graphs_sharded(entries: list[dict], num_shards: int, pad_graphs_per_
     template = entries[0]
     for shard in shards:
         if not shard:  # empty shard: one dummy zero-graph batch
-            shard = [
-                {
-                    "x": np.zeros((1, template["x"].shape[1]), dtype=np.float32),
-                    "edge_index": np.zeros((0, 2), dtype=np.int64),
-                    "edge_attr": np.zeros((0, template["edge_attr"].shape[1] if template["edge_attr"].ndim == 2 else 1), dtype=np.float32),
-                    "pos": np.zeros((1, 3), dtype=np.float32),
-                    "y": None,
-                    "cluster0": None,
-                    "cluster1": None,
-                    "entry_name": "",
-                }
-            ]
+            shard = [{**_dummy_entry(template), "cluster0": None, "cluster1": None}]
         batch, shard_names = collate_graphs(shard, pad_graphs=pad_graphs_per_shard)
         # re-pad to the shared caps
         batch = _repad(batch, cap_v, cap_e)
@@ -364,17 +353,7 @@ def collate_graphs_dense_sharded(
     names: list[str] = []
     for shard in shards:
         if not shard:
-            shard = [
-                {
-                    "x": np.zeros((1, feat_dim), dtype=np.float32),
-                    "edge_index": np.zeros((0, 2), dtype=np.int64),
-                    "pos": np.zeros((1, 3), dtype=np.float32),
-                    "y": None,
-                    "cluster0": np.zeros(1, dtype=np.int32),
-                    "cluster1": np.zeros(1, dtype=np.int32),
-                    "entry_name": "",
-                }
-            ]
+            shard = [_dummy_entry({**entries[0], "cluster0": np.zeros(1, np.int32)})]
         batch, shard_names = collate_graphs_dense(
             shard, pad_graphs=pad_graphs_per_shard, pad_nodes=cap_n, with_clusters=with_clusters, with_edge_weights=with_edge_weights
         )
@@ -452,6 +431,71 @@ class BlockSparseBatch:
         return self.x.shape[0]
 
 
+def _dummy_entry(template: dict) -> dict:
+    """A 1-node, 0-edge placeholder entry matching ``template``'s schema —
+    used by the sharded collates to give empty shards a well-formed batch."""
+    entry = {
+        "x": np.zeros((1, template["x"].shape[1]), dtype=np.float32),
+        "edge_index": np.zeros((0, 2), dtype=np.int64),
+        "pos": np.zeros((1, 3), dtype=np.float32),
+        "y": None,
+        "entry_name": "",
+    }
+    if "edge_attr" in template:
+        ea = template["edge_attr"]
+        entry["edge_attr"] = np.zeros((0, ea.shape[1] if ea.ndim == 2 else 1), dtype=np.float32)
+    if template.get("cluster0") is not None:
+        entry["cluster0"] = np.zeros(1, dtype=np.int32)
+        entry["cluster1"] = np.zeros(1, dtype=np.int32)
+    return entry
+
+
+def blocksparse_layout(
+    entries: list[dict], block: int = 128, num_graphs: int | None = None, features: bool = True
+) -> dict:
+    """The shared locality pass for block-sparse collation: per-entry
+    locality orders, tile-padded feature copies (when ``features``), and the
+    remapped undirected pairs. One implementation backs collation, the
+    requirements pass, and partitioned collation so capacities never drift."""
+    from deeprank2_tpu.ops.block_sparse import locality_order
+
+    num_graphs = len(entries) if num_graphs is None else num_graphs
+    feat_dim = entries[0]["x"].shape[1] if entries else 0
+    xs, poss, graph_ids, masks, pairs = [], [], [], [], []
+    offset = 0
+    for g, entry in enumerate(entries):
+        v = entry["x"].shape[0]
+        order = locality_order(entry["pos"]) if v > block else np.arange(v)
+        inv = np.empty(v, dtype=np.int64)
+        inv[order] = np.arange(v)
+        cap = -(-v // block) * block
+        und = np.asarray(entry["edge_index"], dtype=np.int64).reshape(-1, 2)
+        pairs.append(inv[und] + offset)
+        if features:
+            x = np.zeros((cap, feat_dim), dtype=np.float32)
+            x[:v] = entry["x"][order]
+            pos = np.zeros((cap, 3), dtype=np.float32)
+            pos[:v] = entry["pos"][order]
+            gid = np.full(cap, num_graphs, dtype=np.int32)
+            gid[:v] = g
+            m = np.zeros(cap, dtype=bool)
+            m[:v] = True
+            xs.append(x)
+            poss.append(pos)
+            graph_ids.append(gid)
+            masks.append(m)
+        offset += cap
+    return {
+        "xs": xs,
+        "poss": poss,
+        "graph_ids": graph_ids,
+        "masks": masks,
+        "pairs": np.concatenate(pairs) if pairs else np.zeros((0, 2), np.int64),
+        "num_tiles": max(offset // block, 1),
+        "feat_dim": feat_dim,
+    }
+
+
 def collate_graphs_blocksparse(
     entries: list[dict],
     block: int = 128,
@@ -464,38 +508,20 @@ def collate_graphs_blocksparse(
     bucket the capacities to bound jit recompilation; ``pad_tiles`` and
     ``pad_blocks`` may be callables ``required -> capacity`` (the Trainer
     installs grow-only geometric buckets this way)."""
-    from deeprank2_tpu.ops.block_sparse import build_blocksparse, locality_order
+    from deeprank2_tpu.ops.block_sparse import build_blocksparse
 
     num_real = len(entries)
     num_graphs = pad_graphs or num_real
+    if num_real > num_graphs:
+        msg = f"{num_real} entries exceed pad_graphs={num_graphs}"
+        raise ValueError(msg)
     names = [e["entry_name"] for e in entries] + [""] * (num_graphs - num_real)
-    feat_dim = entries[0]["x"].shape[1]
 
-    xs, poss, graph_ids, masks, pairs = [], [], [], [], []
-    offset = 0
-    for g, entry in enumerate(entries):
-        v = entry["x"].shape[0]
-        order = locality_order(entry["pos"]) if v > block else np.arange(v)
-        inv = np.empty(v, dtype=np.int64)
-        inv[order] = np.arange(v)
-        cap = -(-v // block) * block
-        x = np.zeros((cap, feat_dim), dtype=np.float32)
-        x[:v] = entry["x"][order]
-        pos = np.zeros((cap, 3), dtype=np.float32)
-        pos[:v] = entry["pos"][order]
-        und = np.asarray(entry["edge_index"], dtype=np.int64).reshape(-1, 2)
-        pairs.append(inv[und] + offset)
-        xs.append(x)
-        poss.append(pos)
-        gid = np.full(cap, num_graphs, dtype=np.int32)
-        gid[:v] = g
-        graph_ids.append(gid)
-        m = np.zeros(cap, dtype=bool)
-        m[:v] = True
-        masks.append(m)
-        offset += cap
+    layout = blocksparse_layout(entries, block, num_graphs)
+    xs, poss, graph_ids, masks = layout["xs"], layout["poss"], layout["graph_ids"], layout["masks"]
+    feat_dim = layout["feat_dim"]
+    num_tiles = layout["num_tiles"]
 
-    num_tiles = offset // block
     if callable(pad_tiles):
         pad_tiles = pad_tiles(num_tiles)
     if pad_tiles is not None:
@@ -511,7 +537,7 @@ def collate_graphs_blocksparse(
         num_tiles = pad_tiles
 
     structure = build_blocksparse(
-        np.concatenate(pairs) if pairs else np.zeros((0, 2), np.int64),
+        layout["pairs"],
         num_nodes=num_tiles * block,
         block=block,
         pad_blocks_to=pad_blocks,
@@ -538,22 +564,12 @@ def collate_graphs_blocksparse(
 
 def blocksparse_requirements(entries: list[dict], block: int = 128) -> tuple[int, int]:
     """(tiles, KBATCH-padded blocks) :func:`collate_graphs_blocksparse` would
-    need for these entries — a light pass (locality orders + block grouping,
-    no feature copies or block materialization) used to equalize shard caps."""
-    from deeprank2_tpu.ops.block_sparse import locality_order, required_blocks
+    need for these entries — the same :func:`blocksparse_layout` pass without
+    feature copies or block materialization, used to equalize shard caps."""
+    from deeprank2_tpu.ops.block_sparse import required_blocks
 
-    pairs, offset = [], 0
-    for entry in entries:
-        v = entry["x"].shape[0]
-        order = locality_order(entry["pos"]) if v > block else np.arange(v)
-        inv = np.empty(v, dtype=np.int64)
-        inv[order] = np.arange(v)
-        und = np.asarray(entry["edge_index"], dtype=np.int64).reshape(-1, 2)
-        pairs.append(inv[und] + offset)
-        offset += -(-v // block) * block
-    all_pairs = np.concatenate(pairs) if pairs else np.zeros((0, 2), np.int64)
-    num_tiles = max(offset // block, 1)
-    return num_tiles, required_blocks(all_pairs, num_tiles * block, block)
+    layout = blocksparse_layout(entries, block, features=False)
+    return layout["num_tiles"], required_blocks(layout["pairs"], layout["num_tiles"] * block, block)
 
 
 def collate_graphs_blocksparse_sharded(
@@ -574,26 +590,23 @@ def collate_graphs_blocksparse_sharded(
     :func:`collate_graphs_blocksparse` (ints or ``required -> capacity``
     callables), resolved against the max requirement over shards.
     """
+    if len(entries) > num_shards * pad_graphs_per_shard:
+        msg = f"{len(entries)} entries exceed {num_shards} shards x {pad_graphs_per_shard} graphs"
+        raise ValueError(msg)
     template = entries[0]
     tiles_of = [-(-e["x"].shape[0] // block) for e in entries]
     order = sorted(range(len(entries)), key=lambda i: -tiles_of[i])
     shards: list[list[dict]] = [[] for _ in range(num_shards)]
     loads = [0] * num_shards
     for i in order:
-        s = loads.index(min(loads))
+        # least-loaded shard among those with free graph slots (a purely
+        # tile-greedy choice could overfill a shard's graph capacity)
+        open_shards = [s for s in range(num_shards) if len(shards[s]) < pad_graphs_per_shard]
+        s = min(open_shards, key=lambda s: loads[s])
         shards[s].append(entries[i])
         loads[s] += tiles_of[i]
 
-    dummy = [
-        {
-            "x": np.zeros((1, template["x"].shape[1]), dtype=np.float32),
-            "edge_index": np.zeros((0, 2), dtype=np.int64),
-            "pos": np.zeros((1, 3), dtype=np.float32),
-            "y": None,
-            "entry_name": "",
-        }
-    ]
-    shards = [shard or dummy for shard in shards]
+    shards = [shard or [_dummy_entry(template)] for shard in shards]
 
     reqs = [blocksparse_requirements(shard, block) for shard in shards]
     cap_tiles = max(t for t, _ in reqs)

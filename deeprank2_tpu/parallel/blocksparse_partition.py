@@ -23,7 +23,7 @@ is ``nn.DataParallel``, reference trainer.py:387-389):
   forward all_gather's implicit psum).
 
 Validated against the single-device model to float tolerance on the virtual
-CPU mesh (tests/parallel/test_blocksparse_partition.py).
+CPU mesh (tests/utils/test_blocksparse_partition.py).
 """
 
 from __future__ import annotations
@@ -71,13 +71,87 @@ class PartitionedBlockSparseBatch:
         return self.y_mask_rep[0]
 
 
+def collate_graphs_blocksparse_partitioned(
+    entries: list[dict],
+    num_shards: int,
+    block: int = 128,
+    pad_tiles=None,
+    pad_blocks=None,
+    pad_graphs: int | None = None,
+) -> tuple[PartitionedBlockSparseBatch, list[str]]:
+    """Collate entry dicts straight into a row-tile-partitioned batch — the
+    Trainer's graph-parallel path. One :func:`blocksparse_layout` pass feeds
+    the per-shard rectangular builders directly (no intermediate full
+    structure, no device round-trip). ``pad_tiles``/``pad_blocks`` as in
+    ``collate_graphs_blocksparse`` (``pad_tiles`` resolves BEFORE rounding up
+    to a shard multiple).
+    """
+    from deeprank2_tpu.ops.batch import blocksparse_layout
+
+    num_real = len(entries)
+    num_graphs = pad_graphs or num_real
+    if num_real > num_graphs:
+        msg = f"{num_real} entries exceed pad_graphs={num_graphs}"
+        raise ValueError(msg)
+    names = [e["entry_name"] for e in entries] + [""] * (num_graphs - num_real)
+
+    layout = blocksparse_layout(entries, block, num_graphs)
+    num_tiles = layout["num_tiles"]
+    if callable(pad_tiles):
+        num_tiles = pad_tiles(num_tiles)
+    elif pad_tiles is not None:
+        num_tiles = max(num_tiles, pad_tiles)
+    r_per = -(-num_tiles // num_shards)
+    nt_pad = r_per * num_shards
+    num_nodes = nt_pad * block
+    pairs = layout["pairs"]
+
+    ranges = [(d * r_per, (d + 1) * r_per) for d in range(num_shards)]
+    cap_blocks = max(required_blocks(pairs, num_nodes, block, row_tile_range=rng) for rng in ranges)
+    if callable(pad_blocks):
+        cap_blocks = pad_blocks(cap_blocks)
+    elif pad_blocks is not None:
+        cap_blocks = max(cap_blocks, pad_blocks)
+    structures = [
+        build_blocksparse(pairs, num_nodes, block, pad_blocks_to=cap_blocks, row_tile_range=rng) for rng in ranges
+    ]
+    stacked = jax.tree.map(lambda *leaves: jnp.stack(leaves), *structures)
+
+    feat_dim = layout["feat_dim"]
+    real_rows = sum(a.shape[0] for a in layout["xs"])
+    extra = num_nodes - real_rows
+    if extra:
+        layout["xs"].append(np.zeros((extra, feat_dim), np.float32))
+        layout["poss"].append(np.zeros((extra, 3), np.float32))
+        layout["graph_ids"].append(np.full(extra, num_graphs, np.int32))
+        layout["masks"].append(np.zeros(extra, bool))
+
+    y = np.zeros(num_graphs, dtype=np.float32)
+    y_mask = np.zeros(num_graphs, dtype=bool)
+    for g, entry in enumerate(entries):
+        if entry.get("y") is not None:
+            y[g] = entry["y"]
+            y_mask[g] = True
+
+    return PartitionedBlockSparseBatch(
+        x=jnp.asarray(np.concatenate(layout["xs"]).reshape(num_shards, r_per * block, feat_dim)),
+        node_graph=jnp.asarray(np.concatenate(layout["graph_ids"]).reshape(num_shards, r_per * block)),
+        node_mask=jnp.asarray(np.concatenate(layout["masks"]).reshape(num_shards, r_per * block)),
+        y_rep=jnp.asarray(np.broadcast_to(y, (num_shards, num_graphs)).copy()),
+        y_mask_rep=jnp.asarray(np.broadcast_to(y_mask, (num_shards, num_graphs)).copy()),
+        structure=stacked,
+        num_graphs=num_graphs,
+    ), names
+
+
 def partition_blocksparse_batch(batch, num_shards: int, pad_blocks=None) -> PartitionedBlockSparseBatch:
-    """Split a :class:`~deeprank2_tpu.ops.batch.BlockSparseBatch` (one device)
-    into ``num_shards`` row-tile ranges.
+    """Split an ALREADY-COLLATED :class:`~deeprank2_tpu.ops.batch.BlockSparseBatch`
+    into ``num_shards`` row-tile ranges (the standalone API for a batch whose
+    source entries are gone; the Trainer collates directly into the
+    partitioned form via :func:`collate_graphs_blocksparse_partitioned`).
 
     The full structure's blocks are decomposed back into (row, col) tile
-    coordinates and re-built per range with shared capacities — collation cost
-    is paid once on the host, typically overlapped by the loader thread.
+    coordinates and re-built per range with shared capacities.
     ``pad_blocks`` (int or ``required -> capacity`` callable) bounds jit
     recompilation across batches, as in ``collate_graphs_blocksparse``.
     """

@@ -413,17 +413,14 @@ class Trainer:
                     if num_shards > 1:
                         msg = "graph_parallel models cannot also use data_parallel=True"
                         raise ValueError(msg)
-                    from deeprank2_tpu.ops.batch import collate_graphs_blocksparse
-                    from deeprank2_tpu.parallel.blocksparse_partition import partition_blocksparse_batch
+                    from deeprank2_tpu.parallel.blocksparse_partition import collate_graphs_blocksparse_partitioned
 
-                    flat, names = collate_graphs_blocksparse(
+                    batch, names = collate_graphs_blocksparse_partitioned(
                         entries,
+                        jax.device_count(),
                         pad_tiles=self._blocksparse_bucket("tiles"),
-                        pad_blocks=self._blocksparse_bucket("blocks"),
+                        pad_blocks=self._blocksparse_bucket("gp_blocks"),
                         pad_graphs=pad_graphs,
-                    )
-                    batch = partition_blocksparse_batch(
-                        flat, jax.device_count(), pad_blocks=self._blocksparse_bucket("gp_blocks")
                     )
                 elif num_shards > 1:
                     from deeprank2_tpu.ops.batch import collate_graphs_blocksparse_sharded

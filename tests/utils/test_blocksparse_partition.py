@@ -108,6 +108,63 @@ def test_sharded_grads_match_single_device() -> None:
         np.testing.assert_allclose(np.asarray(flat_sharded[path]), np.asarray(leaf), atol=5e-3, err_msg=str(path))
 
 
+def test_partitioned_collate_matches_batch_partition() -> None:
+    """Collating straight into the partitioned form equals partitioning an
+    already-collated batch (the Trainer path vs the standalone path)."""
+    from deeprank2_tpu.parallel.blocksparse_partition import collate_graphs_blocksparse_partitioned
+
+    entries = _entries(3, seed=6)
+    batch, _ = collate_graphs_blocksparse(entries)
+    want = partition_blocksparse_batch(batch, 4)
+    got, names = collate_graphs_blocksparse_partitioned(entries, 4)
+    assert names[:3] == [e["entry_name"] for e in entries]
+
+    model = GINetBlockSparse(12, 2, 1)
+    params = model.init(jax.random.PRNGKey(7))
+    if jax.device_count() >= 2:
+        mesh = default_mesh("bp", devices=jax.devices()[:4])
+        fwd = make_blocksparse_ginet_forward(model, mesh=mesh)
+        np.testing.assert_allclose(
+            np.asarray(fwd(params, got))[:3], np.asarray(fwd(params, want))[:3], atol=1e-5
+        )
+    for path, leaf in jax.tree_util.tree_leaves_with_path(want):
+        other = dict(jax.tree_util.tree_leaves_with_path(got))[path]
+        assert np.asarray(other).shape == np.asarray(leaf).shape, path
+
+
+def test_sharded_collate_respects_graph_capacity() -> None:
+    """Regression: one big graph plus many small ones must not overfill a
+    shard's graph slots (tile-greedy assignment previously could)."""
+    from scipy.spatial import cKDTree
+
+    from deeprank2_tpu.ops.batch import collate_graphs_blocksparse_sharded
+
+    rng = np.random.default_rng(11)
+    entries = []
+    sizes = [700] + [40] * 7  # 5 tiles + seven 1-tile graphs
+    for g, n in enumerate(sizes):
+        pos = rng.uniform(0, 40, size=(n, 3))
+        pairs = cKDTree(pos).query_pairs(5.0, output_type="ndarray")
+        entries.append(
+            {
+                "x": rng.normal(size=(n, 6)).astype(np.float32),
+                "edge_index": pairs.astype(np.int64),
+                "pos": pos.astype(np.float32),
+                "y": float(g % 2),
+                "entry_name": f"c{g}",
+            }
+        )
+    stacked, names = collate_graphs_blocksparse_sharded(entries, 2, 4)
+    assert sorted(n for n in names if n) == sorted(e["entry_name"] for e in entries)
+    # every graph id in the node arrays is < pad_graphs (no silent drops)
+    gid = np.asarray(stacked.node_graph)
+    mask = np.asarray(stacked.node_mask)
+    assert gid[mask].max() < 4
+
+    with pytest.raises(ValueError, match="exceed"):
+        collate_graphs_blocksparse_sharded(entries, 2, 2)
+
+
 def test_sharded_spmm_grad_is_gathered_spmm() -> None:
     """Direct VJP check on one shard's rectangular slice under shard_map."""
     if jax.device_count() < 2:
