@@ -211,10 +211,13 @@ class DeeprankDataset:
             present_target_names = list(grp[targets.VALUES].keys())
             if target_name in present_target_names:
                 if isinstance(target_condition, str):
-                    operation = target_condition
                     target_value = grp[targets.VALUES][target_name][()]
-                    for operator_string in [">", "<", "==", "<=", ">=", "!="]:
-                        operation = operation.replace(operator_string, f"{target_value}" + operator_string)
+                    # one regex pass, two-char operators first. The reference
+                    # bug (dataset.py:251-289) chains str.replace over the
+                    # operator list, so "<=4.0" becomes "X<X=4.0"-style garbage
+                    # whose SyntaxError silently drops the whole file — we do
+                    # not reproduce that; "<=", ">=", "!=" work here.
+                    operation = re.sub(r"(==|!=|<=|>=|<|>)", lambda m: f"{target_value}{m.group(1)}", target_condition)
                     if not eval(operation):  # noqa: S307 (reference parity)
                         return False
                 elif target_condition is not None:
@@ -253,14 +256,18 @@ class DeeprankDataset:
                             transform = self.features_transform.get("all", {}).get("transform")
                             if transform is None and feat in self.features_transform:
                                 transform = self.features_transform.get(feat, {}).get("transform")
-                        if f[first_entry][feat_type][feat][()].ndim == 2:  # noqa: PLR2004
-                            for i in range(f[first_entry][feat_type][feat][:].shape[1]):
-                                col = [f[name][feat_type][feat][:][:, i] for name in entry_names]
-                                if transform:
-                                    col = [transform(row) for row in col]
-                                df_dict[f"{feat}_{i}"] = col
+                        # one read per entry; metadata from the h5py object
+                        # (probing with [()] / re-reading per channel costs
+                        # O(channels) full-dataset reads)
+                        ndim = f[first_entry][feat_type][feat].ndim
+                        if ndim == 2:  # noqa: PLR2004
+                            values = [f[name][feat_type][feat][:] for name in entry_names]
+                            if transform:
+                                values = [transform(v) for v in values]
+                            for i in range(f[first_entry][feat_type][feat].shape[1]):
+                                df_dict[f"{feat}_{i}"] = [v[:, i] for v in values]
                         else:
-                            col = [f[name][feat_type][feat][:] if f[name][feat_type][feat][()].ndim == 1 else f[name][feat_type][feat][()] for name in entry_names]
+                            col = [f[name][feat_type][feat][:] if ndim == 1 else f[name][feat_type][feat][()] for name in entry_names]
                             if transform:
                                 col = [transform(row) for row in col]
                             df_dict[feat] = col
@@ -382,6 +389,12 @@ class GridDataset(DeeprankDataset):
 
     def _check_features(self) -> None:
         hdf5_path = self.hdf5_paths[0]
+        # normalize a single feature name up front — left as a bare str it
+        # would match nothing below and silently select zero features
+        if isinstance(self.features, str) and self.features != "all":
+            self.features = [self.features]
+        elif self.features is None:
+            self.features = []
         with h5py.File(hdf5_path, "r") as f:
             mol_key = next(iter(f.keys()))
             if isinstance(self.features, list):
@@ -696,8 +709,12 @@ def save_hdf5_keys(f_src_path: str, src_ids: list[str], f_dest_path: str, hardco
                 f_dest[key] = h5py.ExternalLink(f_src_path, "/" + key)
 
 
-def _divide_dataset(dataset, splitsize: float | int | None = None):
-    """Random train/eval split by entry (reference: trainer.py:961-1004)."""
+def _divide_dataset(dataset, splitsize: float | int | None = None, rng: np.random.Generator | None = None):
+    """Random train/eval split by entry (reference: trainer.py:961-1004).
+
+    ``rng`` seeds the shuffle — the Trainer passes its own seed so a resumed
+    run re-derives the SAME train/val partition (an unseeded split would leak
+    already-trained entries into validation after resume)."""
     if splitsize is None:
         splitsize = 0.25
     full_size = len(dataset)
@@ -721,7 +738,7 @@ def _divide_dataset(dataset, splitsize: float | int | None = None):
         return dataset, None
 
     indices = np.arange(full_size)
-    np.random.default_rng().shuffle(indices)
+    (rng or np.random.default_rng()).shuffle(indices)
 
     dataset_main = copy.deepcopy(dataset)
     dataset_main.index_entries = [dataset.index_entries[i] for i in indices[n_split:]]

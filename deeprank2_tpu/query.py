@@ -468,16 +468,16 @@ class QueryCollection:
 
         if mp_context is None:
             mp_context = "spawn" if _jax_backends_initialized() else "fork"
+        preexisting: set[str] = set()
         if resume:
-            existing: set[str] = set()
             for path in glob(f"{self._prefix}.hdf5") + glob(f"{self._prefix}-*.hdf5"):
                 try:
                     with h5py.File(path, "r") as f:
-                        existing.update(f.keys())
+                        preexisting.update(f.keys())
                 except OSError:
                     continue
-            skipped = [q for q in host_queries if q.get_query_id() in existing]
-            host_queries = [q for q in host_queries if q.get_query_id() not in existing]
+            skipped = [q for q in host_queries if q.get_query_id() in preexisting]
+            host_queries = [q for q in host_queries if q.get_query_id() not in preexisting]
             if skipped:
                 _log.info(f"resume: skipping {len(skipped)} already-processed queries.")
 
@@ -501,10 +501,13 @@ class QueryCollection:
                 os.remove(output_path)
             return glob(f"{self._prefix}.hdf5")
 
+        # count only entries produced by THIS run: on resume the shard files
+        # still hold previously processed entries, which would otherwise mask
+        # failures (or report >100% processed)
         n_processed = 0
         for hdf5file in output_paths:
             with h5py.File(hdf5file, "r") as hdf5:
-                n_processed += len(list(hdf5.keys()))
+                n_processed += sum(1 for key in hdf5 if key not in preexisting)
 
         if not n_processed:
             msg = "No queries have been processed."

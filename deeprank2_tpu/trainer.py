@@ -46,6 +46,27 @@ from deeprank2_tpu.utils.exporters import HDF5OutputExporter, OutputExporter, Ou
 _log = logging.getLogger(__name__)
 
 
+def _trim_lambda_source(candidate: str) -> str | None:
+    """Trim trailing context (``}``, ``,``, enclosing ``)`` …) off a lambda
+    source captured by regex from its defining line: the longest prefix that
+    parses as a *pure lambda expression*. A blind ``rstrip(",)}")`` would also
+    eat the closing paren of a lambda ending in a call, e.g.
+    ``lambda t: np.log(t+10)`` captured as ``lambda t: np.log(t+10)}}``; and
+    plain "longest prefix that compiles" would accept the tuple
+    ``lambda t: t, "standardize"``."""
+    import ast
+
+    for end in range(len(candidate), 6, -1):
+        trimmed = candidate[:end].rstrip(", \t")
+        try:
+            tree = ast.parse(trimmed, mode="eval")
+        except SyntaxError:
+            continue
+        if isinstance(tree.body, ast.Lambda):
+            return trimmed
+    return None
+
+
 class Trainer:
     """Trains, evaluates and tests neural networks on deeprank datasets.
 
@@ -133,7 +154,7 @@ class Trainer:
                         self._precluster(self.dataset_val)
                     else:
                         _log.warning("No validation dataset given. Randomly splitting training set in training set and validation set.")
-                        self.dataset_train, self.dataset_val = _divide_dataset(self.dataset_train, splitsize=self.val_size)
+                        self.dataset_train, self.dataset_val = _divide_dataset(self.dataset_train, splitsize=self.val_size, rng=np.random.default_rng(self.seed))
                     if self.dataset_test is not None:
                         self._precluster(self.dataset_test)
                 else:
@@ -173,14 +194,17 @@ class Trainer:
         self.val_size = val_size
         self.test_size = test_size
 
+        # one seeded generator for both splits: a resumed run re-derives the
+        # same partitions, so trained entries never leak into val/test
+        split_rng = np.random.default_rng(self.seed)
         if test_size is not None:
             if dataset_test is None:
-                self.dataset_train, self.dataset_test = _divide_dataset(dataset_train, test_size)
+                self.dataset_train, self.dataset_test = _divide_dataset(dataset_train, test_size, rng=split_rng)
             else:
                 _log.warning("Test dataset was provided to Trainer; test_size parameter is ignored.")
         if val_size is not None:
             if dataset_val is None:
-                self.dataset_train, self.dataset_val = _divide_dataset(self.dataset_train, val_size)
+                self.dataset_train, self.dataset_val = _divide_dataset(self.dataset_train, val_size, rng=split_rng)
             else:
                 _log.warning("Validation dataset was provided to Trainer; val_size parameter is ignored.")
 
@@ -425,7 +449,7 @@ class Trainer:
                 elif num_shards > 1:
                     from deeprank2_tpu.ops.batch import collate_graphs_blocksparse_sharded
 
-                    per_shard = max(1, pad_graphs // num_shards)
+                    per_shard = max(1, -(-pad_graphs // num_shards))  # ceil: floor overfills shards when batch_size % devices != 0
                     batch, names = collate_graphs_blocksparse_sharded(
                         entries,
                         num_shards,
@@ -445,12 +469,12 @@ class Trainer:
             elif num_shards > 1 and dense:
                 from deeprank2_tpu.ops.batch import collate_graphs_dense_sharded
 
-                per_shard = max(1, pad_graphs // num_shards)
+                per_shard = max(1, -(-pad_graphs // num_shards))  # ceil: floor overfills shards when batch_size % devices != 0
                 batch, names = collate_graphs_dense_sharded(entries, num_shards, per_shard, **dense_kwargs)
             elif num_shards > 1:
                 from deeprank2_tpu.ops.batch import collate_graphs_sharded
 
-                per_shard = max(1, pad_graphs // num_shards)
+                per_shard = max(1, -(-pad_graphs // num_shards))  # ceil: floor overfills shards when batch_size % devices != 0
                 batch, names = collate_graphs_sharded(entries, num_shards, per_shard)
             elif dense:
                 from deeprank2_tpu.ops.batch import collate_graphs_dense
@@ -461,7 +485,7 @@ class Trainer:
         elif num_shards > 1:
             from deeprank2_tpu.ops.batch import collate_grids_sharded
 
-            per_shard = max(1, pad_graphs // num_shards)
+            per_shard = max(1, -(-pad_graphs // num_shards))  # ceil: floor overfills shards when batch_size % devices != 0
             batch, names = collate_grids_sharded(entries, num_shards, per_shard)
         else:
             batch, names = collate_grids(entries, pad_graphs)
@@ -780,7 +804,15 @@ class Trainer:
         entry_names = [names[i] for i in real]
         return outputs, target_vals, entry_names
 
-    def _epoch(self, epoch_number: int, pass_name: str, batch_size: int, shuffle: bool, loader_rng) -> float | None:
+    def _run_pass(self, dataset, epoch_number: int, pass_name: str, batch_size: int, *, step, shuffle: bool = False, loader_rng=None) -> float | None:
+        """Shared train/eval pass: iterate batches through ``step(batch) ->
+        (loss, pred)``, accumulate masked-mean loss, feed the exporters.
+
+        Losses/predictions stay on device during the batch loop: every step
+        only queues async work, so the epoch pipelines without a host sync per
+        batch (a device->host value fetch costs ~ms; much more over a TPU
+        tunnel); the drain loop afterwards pulls them all at once.
+        """
         sum_of_losses = 0.0
         count_predictions = 0
         total_edges = 0
@@ -788,47 +820,15 @@ class Trainer:
         outputs = []
         entry_names = []
         t0 = time()
-        # keep losses/predictions on device during the loop: every step only
-        # queues async work, the epoch pipelines without a host sync per batch
-        # (a device->host value fetch costs ~ms; much more over a TPU tunnel)
         pending = []
-        for batch, names, stats in self._iter_batches(self.dataset_train, batch_size, shuffle, loader_rng, prefetch=self._prefetch):
-            self.params, self.opt_state, loss_, pred, self._rng = self._train_step(self.params, self.opt_state, self._rng, batch)
+        for batch, names, stats in self._iter_batches(dataset, batch_size, shuffle, loader_rng, prefetch=self._prefetch):
+            loss_, pred = step(batch)
             pending.append((loss_, pred, names, stats))
 
         for loss_, pred, names, stats in pending:
             n_valid = stats["n_valid"]
-            count_predictions += n_valid
             total_edges += stats["n_edges"]
-            sum_of_losses += float(loss_) * n_valid
-            out, tgt, nm = self._export_outputs(pred, stats["y_host"], stats["y_mask_host"], names)
-            outputs += out
-            target_vals += tgt
-            entry_names += nm
-
-        dt = time() - t0
-        epoch_loss = sum_of_losses / count_predictions if count_predictions > 0 else None
-        if total_edges and dt > 0:
-            _log.info(f"{pass_name} throughput: {total_edges / dt:,.0f} edges/s")
-        self._output_exporters.process(pass_name, epoch_number, entry_names, outputs, target_vals, epoch_loss)
-        self._log_epoch_data(pass_name, epoch_loss, dt)
-        return epoch_loss
-
-    def _eval(self, dataset, epoch_number: int, pass_name: str, batch_size: int) -> float | None:
-        target_vals = []
-        outputs = []
-        entry_names = []
-        sum_of_losses = 0.0
-        count_predictions = 0
-        t0 = time()
-        pending = []
-        for batch, names, stats in self._iter_batches(dataset, batch_size, shuffle=False, rng=None, prefetch=self._prefetch):
-            loss_, pred = self._eval_step(self.params, batch)
-            pending.append((loss_, pred, names, stats))
-
-        for loss_, pred, names, stats in pending:
-            n_valid = stats["n_valid"]
-            if n_valid > 0:
+            if n_valid > 0:  # guard: an all-padding batch's loss is NaN and 0 * NaN stays NaN
                 count_predictions += n_valid
                 sum_of_losses += float(loss_) * n_valid
             out, tgt, nm = self._export_outputs(pred, stats["y_host"], stats["y_mask_host"], names)
@@ -837,10 +837,22 @@ class Trainer:
             entry_names += nm
 
         dt = time() - t0
-        eval_loss = sum_of_losses / count_predictions if count_predictions > 0 else None
-        self._output_exporters.process(pass_name, epoch_number, entry_names, outputs, target_vals, eval_loss)
-        self._log_epoch_data(pass_name, eval_loss, dt)
-        return eval_loss
+        pass_loss = sum_of_losses / count_predictions if count_predictions > 0 else None
+        if total_edges and dt > 0:
+            _log.info(f"{pass_name} throughput: {total_edges / dt:,.0f} edges/s")
+        self._output_exporters.process(pass_name, epoch_number, entry_names, outputs, target_vals, pass_loss)
+        self._log_epoch_data(pass_name, pass_loss, dt)
+        return pass_loss
+
+    def _epoch(self, epoch_number: int, pass_name: str, batch_size: int, shuffle: bool, loader_rng) -> float | None:
+        def train_step(batch):
+            self.params, self.opt_state, loss_, pred, self._rng = self._train_step(self.params, self.opt_state, self._rng, batch)
+            return loss_, pred
+
+        return self._run_pass(self.dataset_train, epoch_number, pass_name, batch_size, step=train_step, shuffle=shuffle, loader_rng=loader_rng)
+
+    def _eval(self, dataset, epoch_number: int, pass_name: str, batch_size: int) -> float | None:
+        return self._run_pass(dataset, epoch_number, pass_name, batch_size, step=lambda batch: self._eval_step(self.params, batch))
 
     @staticmethod
     def _log_epoch_data(stage: str, loss: float | None, time_: float) -> None:
@@ -983,7 +995,7 @@ class Trainer:
                 try:
                     source = inspect.getsource(entry["transform"])
                     match = re.search(r"(lambda[^\n]*)", source)
-                    entry["transform"] = match.group(1).rstrip(",)} \t") if match else None
+                    entry["transform"] = _trim_lambda_source(match.group(1)) if match else None
                 except (OSError, TypeError):
                     _log.warning("Could not serialize a features_transform function; storing None.")
                     entry["transform"] = None

@@ -94,6 +94,34 @@ def test_target_filter(srv_hdf5) -> None:
         assert ds_filtered.get(i)["y"] < 3
 
 
+def test_target_filter_two_char_operators(srv_hdf5) -> None:
+    """Regression: '<=' / '>=' / '!=' conditions work (the reference's chained
+    str.replace corrupts them into a SyntaxError that silently drops the whole
+    file — a documented divergence, grep 'reference bug')."""
+    ds_all = GraphDataset(hdf5_path=srv_hdf5, target="irmsd")
+    ds_le = GraphDataset(hdf5_path=srv_hdf5, target="irmsd", target_filter={"irmsd": "<=3"})
+    assert 0 < len(ds_le) < len(ds_all)
+    for i in range(len(ds_le)):
+        assert ds_le.get(i)["y"] <= 3
+    # compound conditions still work
+    ds_band = GraphDataset(hdf5_path=srv_hdf5, target="irmsd", target_filter={"irmsd": ">=0 and <3"})
+    assert len(ds_band) == len(GraphDataset(hdf5_path=srv_hdf5, target="irmsd", target_filter={"irmsd": "<3"}))
+
+
+def test_grid_single_feature_string(grid_hdf5) -> None:
+    """Regression: a single feature name as a bare string selects that
+    feature's channels (previously resolved to zero features silently)."""
+    from deeprank2_tpu.dataset import GridDataset
+
+    ds_all = GridDataset(hdf5_path=grid_hdf5, target="binary")
+    feat = ds_all.features[0].rsplit("_", 1)[0] if ds_all.features[0][-3:].isdigit() else ds_all.features[0]
+    ds_one = GridDataset(hdf5_path=grid_hdf5, target="binary", features=feat)
+    assert len(ds_one.features) > 0
+    assert all(f == feat or f.startswith(feat + "_") for f in ds_one.features)
+    x = ds_one.get(0)["x"]
+    assert x.shape[0] == len(ds_one.features)
+
+
 def test_subset(srv_hdf5) -> None:
     with h5py.File(srv_hdf5) as f:
         names = list(f.keys())[:3]

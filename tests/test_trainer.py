@@ -166,6 +166,55 @@ def test_train_val_split(srv_hdf5, tmp_path) -> None:
     trainer.train(nepoch=1, batch_size=4, validate=True, filename=None)
 
 
+def test_split_is_seeded(srv_hdf5) -> None:
+    """Same Trainer seed -> same train/val partition (a resumed run would
+    otherwise leak trained entries into validation)."""
+    def split_names(seed):
+        ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+        t = Trainer(VanillaNetwork, dataset_train=ds, val_size=0.25, output_exporters=[], seed=seed)
+        return [e[1] for e in t.dataset_val.index_entries]
+
+    assert split_names(42) == split_names(42)
+    assert split_names(42) != split_names(7) or len(split_names(42)) == 0
+
+
+def test_data_parallel_uneven_batch(srv_hdf5) -> None:
+    """Regression: batch_size not divisible by device count must not overfill
+    shards (per-shard capacity was floor-divided)."""
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    trainer = Trainer(VanillaNetwork, dataset_train=ds, output_exporters=[], data_parallel=True)
+    # 8 entries on 8 devices with batch_size 6: ceil(6/8)=1 graph per shard
+    trainer.train(nepoch=1, batch_size=6, filename=None)
+
+
+def test_trim_lambda_source() -> None:
+    from deeprank2_tpu.trainer import _trim_lambda_source
+
+    assert _trim_lambda_source("lambda t: np.log(t + 10)}}") == "lambda t: np.log(t + 10)"
+    assert _trim_lambda_source('lambda t: t, "standardize": True}') == "lambda t: t"
+    assert _trim_lambda_source("lambda t: (t, t * 2)},") == "lambda t: (t, t * 2)"
+    assert _trim_lambda_source("lambda") is None
+
+
+def test_checkpoint_lambda_ending_in_call_roundtrips(srv_hdf5, tmp_path) -> None:
+    """A features_transform lambda ending in a call survives save -> inherit
+    (the old rstrip ate its closing paren, corrupting the checkpoint)."""
+    ds = GraphDataset(
+        hdf5_path=srv_hdf5,
+        target="binary",
+        features_transform={"res_mass": {"transform": lambda t: np.log(t + 10)}},
+    )
+    trainer = _train(VanillaNetwork, ds, tmp_path)
+    model_path = str(tmp_path / "model.pth.tar")
+    ds2 = GraphDataset(hdf5_path=srv_hdf5, train_source=model_path)
+    t2 = Trainer(VanillaNetwork, dataset_test=ds2, pretrained_model=model_path)
+    t2.test(batch_size=4)
+
+
 def test_class_weights(srv_hdf5, tmp_path) -> None:
     ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
     trainer = Trainer(VanillaNetwork, dataset_train=ds, class_weights=True, output_exporters=[])
