@@ -87,6 +87,85 @@ class Graph:
         return [Edge(self, e) for e in range(self.num_edges)]
 
     # ------------------------------------------------------------------
+    # Reference-style per-node/per-edge access & mutation
+    # (reference: utils/graph.py:109-122 — the migration surface for user
+    # code written against the reference's dict-of-objects Graph; the
+    # vectorized pipeline itself never calls these)
+    # ------------------------------------------------------------------
+    def get_node(self, id_) -> Node:
+        """Node view for an :class:`Atom`/:class:`Residue` (KeyError if absent)."""
+        if isinstance(id_, Node):
+            return id_
+        backing = getattr(id_, "_arrays", None)
+        if backing is self.arrays:
+            hits = np.flatnonzero(self.node_indices == id_.index)
+            if hits.size:
+                return Node(self, int(hits[0]))
+            raise KeyError(id_)
+        # views into a different (equal) structure: match by identity semantics
+        for v in range(self.num_nodes):
+            node = Node(self, v)
+            if node.id == id_:
+                return node
+        raise KeyError(id_)
+
+    def get_edge(self, id_) -> Edge:
+        """Edge view for a :class:`Contact` (unordered; KeyError if absent)."""
+        if isinstance(id_, Edge):
+            return id_
+        i = self.get_node(id_.item1).index
+        j = self.get_node(id_.item2).index
+        lo, hi = (i, j) if i <= j else (j, i)
+        hits = np.flatnonzero((self.edge_index[:, 0] == lo) & (self.edge_index[:, 1] == hi))
+        if hits.size:
+            return Edge(self, int(hits[0]))
+        raise KeyError(id_)
+
+    def add_node(self, node) -> Node:
+        """Append a node for an :class:`Atom`/:class:`Residue` view (idempotent,
+        like the reference's dict insert). Existing feature columns get a zero
+        row; residue nodes own the residue's full atom set."""
+        id_ = node.id if isinstance(node, Node) else node
+        try:
+            return self.get_node(id_)
+        except KeyError:
+            pass
+        if getattr(id_, "_arrays", None) is not self.arrays:
+            msg = "can only add nodes backed by this graph's structure arrays"
+            raise ValueError(msg)
+        self.node_indices = np.append(self.node_indices, np.int64(id_.index))
+        if self.node_type == "atom":
+            atoms = np.array([id_.index], dtype=np.int64)
+        else:
+            start = int(self.arrays.res_atom_start[id_.index])
+            count = int(self.arrays.res_atom_count[id_.index])
+            atoms = np.arange(start, start + count, dtype=np.int64)
+        self.node_atom_start = np.append(self.node_atom_start, np.int64(self.node_atom_indices.shape[0]))
+        self.node_atom_count = np.append(self.node_atom_count, np.int64(atoms.shape[0]))
+        self.node_atom_indices = np.concatenate([self.node_atom_indices, atoms])
+        for name, col in self.node_features.items():
+            pad = np.zeros((1,) + col.shape[1:], dtype=col.dtype)
+            self.node_features[name] = np.concatenate([col, pad])
+        return Node(self, self.num_nodes - 1)
+
+    def add_edge(self, edge) -> Edge:
+        """Append an edge for a :class:`Contact` whose endpoints are already
+        nodes (idempotent). Existing edge-feature columns get a zero row."""
+        id_ = edge.id if isinstance(edge, Edge) else edge
+        try:
+            return self.get_edge(id_)
+        except KeyError:
+            pass
+        i = self.get_node(id_.item1).index
+        j = self.get_node(id_.item2).index
+        lo, hi = (i, j) if i <= j else (j, i)
+        self.edge_index = np.concatenate([self.edge_index, np.array([[lo, hi]], dtype=np.int64)])
+        for name, col in self.edge_features.items():
+            pad = np.zeros((1,) + col.shape[1:], dtype=col.dtype)
+            self.edge_features[name] = np.concatenate([col, pad])
+        return Edge(self, self.num_edges - 1)
+
+    # ------------------------------------------------------------------
     # Derived node-level columns
     # ------------------------------------------------------------------
     @property
@@ -412,6 +491,26 @@ class Node:
     def position(self) -> np.ndarray:
         return np.asarray(self.graph.node_features[Nfeat.POSITION][self.index])
 
+    def add_feature(self, feature_name: str, feature_function) -> None:
+        """Evaluate ``feature_function(self.id)`` and store the 1-D result
+        (reference: utils/graph.py:75-88). Writes land in the graph's column
+        storage; a new column is zero-initialized for the other nodes."""
+        value = np.asarray(feature_function(self.id), dtype=np.float64)
+        if value.ndim != 1:
+            shape_s = "x".join(str(s) for s in value.shape)
+            msg = f"Expected a 1-dimensional array for feature {feature_name}, but got {shape_s}"
+            raise ValueError(msg)
+        col = self.graph.node_features.get(feature_name)
+        if col is None:
+            shape = (self.graph.num_nodes,) if value.size == 1 else (self.graph.num_nodes, value.size)
+            col = np.zeros(shape, dtype=np.float64)
+            self.graph.node_features[feature_name] = col
+        width = 1 if col.ndim == 1 else col.shape[1]
+        if value.size != width:
+            msg = f"feature {feature_name} has width {width}, got a length-{value.size} value"
+            raise ValueError(msg)
+        col[self.index] = value[0] if col.ndim == 1 else value
+
     def has_nan(self) -> bool:
         return any(np.any(np.isnan(v)) for v in self.features.values())
 
@@ -449,6 +548,22 @@ class Edge:
     @property
     def position2(self) -> np.ndarray:
         return np.asarray(self.graph.node_features[Nfeat.POSITION][int(self.graph.edge_index[self.index, 1])])
+
+    def add_feature(self, feature_name: str, feature_function) -> None:
+        """Evaluate ``feature_function(self.id)`` and store it (reference:
+        utils/graph.py:35-39 — edge features are scalars there; length-K
+        arrays get a [E, K] column here)."""
+        value = np.asarray(feature_function(self.id), dtype=np.float64).reshape(-1)
+        col = self.graph.edge_features.get(feature_name)
+        if col is None:
+            shape = (self.graph.num_edges,) if value.size == 1 else (self.graph.num_edges, value.size)
+            col = np.zeros(shape, dtype=np.float64)
+            self.graph.edge_features[feature_name] = col
+        width = 1 if col.ndim == 1 else col.shape[1]
+        if value.size != width:
+            msg = f"feature {feature_name} has width {width}, got a length-{value.size} value"
+            raise ValueError(msg)
+        col[self.index] = value[0] if col.ndim == 1 else value
 
     def has_nan(self) -> bool:
         return any(np.any(np.isnan(v)) for v in self.features.values())

@@ -143,3 +143,55 @@ def test_node_edge_views(data_path) -> None:
 
     assert atom_graph.nodes[0].id.name == arrays.atom_names[atom_graph.node_indices[0]]
     assert isinstance(atom_graph.edges[0].id, AtomicContact)
+
+
+def test_graph_mutation_api(data_path) -> None:
+    """Reference-style get/add node/edge + per-node add_feature (utils/graph.py:35-122)."""
+    arrays = parse_pdb(str(data_path / "pdb" / "1CRN" / "1CRN.pdb"))
+    # build over the first half of the residues so some residues are NOT nodes
+    half = arrays.num_residues // 2
+    graph = Graph.build_graph(arrays, np.arange(half), "residue", "mut", 10.0)
+    graph.node_features["f"] = np.zeros(graph.num_nodes)
+    graph.edge_features["e"] = np.zeros(graph.num_edges)
+    n_nodes, n_edges = graph.num_nodes, graph.num_edges
+
+    # get_node by Residue view; get_edge by Contact (unordered)
+    node0 = graph.nodes[0]
+    assert graph.get_node(node0.id).index == 0
+    edge0 = graph.edges[0]
+    from deeprank2_tpu.molstruct.pair import ResidueContact
+
+    swapped = ResidueContact(edge0.id.item2, edge0.id.item1)
+    assert graph.get_edge(swapped).index == 0
+
+    # per-node / per-edge feature functions land in the column storage
+    node0.add_feature("depth", lambda res: np.array([3.5]))
+    assert graph.node_features["depth"].shape == (n_nodes,)
+    assert graph.node_features["depth"][0] == 3.5
+    node0.add_feature("vec2", lambda res: np.array([1.0, 2.0]))
+    assert graph.node_features["vec2"].shape == (n_nodes, 2)
+    with pytest.raises(ValueError, match="1-dimensional"):
+        node0.add_feature("bad", lambda res: np.zeros((2, 2)))
+    edge0.add_feature("w", lambda contact: 7.0)
+    assert graph.edge_features["w"][0] == 7.0
+
+    # add_node is idempotent and pads feature columns
+    assert graph.add_node(node0.id).index == 0
+    from deeprank2_tpu.molstruct.structure import Residue
+
+    outside = Residue(arrays, arrays.num_residues - 1)
+    with pytest.raises(KeyError):
+        graph.get_node(outside)
+    new_node = graph.add_node(outside)
+    assert new_node.index == n_nodes
+    assert graph.num_nodes == n_nodes + 1
+    assert graph.node_features["f"].shape == (n_nodes + 1,)
+    assert graph.node_atom_count[-1] == arrays.res_atom_count[outside.index]
+
+    # add_edge connects existing nodes, pads edge columns, dedups
+    contact = ResidueContact(node0.id, outside)
+    new_edge = graph.add_edge(contact)
+    assert new_edge.index == n_edges
+    assert graph.add_edge(contact).index == n_edges
+    assert graph.edge_features["e"].shape == (n_edges + 1,)
+    assert graph.get_edge(contact).index == n_edges
