@@ -43,6 +43,8 @@ import functools
 from dataclasses import dataclass, field
 
 import jax
+
+from deeprank2_tpu.ops.segment import effective_platform
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -302,7 +304,7 @@ def _spmm_impl(structure: BlockSparseStructure, x: jnp.ndarray, precision) -> jn
     (the full column space), the output has ``padded_rows`` rows."""
     fw = x.shape[1] + (-x.shape[1]) % 8
     chunk_tiles = min(CHUNK_TILES, structure.num_tiles)
-    if jax.default_backend() == "tpu" and fw * chunk_tiles * structure.block * 4 <= _XCHUNK_VMEM_BUDGET:
+    if effective_platform() == "tpu" and fw * chunk_tiles * structure.block * 4 <= _XCHUNK_VMEM_BUDGET:
         return _bcsr_spmm_tpu(
             structure.blocks_t,
             structure.block_col,

@@ -33,6 +33,8 @@ from __future__ import annotations
 import functools
 
 import jax
+
+from deeprank2_tpu.ops.segment import effective_platform
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -111,7 +113,7 @@ def _block_graphs(num_graphs: int) -> int:
 
 def supports(num_graphs: int) -> bool:
     """Whether the fused kernel can handle this batch on the current backend."""
-    return jax.default_backend() == "tpu" and _block_graphs(num_graphs) > 0
+    return effective_platform() == "tpu" and _block_graphs(num_graphs) > 0
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())

@@ -18,6 +18,18 @@ import jax.numpy as jnp
 _SEGMENT_BACKEND = "pallas"
 
 
+def effective_platform() -> str:
+    """The platform computations will actually run on: an active
+    ``jax.default_device`` context wins over the process default backend.
+
+    Pallas TPU kernels must not be selected when a CPU ``jax.default_device``
+    (or CPU mesh dry run) is active while the process default is a TPU."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
+
 def set_segment_backend(name: str) -> None:
     """Select the segment-sum implementation: "pallas" (default; banded
     one-hot MXU matmul for sorted-row 2D sums on TPU — 1.7x XLA's sorted
@@ -41,7 +53,7 @@ def segment_sum(
     ``indices_sorted=True`` promises ascending ids (padding sorted last, as the
     batcher produces) and unlocks the Pallas kernel when the backend is set.
     """
-    if _SEGMENT_BACKEND == "pallas" and indices_sorted and data.ndim == 2 and jax.default_backend() == "tpu":
+    if _SEGMENT_BACKEND == "pallas" and indices_sorted and data.ndim == 2 and effective_platform() == "tpu":
         from deeprank2_tpu.ops.pallas_segment import segment_sum_sorted
 
         return segment_sum_sorted(data, segment_ids, num_segments)
