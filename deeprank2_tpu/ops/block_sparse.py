@@ -98,6 +98,10 @@ class BlockSparseStructure:
     # parallel/blocksparse_partition.py) has R = r1 - r0 < NT. Row indices are
     # stored local to the slice, so the offset itself is not retained.
     num_row_tiles: int = field(metadata={"static": True}, default=-1)
+    # whether this structure is a symmetric matrix (the full adjacency, or a
+    # diagonal slice A[r, r] of it): gates the "VJP == same SpMM" shortcut.
+    # A ring bucket A[d, s] with s != d is square-SHAPED but not symmetric.
+    symmetric: bool = field(metadata={"static": True}, default=True)
 
     def __post_init__(self):
         if self.num_row_tiles == -1:
@@ -125,6 +129,7 @@ def required_blocks(
     num_nodes: int,
     block: int = DEFAULT_BLOCK,
     row_tile_range: tuple[int, int] | None = None,
+    col_tile_range: tuple[int, int] | None = None,
 ) -> int:
     """The KBATCH-padded block count :func:`build_blocksparse` would produce
     for these (locality-ordered) pairs — the light requirements pass used to
@@ -138,6 +143,11 @@ def required_blocks(
         t0, t1 = row_tile_range
         sel = (bi >= t0) & (bi < t1)
         bi, bj = bi[sel], bj[sel]
+    if col_tile_range is not None:
+        c0, c1 = col_tile_range
+        sel = (bj >= c0) & (bj < c1)
+        bi, bj = bi[sel], bj[sel] - c0
+        num_tiles = max(c1 - c0, 1)
     chunk = bj // CHUNK_TILES
     key = (chunk * num_tiles + bi) * num_tiles + bj
     uniq = np.unique(key)
@@ -153,6 +163,7 @@ def build_blocksparse(
     block: int = DEFAULT_BLOCK,
     pad_blocks_to: int | None = None,
     row_tile_range: tuple[int, int] | None = None,
+    col_tile_range: tuple[int, int] | None = None,
 ) -> BlockSparseStructure:
     """BCSR structure from *undirected* node-index pairs (mirrored internally,
     so the adjacency is symmetric by construction). Node indices must already
@@ -167,10 +178,15 @@ def build_blocksparse(
     multi-device graph parallelism. Such a slice is NOT symmetric on its own;
     use :func:`deeprank2_tpu.parallel.blocksparse_partition.bcsr_spmm_sharded`
     (whose VJP exploits the symmetry of the *global* adjacency).
+
+    ``col_tile_range=(c0, c1)`` additionally keeps only the blocks whose
+    source column tile lies in ``[c0, c1)`` and REBASES columns to be local to
+    that range — the rectangular bucket ``A[t0*B : t1*B, c0*B : c1*B]`` whose
+    SpMM consumes only shard ``s``'s node block (the ppermute ring's rotating
+    buffer; see ``parallel.blocksparse_partition.ring_bcsr_spmm``).
     """
     und = np.asarray(und_pairs, dtype=np.int64).reshape(-1, 2)
     num_tiles = max(-(-num_nodes // block), 1)
-    num_chunks = -(-num_tiles // CHUNK_TILES)
     rows = np.concatenate([und[:, 0], und[:, 1]])
     cols = np.concatenate([und[:, 1], und[:, 0]])
     if rows.size and (rows.max() >= num_nodes or rows.min() < 0):
@@ -183,6 +199,12 @@ def build_blocksparse(
     if row_tile_range is not None:
         sel = (bi >= t0) & (bi < t1)
         rows, cols, bi, bj = rows[sel], cols[sel], bi[sel], bj[sel]
+    if col_tile_range is not None:
+        c0, c1 = col_tile_range
+        sel = (bj >= c0) & (bj < c1)
+        rows, cols, bi, bj = rows[sel], cols[sel] - c0 * block, bi[sel], bj[sel] - c0
+        num_tiles = max(c1 - c0, 1)
+    num_chunks = -(-num_tiles // CHUNK_TILES)
     bi_local = bi - t0
     chunk = bj // CHUNK_TILES
     key = (chunk * num_row_tiles + bi_local) * num_tiles + bj
@@ -255,6 +277,8 @@ def build_blocksparse(
         num_chunks=num_chunks,
         block=block,
         num_row_tiles=num_row_tiles if row_tile_range is not None else num_tiles,
+        symmetric=(row_tile_range is None and col_tile_range is None)
+        or (col_tile_range is not None and row_tile_range == col_tile_range),
     )
 
 
@@ -271,11 +295,12 @@ def bcsr_spmm(
     (the VJP is the same SpMM on the cotangent — A is symmetric because edges
     are mirrored). ``x`` must have ``structure.padded_nodes`` rows.
     """
-    if not structure.is_square:
+    if not structure.symmetric:
         msg = (
-            "bcsr_spmm requires a square (full-row-range) structure — a row "
-            "slice is not symmetric, so its VJP is not the same SpMM; use "
-            "parallel.blocksparse_partition.bcsr_spmm_sharded for slices."
+            "bcsr_spmm requires a symmetric structure (the full adjacency or "
+            "a diagonal slice) — an asymmetric slice's VJP is not the same "
+            "SpMM; use parallel.blocksparse_partition.bcsr_spmm_sharded or "
+            "ring_bcsr_spmm for slices."
         )
         raise ValueError(msg)
     if x.shape[0] != structure.padded_nodes:

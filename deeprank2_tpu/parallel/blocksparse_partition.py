@@ -144,6 +144,26 @@ def collate_graphs_blocksparse_partitioned(
     ), names
 
 
+def _structure_pairs(st: BlockSparseStructure) -> np.ndarray:
+    """Recover undirected node-index pairs from a full (square) structure.
+
+    Entry ``blocks_t[k, c, r] = 1`` means the directed edge
+    ``(row_tile[k]*B + r <- col_tile[k]*B + c)``; the builders mirror
+    internally, so one representative per undirected pair suffices (self
+    loops appear once and mirror onto themselves).
+    """
+    block = st.block
+    blocks = np.asarray(st.blocks_t)
+    k_idx, c_idx, r_idx = np.nonzero(blocks)
+    br = np.asarray(st.block_row)[k_idx]
+    bc = np.asarray(st.block_col)[k_idx]
+    dst = br.astype(np.int64) * block + r_idx
+    src = bc.astype(np.int64) * block + c_idx
+    directed = np.stack([dst, src], axis=1)
+    keep = directed[:, 0] <= directed[:, 1]
+    return directed[keep]
+
+
 def partition_blocksparse_batch(batch, num_shards: int, pad_blocks=None) -> PartitionedBlockSparseBatch:
     """Split an ALREADY-COLLATED :class:`~deeprank2_tpu.ops.batch.BlockSparseBatch`
     into ``num_shards`` row-tile ranges (the standalone API for a batch whose
@@ -164,21 +184,7 @@ def partition_blocksparse_batch(batch, num_shards: int, pad_blocks=None) -> Part
     r_per = -(-nt // num_shards)
     nt_pad = r_per * num_shards
     num_nodes = nt_pad * block
-
-    # recover undirected pairs from the transposed blocks: entry [k, c, r] = 1
-    # means directed edge (row_tile[k]*B + r <- col_tile[k]*B + c); the
-    # builder mirrors internally, so feed each directed edge once as (dst, src)
-    blocks = np.asarray(st.blocks_t)
-    k_idx, c_idx, r_idx = np.nonzero(blocks)
-    br = np.asarray(st.block_row)[k_idx]
-    bc = np.asarray(st.block_col)[k_idx]
-    dst = br.astype(np.int64) * block + r_idx
-    src = bc.astype(np.int64) * block + c_idx
-    directed = np.stack([dst, src], axis=1)
-    # keep one representative per undirected pair (A is symmetric); self loops
-    # appear once and mirror onto themselves
-    keep = directed[:, 0] <= directed[:, 1]
-    pairs = directed[keep]
+    pairs = _structure_pairs(st)
 
     ranges = [(d * r_per, (d + 1) * r_per) for d in range(num_shards)]
     cap_blocks = max(required_blocks(pairs, num_nodes, block, row_tile_range=rng) for rng in ranges)
@@ -190,6 +196,18 @@ def partition_blocksparse_batch(batch, num_shards: int, pad_blocks=None) -> Part
         build_blocksparse(pairs, num_nodes, block, pad_blocks_to=cap_blocks, row_tile_range=rng) for rng in ranges
     ]
     stacked = jax.tree.map(lambda *leaves: jnp.stack(leaves), *structures)
+
+    arrays = _shard_node_arrays(batch, num_shards, num_nodes, r_per, block)
+    return PartitionedBlockSparseBatch(
+        **arrays,
+        structure=stacked,
+        num_graphs=batch.num_graphs,
+    )
+
+
+def _shard_node_arrays(batch, num_shards: int, num_nodes: int, r_per: int, block: int) -> dict:
+    """Row-pad a full batch's node arrays to ``num_nodes`` and reshape them to
+    per-shard [D, r_per*B, ...]; targets are replicated per shard."""
 
     def pad_rows(a, fill=0):
         a = np.asarray(a)
@@ -204,16 +222,13 @@ def partition_blocksparse_batch(batch, num_shards: int, pad_blocks=None) -> Part
     node_mask = pad_rows(batch.node_mask).reshape(num_shards, r_per * block)
     y = np.broadcast_to(np.asarray(batch.y), (num_shards, *np.asarray(batch.y).shape)).copy()
     y_mask = np.broadcast_to(np.asarray(batch.y_mask), (num_shards, *np.asarray(batch.y_mask).shape)).copy()
-
-    return PartitionedBlockSparseBatch(
-        x=jnp.asarray(x),
-        node_graph=jnp.asarray(node_graph),
-        node_mask=jnp.asarray(node_mask),
-        y_rep=jnp.asarray(y),
-        y_mask_rep=jnp.asarray(y_mask),
-        structure=stacked,
-        num_graphs=batch.num_graphs,
-    )
+    return {
+        "x": jnp.asarray(x),
+        "node_graph": jnp.asarray(node_graph),
+        "node_mask": jnp.asarray(node_mask),
+        "y_rep": jnp.asarray(y),
+        "y_mask_rep": jnp.asarray(y_mask),
+    }
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -307,6 +322,348 @@ def make_blocksparse_ginet_forward(model, mesh: Mesh | None = None, axis: str = 
     if training:
         return jax.jit(forward)
     return jax.jit(lambda params, part, rng=None: forward(params, part, jax.random.PRNGKey(0) if rng is None else rng))
+
+
+# ---------------------------------------------------------------------------
+# ppermute ring halo exchange (ROADMAP item: cap peak memory at one shard's
+# node block instead of all_gather's full [V, F] and skip empty buckets)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class RingBlockSparseBatch:
+    """A block-sparse batch bucketed for the ppermute ring.
+
+    Shard ``d`` owns row tiles ``[d*r_per, (d+1)*r_per)``. Its blocks are
+    split by source-shard: ``diag`` holds the symmetric diagonal bucket
+    ``A[d, d]`` (consumes only the local node block — no communication, its
+    own, large capacity), and ``off`` holds ``D-1`` rectangular buckets in
+    RING-STEP order — bucket ``k-1`` is ``A[d, (d-k) % D]`` with
+    source-LOCAL column tiles, aggregated at ring step ``k`` directly from
+    the rotating buffer. Off-diagonal buckets share one (small) capacity;
+    ``off_has_blocks[k-1]`` lets empty buckets skip their SpMM under
+    ``lax.cond`` (the ppermute itself runs every step — collectives must be
+    uniform across devices).
+    """
+
+    x: jax.Array  # f32 [D, R*B, F]
+    node_graph: jax.Array  # i32 [D, R*B]
+    node_mask: jax.Array  # bool [D, R*B]
+    y_rep: jax.Array  # f32 [D, G]
+    y_mask_rep: jax.Array  # bool [D, G]
+    diag: BlockSparseStructure  # leaves [D, ...]
+    off: BlockSparseStructure  # leaves [D, D-1, ...]
+    off_has_blocks: jax.Array  # bool [D, D-1]
+    num_graphs: int = field(metadata={"static": True})
+    num_shards: int = field(metadata={"static": True})
+
+    @property
+    def y(self) -> jax.Array:
+        return self.y_rep[0]
+
+    @property
+    def y_mask(self) -> jax.Array:
+        return self.y_mask_rep[0]
+
+
+def _build_ring_structures(pairs: np.ndarray, num_nodes: int, block: int, num_shards: int, r_per: int, pad_blocks_diag=None, pad_blocks_off=None):
+    """(diag stacked [D,...], off stacked [D, D-1, ...], off_has_blocks [D, D-1])."""
+    ranges = [(d * r_per, (d + 1) * r_per) for d in range(num_shards)]
+
+    cap_diag = max(
+        required_blocks(pairs, num_nodes, block, row_tile_range=rng, col_tile_range=rng) for rng in ranges
+    )
+    if callable(pad_blocks_diag):
+        cap_diag = pad_blocks_diag(cap_diag)
+    elif pad_blocks_diag is not None:
+        cap_diag = max(cap_diag, pad_blocks_diag)
+    diag_structs = [
+        build_blocksparse(pairs, num_nodes, block, pad_blocks_to=cap_diag, row_tile_range=rng, col_tile_range=rng)
+        for rng in ranges
+    ]
+    diag = jax.tree.map(lambda *leaves: jnp.stack(leaves), *diag_structs)
+
+    if num_shards == 1:
+        off = jax.tree.map(lambda a: jnp.zeros((a.shape[0], 0) + a.shape[1:], a.dtype), diag)
+        return diag, off, jnp.zeros((1, 0), dtype=bool)
+
+    # off bucket (d, k): rows of d, cols of s = (d - k) % D, k = 1..D-1
+    reqs = np.zeros((num_shards, num_shards - 1), dtype=np.int64)
+    nonempty = np.zeros((num_shards, num_shards - 1), dtype=bool)
+    for d in range(num_shards):
+        for k in range(1, num_shards):
+            s = (d - k) % num_shards
+            reqs[d, k - 1] = required_blocks(pairs, num_nodes, block, row_tile_range=ranges[d], col_tile_range=ranges[s])
+            # required_blocks returns KBATCH even for an empty bucket; probe emptiness cheaply
+            nonempty[d, k - 1] = _bucket_nonempty(pairs, block, ranges[d], ranges[s])
+    cap_off = int(reqs.max())
+    if callable(pad_blocks_off):
+        cap_off = pad_blocks_off(cap_off)
+    elif pad_blocks_off is not None:
+        cap_off = max(cap_off, pad_blocks_off)
+
+    off_structs = []
+    for d in range(num_shards):
+        per_d = [
+            build_blocksparse(
+                pairs, num_nodes, block, pad_blocks_to=cap_off,
+                row_tile_range=ranges[d], col_tile_range=ranges[(d - k) % num_shards],
+            )
+            for k in range(1, num_shards)
+        ]
+        off_structs.append(jax.tree.map(lambda *leaves: jnp.stack(leaves), *per_d))
+    off = jax.tree.map(lambda *leaves: jnp.stack(leaves), *off_structs)
+    return diag, off, jnp.asarray(nonempty)
+
+
+def _bucket_nonempty(pairs: np.ndarray, block: int, row_rng, col_rng) -> bool:
+    pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
+    bi = np.concatenate([pairs[:, 0], pairs[:, 1]]) // block
+    bj = np.concatenate([pairs[:, 1], pairs[:, 0]]) // block
+    return bool((((bi >= row_rng[0]) & (bi < row_rng[1])) & ((bj >= col_rng[0]) & (bj < col_rng[1]))).any())
+
+
+def partition_blocksparse_batch_ring(batch, num_shards: int, pad_blocks_diag=None, pad_blocks_off=None) -> RingBlockSparseBatch:
+    """Split an already-collated ``BlockSparseBatch`` into ring-halo buckets
+    (see :class:`RingBlockSparseBatch`). ``pad_blocks_diag``/``pad_blocks_off``
+    (int or ``required -> capacity`` callable) bound jit recompilation."""
+    st = batch.structure
+    if not st.is_square:
+        msg = "partition_blocksparse_batch_ring expects a full (square) structure"
+        raise ValueError(msg)
+    block = st.block
+    r_per = -(-st.num_tiles // num_shards)
+    num_nodes = r_per * num_shards * block
+    pairs = _structure_pairs(st)
+
+    diag, off, nonempty = _build_ring_structures(pairs, num_nodes, block, num_shards, r_per, pad_blocks_diag, pad_blocks_off)
+    arrays = _shard_node_arrays(batch, num_shards, num_nodes, r_per, block)
+    return RingBlockSparseBatch(
+        **arrays,
+        diag=diag,
+        off=off,
+        off_has_blocks=nonempty,
+        num_graphs=batch.num_graphs,
+        num_shards=num_shards,
+    )
+
+
+def collate_graphs_blocksparse_ring(
+    entries: list[dict],
+    num_shards: int,
+    block: int = 128,
+    pad_tiles=None,
+    pad_blocks_diag=None,
+    pad_blocks_off=None,
+    pad_graphs: int | None = None,
+) -> tuple[RingBlockSparseBatch, list[str]]:
+    """Collate entry dicts straight into a ring-partitioned batch — the
+    Trainer's graph-parallel path for :class:`GINetBlockSparseRing`."""
+    from deeprank2_tpu.ops.batch import blocksparse_layout
+
+    num_real = len(entries)
+    num_graphs = pad_graphs or num_real
+    if num_real > num_graphs:
+        msg = f"{num_real} entries exceed pad_graphs={num_graphs}"
+        raise ValueError(msg)
+    names = [e["entry_name"] for e in entries] + [""] * (num_graphs - num_real)
+
+    layout = blocksparse_layout(entries, block, num_graphs)
+    num_tiles = layout["num_tiles"]
+    if callable(pad_tiles):
+        num_tiles = pad_tiles(num_tiles)
+    elif pad_tiles is not None:
+        num_tiles = max(num_tiles, pad_tiles)
+    r_per = -(-num_tiles // num_shards)
+    num_nodes = r_per * num_shards * block
+    pairs = layout["pairs"]
+
+    diag, off, nonempty = _build_ring_structures(pairs, num_nodes, block, num_shards, r_per, pad_blocks_diag, pad_blocks_off)
+
+    feat_dim = layout["feat_dim"]
+    real_rows = sum(a.shape[0] for a in layout["xs"])
+    extra = num_nodes - real_rows
+    if extra:
+        layout["xs"].append(np.zeros((extra, feat_dim), np.float32))
+        layout["graph_ids"].append(np.full(extra, num_graphs, np.int32))
+        layout["masks"].append(np.zeros(extra, bool))
+
+    y = np.zeros(num_graphs, dtype=np.float32)
+    y_mask = np.zeros(num_graphs, dtype=bool)
+    for g, entry in enumerate(entries):
+        if entry.get("y") is not None:
+            y[g] = entry["y"]
+            y_mask[g] = True
+
+    return RingBlockSparseBatch(
+        x=jnp.asarray(np.concatenate(layout["xs"]).reshape(num_shards, r_per * block, feat_dim)),
+        node_graph=jnp.asarray(np.concatenate(layout["graph_ids"]).reshape(num_shards, r_per * block)),
+        node_mask=jnp.asarray(np.concatenate(layout["masks"]).reshape(num_shards, r_per * block)),
+        y_rep=jnp.asarray(np.broadcast_to(y, (num_shards, num_graphs)).copy()),
+        y_mask_rep=jnp.asarray(np.broadcast_to(y_mask, (num_shards, num_graphs)).copy()),
+        diag=diag,
+        off=off,
+        off_has_blocks=nonempty,
+        num_graphs=num_graphs,
+        num_shards=num_shards,
+    ), names
+
+
+def _ring_impl(axis, precision, num_shards, td_diag, td_off, diag_leaves, off_leaves, flags, xl):
+    """sum_s A[d, s] @ x_s via the ppermute ring; xl is shard d's node block."""
+    diag = jax.tree_util.tree_unflatten(td_diag, diag_leaves)
+    acc = _spmm_impl(diag, xl, precision)
+    if num_shards == 1:
+        return acc
+    off = jax.tree_util.tree_unflatten(td_off, off_leaves)
+    perm = [(i, (i + 1) % num_shards) for i in range(num_shards)]
+
+    def step(k, carry):
+        acc, buf = carry
+        buf = jax.lax.ppermute(buf, axis, perm)  # after k hops: shard (d-k) % D's block
+        bucket = jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(a, k - 1, keepdims=False), off)
+        acc = jax.lax.cond(
+            flags[k - 1],
+            lambda acc, buf: acc + _spmm_impl(bucket, buf, precision),
+            lambda acc, buf: acc,
+            acc,
+            buf,
+        )
+        return acc, buf
+
+    acc, _ = jax.lax.fori_loop(1, num_shards, step, (acc, xl))
+    return acc
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _ring_spmm(axis, precision, num_shards, td_diag, td_off, diag_leaves, off_leaves, flags, xl):
+    return _ring_impl(axis, precision, num_shards, td_diag, td_off, diag_leaves, off_leaves, flags, xl)
+
+
+def _ring_spmm_fwd(axis, precision, num_shards, td_diag, td_off, diag_leaves, off_leaves, flags, xl):
+    out = _ring_spmm(axis, precision, num_shards, td_diag, td_off, diag_leaves, off_leaves, flags, xl)
+    return out, (diag_leaves, off_leaves, flags)
+
+
+def _ring_spmm_bwd(axis, precision, num_shards, td_diag, td_off, res, g):
+    # by global symmetry gx_d = sum_s A[d, s] g_s — the SAME ring on the cotangent
+    diag_leaves, off_leaves, flags = res
+    gx = _ring_impl(axis, precision, num_shards, td_diag, td_off, diag_leaves, off_leaves, flags, g)
+    zeros_d = tuple(np.zeros(np.shape(leaf), dtype=jax.dtypes.float0) for leaf in diag_leaves)
+    zeros_o = tuple(np.zeros(np.shape(leaf), dtype=jax.dtypes.float0) for leaf in off_leaves)
+    zero_f = np.zeros(np.shape(flags), dtype=jax.dtypes.float0)
+    return zeros_d, zeros_o, zero_f, gx
+
+
+_ring_spmm.defvjp(_ring_spmm_fwd, _ring_spmm_bwd)
+
+
+def ring_bcsr_spmm(
+    diag: BlockSparseStructure,
+    off: BlockSparseStructure,
+    off_has_blocks: jnp.ndarray,
+    x_local: jnp.ndarray,
+    axis: str,
+    num_shards: int,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """``(A @ x)[rows of this shard]`` inside ``shard_map`` via the ppermute
+    ring: the local diagonal SpMM runs first (no communication), then the
+    transformed node block rotates ``D-1`` hops — each hop's bucket SpMM is
+    skipped when the bucket is empty. Peak live activation memory is one
+    shard's block [Vd, F] (vs [V, F] for the all_gather path), and each hop
+    overlaps with the previous bucket's compute.
+
+    Differentiable w.r.t. ``x_local``: by global symmetry the VJP is the same
+    ring applied to the cotangent (see :func:`bcsr_spmm_sharded`).
+    """
+    diag_leaves, td_diag = jax.tree_util.tree_flatten(diag)
+    off_leaves, td_off = jax.tree_util.tree_flatten(off)
+    return _ring_spmm(axis, precision, num_shards, td_diag, td_off, tuple(diag_leaves), tuple(off_leaves), off_has_blocks, x_local)
+
+
+def make_blocksparse_ginet_ring_forward(model, mesh: Mesh | None = None, axis: str = "bp", training: bool = False):
+    """Jitted ring-halo forward for :class:`GINetBlockSparse` semantics —
+    identical math to :func:`make_blocksparse_ginet_forward`, with
+    ``all_gather`` replaced by the ppermute ring."""
+    mesh = mesh or default_mesh(axis)
+    axis = mesh.axis_names[0]
+    num_shards = mesh.devices.size
+    dropout = getattr(model, "dropout", 0.4)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def forward(params, part, rng):
+        local = jax.tree.map(lambda a: a[0], part)
+        diag, off, flags = local.diag, local.off, local.off_has_blocks
+        x = local.x
+        act = nn.relu
+
+        fcx = jnp.concatenate([nn.linear(params["conv1"]["fc"], x), nn.linear(params["conv1_ext"]["fc"], x)], axis=1)
+        h = act(ring_bcsr_spmm(diag, off, flags, fcx, axis, num_shards))
+        h_int, h_ext = h[:, :16], h[:, 16:]
+
+        fcx2 = jnp.concatenate(
+            [nn.linear(params["conv2"]["fc"], h_int), nn.linear(params["conv2_ext"]["fc"], h_ext)], axis=1
+        )
+        h2 = act(ring_bcsr_spmm(diag, off, flags, fcx2, axis, num_shards))
+        h2 = h2 * local.node_mask[:, None]
+
+        sums = segment_sum(h2, local.node_graph, part.num_graphs)
+        counts = segment_sum(local.node_mask.astype(jnp.float32), local.node_graph, part.num_graphs)
+        sums = jax.lax.psum(sums, axis)
+        counts = jax.lax.psum(counts, axis)
+        pooled = sums / jnp.maximum(counts, 1.0)[:, None]
+
+        out = nn.relu(nn.linear(params["fc1"], pooled))
+        out = nn.dropout(rng, out, dropout, training)
+        return nn.linear(params["fc2"], out)
+
+    if training:
+        return jax.jit(forward)
+    return jax.jit(lambda params, part, rng=None: forward(params, part, jax.random.PRNGKey(0) if rng is None else rng))
+
+
+class GINetBlockSparseRing:
+    """Graph-parallel :class:`GINetBlockSparse` with ppermute ring halo
+    exchange instead of all_gather: peak activation memory stays at one
+    shard's node block and empty source buckets skip their SpMM. Same ctor
+    contract and parameter pytree as the single-device model (checkpoints
+    interchange); the Trainer collates into :class:`RingBlockSparseBatch`
+    automatically (``ring_halo`` attribute).
+    """
+
+    needs_clusters = False
+    blocksparse_batches = True
+    graph_parallel = True
+    ring_halo = True
+    dropout = 0.4
+
+    def __init__(self, input_shape: int, output_shape: int = 1, input_shape_edge: int = 1):
+        from deeprank2_tpu.neuralnets.gnn.ginet_blocksparse import GINetBlockSparse
+
+        self._single = GINetBlockSparse(input_shape, output_shape, input_shape_edge)
+        self.input_shape = input_shape
+        self.output_shape = output_shape
+        self.input_shape_edge = input_shape_edge
+        self._forwards: dict[bool, object] = {}
+
+    def init(self, rng: jax.Array) -> dict:
+        return self._single.init(rng)
+
+    def apply(self, params: dict, batch: RingBlockSparseBatch, training: bool = False, rng: jax.Array | None = None):
+        fwd = self._forwards.get(training)
+        if fwd is None:
+            fwd = make_blocksparse_ginet_ring_forward(self._single, training=training)
+            self._forwards[training] = fwd
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return fwd(params, batch, rng)
 
 
 class GINetBlockSparseGP:

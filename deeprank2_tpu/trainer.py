@@ -437,15 +437,27 @@ class Trainer:
                     if num_shards > 1:
                         msg = "graph_parallel models cannot also use data_parallel=True"
                         raise ValueError(msg)
-                    from deeprank2_tpu.parallel.blocksparse_partition import collate_graphs_blocksparse_partitioned
+                    if getattr(self.neuralnet, "ring_halo", False):
+                        from deeprank2_tpu.parallel.blocksparse_partition import collate_graphs_blocksparse_ring
 
-                    batch, names = collate_graphs_blocksparse_partitioned(
-                        entries,
-                        jax.device_count(),
-                        pad_tiles=self._blocksparse_bucket("tiles"),
-                        pad_blocks=self._blocksparse_bucket("gp_blocks"),
-                        pad_graphs=pad_graphs,
-                    )
+                        batch, names = collate_graphs_blocksparse_ring(
+                            entries,
+                            jax.device_count(),
+                            pad_tiles=self._blocksparse_bucket("tiles"),
+                            pad_blocks_diag=self._blocksparse_bucket("ring_diag_blocks"),
+                            pad_blocks_off=self._blocksparse_bucket("ring_off_blocks"),
+                            pad_graphs=pad_graphs,
+                        )
+                    else:
+                        from deeprank2_tpu.parallel.blocksparse_partition import collate_graphs_blocksparse_partitioned
+
+                        batch, names = collate_graphs_blocksparse_partitioned(
+                            entries,
+                            jax.device_count(),
+                            pad_tiles=self._blocksparse_bucket("tiles"),
+                            pad_blocks=self._blocksparse_bucket("gp_blocks"),
+                            pad_graphs=pad_graphs,
+                        )
                 elif num_shards > 1:
                     from deeprank2_tpu.ops.batch import collate_graphs_blocksparse_sharded
 

@@ -279,6 +279,27 @@ def test_graph_parallel_blocksparse(srv_hdf5, tmp_path) -> None:
     trainer3.test(batch_size=4)
 
 
+def test_graph_parallel_blocksparse_ring(srv_hdf5, tmp_path) -> None:
+    """Ring-halo graph-parallel model: Trainer collation dispatch + train/test
+    round trip; checkpoints interchange with the single-device model."""
+    import jax
+
+    from deeprank2_tpu.parallel.blocksparse_partition import GINetBlockSparseRing
+
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    trainer = _train(GINetBlockSparseRing, ds, tmp_path)
+    assert trainer.epoch_saved_model is not None
+
+    from deeprank2_tpu.neuralnets.gnn.ginet_blocksparse import GINetBlockSparse
+
+    model_path = str(tmp_path / "model.pth.tar")
+    ds_test = GraphDataset(hdf5_path=srv_hdf5, train_source=model_path)
+    trainer3 = Trainer(GINetBlockSparse, dataset_test=ds_test, pretrained_model=model_path)
+    trainer3.test(batch_size=4)
+
+
 def test_data_parallel_blocksparse(srv_hdf5, tmp_path) -> None:
     """DP with the block-sparse model: whole graphs balance across shards."""
     import jax
