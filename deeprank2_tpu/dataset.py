@@ -686,7 +686,7 @@ def _load_target(grp, target, task, target_transform, train_source, entry_name, 
             msg = f'Sigmoid transformation not possible for {task} tasks. Please change `task` to "regress" or set `target_transform` to `False`.'
             raise ValueError(msg)
         return y
-    possible_targets = list(grp[targets.VALUES].keys())
+    possible_targets = list(grp[targets.VALUES].keys()) if targets.VALUES in grp else []
     if train_source is None:
         msg = (
             f"Target {target} missing in entry {entry_name} in file {fname}, possible targets are {possible_targets}.\n\t"

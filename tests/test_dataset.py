@@ -181,6 +181,78 @@ def test_inheritance_standardization(srv_hdf5) -> None:
     assert val.devs == train.devs
 
 
+def test_transform_standardize_combined(srv_hdf5) -> None:
+    """transform + standardize on the same feature: means/devs are computed on
+    the TRANSFORMED values and standardization applies after the transform
+    (reference tests/test_dataset.py:989, dataset.py:448)."""
+    transform = lambda t: np.log(t + 10)  # noqa: E731
+    ds = GraphDataset(
+        hdf5_path=srv_hdf5,
+        target="binary",
+        node_features=["res_mass"],
+        features_transform={"res_mass": {"transform": transform, "standardize": True}},
+    )
+    raw = GraphDataset(hdf5_path=srv_hdf5, target="binary", node_features=["res_mass"])
+    vals = np.concatenate([transform(raw.get(i)["x"][:, 0]) for i in range(len(raw))])
+    # means/devs are rounded to 1 decimal (reference parity, dataset.py:448)
+    mean, dev = round(float(vals.mean()), 1), round(float(vals.std()), 1)
+    assert ds.means["res_mass"] == mean
+    got = ds.get(0)["x"][:, 0]
+    want = (transform(raw.get(0)["x"][:, 0]) - mean) / dev
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_grid_inheritance_from_dataset(grid_hdf5) -> None:
+    """Grid val/test datasets force-inherit features/target/task from the
+    train dataset (reference tests/test_dataset.py:241)."""
+    train = GridDataset(hdf5_path=grid_hdf5, target="binary", features=["res_mass"])
+    val = GridDataset(hdf5_path=grid_hdf5, train_source=train)
+    assert val.features == train.features
+    assert val.target == "binary"
+    assert val.task == "classif"
+    assert val.get(0)["x"].shape == train.get(0)["x"].shape
+
+
+def test_no_target_dataset_graphdataset(tmp_path, srv_hdf5) -> None:
+    """A dataset without the requested target loads with y=None when a
+    train_source provides the config (test-time inference on unlabeled data,
+    reference tests/test_dataset.py:1238); without train_source it errors."""
+    import shutil
+
+    no_target = str(tmp_path / "no_target.hdf5")
+    shutil.copy(srv_hdf5, no_target)
+    with h5py.File(no_target, "a") as f:
+        for name in f:
+            for t in list(f[name]["target_values"].keys()):
+                del f[name][f"target_values/{t}"]
+
+    train = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    ds = GraphDataset(hdf5_path=no_target, train_source=train)
+    assert ds.get(0)["y"] is None
+
+    # no target set / target absent, training mode: error at dataset creation
+    # (reference tests/test_dataset.py:1252-1260)
+    with pytest.raises(ValueError):
+        GraphDataset(hdf5_path=no_target)
+    with pytest.raises(ValueError):
+        GraphDataset(hdf5_path=no_target, target="binary")
+
+
+def test_no_target_dataset_griddataset(tmp_path, grid_hdf5) -> None:
+    import shutil
+
+    no_target = str(tmp_path / "no_target_grid.hdf5")
+    shutil.copy(grid_hdf5, no_target)
+    with h5py.File(no_target, "a") as f:
+        for name in f:
+            for t in list(f[name]["target_values"].keys()):
+                del f[name][f"target_values/{t}"]
+
+    train = GridDataset(hdf5_path=grid_hdf5, target="binary")
+    ds = GridDataset(hdf5_path=no_target, train_source=train)
+    assert ds.get(0)["y"] is None
+
+
 def test_invalid_train_source(srv_hdf5) -> None:
     with pytest.raises(TypeError):
         GraphDataset(hdf5_path=srv_hdf5, train_source=42)

@@ -61,6 +61,34 @@ def test_override_invalid(regress_trainer) -> None:
     assert isinstance(regress_trainer.lossfunction, loss_nn.CrossEntropyLoss)
 
 
+def test_classif_weighted(srv_hdf5, tmp_path) -> None:
+    """class_weights=True trains with a weight-capable loss and the weights
+    survive a checkpoint round trip (reference test_set_lossfunction.py:80)."""
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    trainer = Trainer(VanillaNetwork, dataset_train=ds, class_weights=True, output_exporters=[])
+    trainer.set_lossfunction(loss_nn.NLLLoss)
+    model_path = str(tmp_path / "weighted.pth.tar")
+    trainer.train(nepoch=1, batch_size=4, filename=model_path)
+    assert isinstance(trainer.lossfunction, loss_nn.NLLLoss)
+
+    pretrained = Trainer(
+        VanillaNetwork,
+        dataset_test=GraphDataset(hdf5_path=srv_hdf5, train_source=model_path),
+        pretrained_model=model_path,
+    )
+    assert pretrained.class_weights
+
+
+def test_classif_invalid_weighted(srv_hdf5) -> None:
+    """A loss that takes no class weights fails loudly when class_weights=True
+    (reference test_set_lossfunction.py:97)."""
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    trainer = Trainer(VanillaNetwork, dataset_train=ds, class_weights=True, output_exporters=[])
+    trainer.set_lossfunction(loss_nn.MultiLabelMarginLoss)
+    with pytest.raises(ValueError, match="weighted"):
+        trainer.train(nepoch=1, batch_size=4, filename=None)
+
+
 def test_bce_rejected_at_training(classif_trainer) -> None:
     """BCE losses pass the whitelist but are rejected when building the step
     (reference _format_output parity, trainer.py:813-819)."""

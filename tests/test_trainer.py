@@ -313,6 +313,99 @@ def test_data_parallel_blocksparse(srv_hdf5, tmp_path) -> None:
     trainer.train(nepoch=1, batch_size=8, filename=None)
 
 
+def test_ginet_sigmoid(srv_hdf5, tmp_path) -> None:
+    """GINet regression with sigmoid target transform (reference
+    tests/test_trainer.py:154)."""
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="irmsd", task="regress", target_transform=True, clustering_method="mcl")
+    trainer = _train(GINet, ds, tmp_path, nepoch=1)
+    assert trainer.epoch_saved_model is not None
+
+
+def test_incompatible_exporter_regression(srv_hdf5, tmp_path) -> None:
+    """The binary-classification TensorBoard exporter must be rejected for a
+    regression task (reference tests/test_trainer.py:287)."""
+    from deeprank2_tpu.utils.exporters import TensorboardBinaryClassificationExporter
+
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="irmsd", task="regress")
+    with pytest.raises(ValueError, match="compatible"):
+        Trainer(VanillaNetwork, dataset_train=ds, output_exporters=[TensorboardBinaryClassificationExporter(str(tmp_path))])
+
+
+def test_incompatible_no_pretrained_no_net(srv_hdf5) -> None:
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    with pytest.raises(ValueError, match="[Nn]o neural network"):
+        Trainer(neuralnet=None, dataset_train=ds)
+
+
+def test_incompatible_pretrained_no_test(srv_hdf5, tmp_path) -> None:
+    """A pretrained model needs a test dataset (reference :355) and a network
+    class (reference :375)."""
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    model_path = str(tmp_path / "model.pth.tar")
+    _train(VanillaNetwork, ds, tmp_path)
+    with pytest.raises(ValueError, match="dataset_test"):
+        Trainer(VanillaNetwork, pretrained_model=model_path)
+    ds_test = GraphDataset(hdf5_path=srv_hdf5, train_source=model_path)
+    with pytest.raises(ValueError, match="[Nn]o neural network"):
+        Trainer(neuralnet=None, dataset_test=ds_test, pretrained_model=model_path)
+
+
+def test_train_method_no_train(srv_hdf5, tmp_path) -> None:
+    """Calling train() on a pretrained test-only Trainer errors (reference :658)."""
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    model_path = str(tmp_path / "model.pth.tar")
+    _train(VanillaNetwork, ds, tmp_path)
+    ds_test = GraphDataset(hdf5_path=srv_hdf5, train_source=model_path)
+    trainer = Trainer(VanillaNetwork, dataset_test=ds_test, pretrained_model=model_path)
+    with pytest.raises(ValueError, match="[Nn]o training dataset"):
+        trainer.train(nepoch=1, batch_size=4, filename=None)
+
+
+def test_dataset_equivalence_no_pretrained(srv_hdf5) -> None:
+    """val/test datasets must inherit from THIS train dataset (reference :526)."""
+    train = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    # no train_source at all
+    val_plain = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    with pytest.raises(ValueError, match="train_source"):
+        Trainer(VanillaNetwork, dataset_train=train, dataset_val=val_plain)
+    # train_source pointing at a DIFFERENT dataset
+    other = GraphDataset(hdf5_path=srv_hdf5, target="binary", node_features=["res_mass"])
+    val_other = GraphDataset(hdf5_path=srv_hdf5, train_source=other)
+    with pytest.raises(ValueError, match="train_source"):
+        Trainer(VanillaNetwork, dataset_train=train, dataset_val=val_other)
+
+
+def test_optim(srv_hdf5, tmp_path) -> None:
+    """configure_optimizers with an explicit optimizer survives save/load
+    (reference :453); the default is Adam lr=1e-3 wd=1e-5 (reference :484)."""
+    from deeprank2_tpu.ops import optim
+
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    trainer = Trainer(VanillaNetwork, dataset_train=ds, output_exporters=[])
+    assert trainer._optimizer_cls is optim.Adam
+    assert trainer.lr == 1e-3
+    assert trainer.weight_decay == 1e-5
+
+    trainer.configure_optimizers(optim.SGD, lr=0.05, weight_decay=1e-4)
+    model_path = str(tmp_path / "model.pth.tar")
+    trainer.train(nepoch=1, batch_size=4, filename=model_path)
+
+    ds_test = GraphDataset(hdf5_path=srv_hdf5, train_source=model_path)
+    pretrained = Trainer(VanillaNetwork, dataset_test=ds_test, pretrained_model=model_path)
+    assert pretrained._optimizer_cls is optim.SGD
+    assert pretrained.lr == 0.05
+    pretrained.test(batch_size=4)
+
+
+def test_invalid_trainsize(srv_hdf5) -> None:
+    """Invalid val_size values error out (reference :606)."""
+    n = len(GraphDataset(hdf5_path=srv_hdf5, target="binary"))
+    for bad in (1.0, n, -0.5, "half"):
+        ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+        with pytest.raises((ValueError, TypeError)):
+            Trainer(VanillaNetwork, dataset_train=ds, val_size=bad)
+
+
 def test_cuda_raises(srv_hdf5) -> None:
     ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
     with pytest.raises(ValueError):
