@@ -105,6 +105,13 @@ def test_attractive_electrostatic(data_path) -> None:
     assert e_far[Efeat.ELEC] > e_close[Efeat.ELEC]
 
 
+def test_repulsive_electrostatic(data_path) -> None:
+    """GLU109:OE2 - GLU105:OE1 (like charges): repulsive energy (reference
+    tests/features/test_contact.py:163)."""
+    e = _get_contact(data_path, "101M", 109, "OE2", 105, "OE1")
+    assert e[Efeat.ELEC] > 0.0
+
+
 def test_residue_contact_sums(data_path) -> None:
     """Residue edges: distance = min over atom pairs, energies = sums over atom pairs."""
     pdb_path = str(data_path / "pdb" / "101M" / "101M.pdb")

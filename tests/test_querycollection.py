@@ -133,6 +133,49 @@ def test_default_feature_modules(tmp_path, data_path) -> None:
         assert Nfeat.PSSM not in entry[Nfeat.NODE]
 
 
+def test_single_feature_module_input_types(tmp_path, data_path) -> None:
+    """feature_modules accepts ModuleType, list[ModuleType], str, list[str]
+    (reference tests/test_querycollection.py:146)."""
+    from deeprank2_tpu.features import surfacearea
+
+    for i, testcase in enumerate([surfacearea, [surfacearea], "surfacearea", ["surfacearea"]]):
+        collection = QueryCollection()
+        collection.add(_ppi_query(data_path))
+        paths = collection.process(prefix=str(tmp_path / f"single{i}"), cpu_count=1, feature_modules=testcase)
+        with h5py.File(paths[0], "r") as f:
+            entry = next(iter(f.values()))
+            assert Nfeat.BSA in entry[Nfeat.NODE]
+            assert Nfeat.HSE not in entry[Nfeat.NODE]
+
+    with pytest.raises(TypeError):
+        QueryCollection().process(prefix=str(tmp_path / "bad"), feature_modules=42)
+
+
+def test_all_feature_modules(tmp_path, data_path) -> None:
+    """feature_modules='all' runs every module: one feature from each module
+    lands for a PPI query; IRC is PPI-only and absent for an SRV query
+    (reference tests/test_querycollection.py:158)."""
+    one_from_each = [Nfeat.RESTYPE, Nfeat.PSSM, Nfeat.HSE, Nfeat.SECSTRUCT, Nfeat.BSA, Nfeat.IRCTOTAL]
+
+    collection = QueryCollection()
+    collection.add(_ppi_query(data_path))
+    paths = collection.process(prefix=str(tmp_path / "all_ppi"), cpu_count=1, feature_modules="all")
+    with h5py.File(paths[0], "r") as f:
+        entry = next(iter(f.values()))
+        for feat in one_from_each:
+            assert feat in entry[Nfeat.NODE], feat
+        assert Efeat.DISTANCE in entry[Efeat.EDGE]
+
+    collection = QueryCollection()
+    collection.add(_srv_query(data_path))
+    paths = collection.process(prefix=str(tmp_path / "all_srv"), cpu_count=1, feature_modules="all")
+    with h5py.File(paths[0], "r") as f:
+        entry = next(iter(f.values()))
+        for feat in one_from_each[:-1]:
+            assert feat in entry[Nfeat.NODE], feat
+        assert Nfeat.IRCTOTAL not in entry[Nfeat.NODE]
+
+
 def test_process_host_sharding(data_path, tmp_path) -> None:
     """Multi-host fan-out: each host processes queries[host::num_hosts] into
     its own <prefix>-host<h>.hdf5; the union covers every query exactly once."""
