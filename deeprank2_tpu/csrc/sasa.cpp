@@ -10,6 +10,8 @@
 
 #include <cmath>
 #include <cstdint>
+#include <algorithm>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -80,6 +82,7 @@ void sasa_compute(const double* positions, const double* radii, int n_atoms,
     CellList cl = build_cells(positions, radii, n_atoms, cell_size);
 
     std::vector<int> neigh;
+    std::vector<std::pair<double, int>> keep;
     std::vector<double> npx, npy, npz, nr2;
     int64_t out_count = 0;
 
@@ -107,19 +110,25 @@ void sasa_compute(const double* positions, const double* radii, int n_atoms,
                         if (j != i) neigh.push_back(j);
                 }
 
-        // prune neighbors that cannot occlude any test point
-        npx.clear(); npy.clear(); npz.clear(); nr2.clear();
+        // prune neighbors that cannot occlude any test point, then order them
+        // closest-first: a buried test point is usually buried by a near
+        // neighbor, so the early-break in the point loop hits sooner
+        keep.clear();
         for (int j : neigh) {
             const double rj = radii[j] + probe;
             const double dx = positions[3 * j] - xi, dy = positions[3 * j + 1] - yi, dz = positions[3 * j + 2] - zi;
             const double d2 = dx * dx + dy * dy + dz * dz;
             const double reach = ri + rj;
-            if (d2 < reach * reach) {
-                npx.push_back(positions[3 * j]);
-                npy.push_back(positions[3 * j + 1]);
-                npz.push_back(positions[3 * j + 2]);
-                nr2.push_back(rj * rj);
-            }
+            if (d2 < reach * reach) keep.push_back({d2, j});
+        }
+        std::sort(keep.begin(), keep.end());
+        npx.clear(); npy.clear(); npz.clear(); nr2.clear();
+        for (const auto& [d2, j] : keep) {
+            const double rj = radii[j] + probe;
+            npx.push_back(positions[3 * j]);
+            npy.push_back(positions[3 * j + 1]);
+            npz.push_back(positions[3 * j + 2]);
+            nr2.push_back(rj * rj);
         }
 
         int exposed = 0;

@@ -40,17 +40,11 @@ def set_depth_method(name: str) -> None:
 
 def _ca_table(arrays) -> tuple[np.ndarray, np.ndarray]:
     """(residue indices with a CA, CA positions) in residue order."""
-    res_ids = []
-    positions = []
-    for r in range(arrays.num_residues):
-        start = int(arrays.res_atom_start[r])
-        count = int(arrays.res_atom_count[r])
-        names = arrays.atom_names[start : start + count]
-        hits = np.flatnonzero(names == "CA")
-        if hits.size:
-            res_ids.append(r)
-            positions.append(arrays.positions[start + int(hits[0])])
-    return np.array(res_ids, dtype=np.int64), np.array(positions, dtype=np.float64).reshape(-1, 3)
+    from deeprank2_tpu.utils.secstructure import first_atom_per_residue
+
+    first = first_atom_per_residue(arrays, ("CA",))["CA"]
+    res_ids = np.flatnonzero(first >= 0)
+    return res_ids, arrays.positions[first[res_ids]].astype(np.float64).reshape(-1, 3)
 
 
 def compute_hse(arrays) -> dict[int, tuple[float, float, float]]:
@@ -90,22 +84,24 @@ def compute_hse(arrays) -> dict[int, tuple[float, float, float]]:
         np.add.at(up, j, side_j)
         np.add.at(down, j, ~side_j)
 
-    out: dict[int, tuple[float, float, float]] = {}
-    for i in np.flatnonzero(valid):
-        r = int(ca_res[i])
-        # angle between pseudo-CB and the actual CB-CA direction (0 if no CB)
-        angle = 0.0
-        start = int(arrays.res_atom_start[r])
-        count = int(arrays.res_atom_count[r])
-        names = arrays.atom_names[start : start + count]
-        cb_hits = np.flatnonzero(names == "CB")
-        if cb_hits.size:
-            cb = arrays.positions[start + int(cb_hits[0])] - ca_pos[i]
-            cb_norm = np.linalg.norm(cb)
-            if cb_norm > 0:
-                angle = float(np.arccos(np.clip(np.dot(pcb[i], cb / cb_norm), -1.0, 1.0)))
-        out[r] = (float(up[i]), float(down[i]), angle)
-    return out
+    # angle between pseudo-CB and the actual CB-CA direction (0 if no CB)
+    from deeprank2_tpu.utils.secstructure import first_atom_per_residue
+
+    valid_idx = np.flatnonzero(valid)
+    first_cb = first_atom_per_residue(arrays, ("CB",))["CB"][ca_res[valid_idx]]
+    angles = np.zeros(len(valid_idx))
+    has_cb = first_cb >= 0
+    if has_cb.any():
+        cb = arrays.positions[first_cb[has_cb]].astype(np.float64) - ca_pos[valid_idx[has_cb]]
+        cb_norm = np.linalg.norm(cb, axis=1)
+        cos = np.zeros(len(cb))
+        ok_cb = cb_norm > 0
+        cos[ok_cb] = (pcb[valid_idx[has_cb]][ok_cb] * (cb[ok_cb] / cb_norm[ok_cb, None])).sum(axis=1)
+        a = np.zeros(len(cb))
+        a[ok_cb] = np.arccos(np.clip(cos[ok_cb], -1.0, 1.0))
+        angles[has_cb] = a
+
+    return {int(ca_res[i]): (float(up[i]), float(down[i]), float(angles[k])) for k, i in enumerate(valid_idx)}
 
 
 def add_features(

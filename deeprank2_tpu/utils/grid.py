@@ -191,11 +191,16 @@ class Grid:
     def _kernel_gaussian(self, points: np.ndarray, truncate: float | None = None) -> np.ndarray:
         """``[P, G]`` f32 Gaussian kernel matrix ``exp(-beta * |p - g|)`` (beta = 1).
 
-        Distances via ``|p|^2 + |g|^2 - 2 p.g`` on center-relative f32
-        coordinates — one [P,3]x[3,G] matmul instead of a [P,G,3] broadcast
-        intermediate, and f32 halves the bandwidth of the exp/sqrt passes
-        (the featurization hot spot).
+        Native path (csrc/grid_kernels.cpp): per-axis distance decomposition
+        over the structured grid + libmvec-vectorized exp, ~4x the numpy path.
+        Numpy fallback: distances via ``|p|^2 + |g|^2 - 2 p.g`` on
+        center-relative f32 coordinates — one [P,3]x[3,G] matmul instead of a
+        [P,G,3] broadcast intermediate, and f32 halves the bandwidth of the
+        exp/sqrt passes (the featurization hot spot).
         """
+        native = self._kernel_gaussian_native(points, truncate)
+        if native is not None:
+            return native
         beta = np.float32(1.0)
         self._grid_points()
         rel = (points - self._center[None, :]).astype(np.float32)
@@ -205,6 +210,34 @@ class Grid:
         if truncate is not None:
             k = np.where(d < truncate, k, np.float32(0.0))
         return k
+
+    def _kernel_gaussian_native(self, points: np.ndarray, truncate: float | None) -> np.ndarray | None:
+        import ctypes
+
+        from deeprank2_tpu import csrc
+
+        lib = csrc.load()
+        if lib is None:
+            return None
+        points = np.ascontiguousarray(points, dtype=np.float64)
+        xs = np.ascontiguousarray(self._xs, dtype=np.float64)
+        ys = np.ascontiguousarray(self._ys, dtype=np.float64)
+        zs = np.ascontiguousarray(self._zs, dtype=np.float64)
+        out = np.empty((points.shape[0], len(xs) * len(ys) * len(zs)), dtype=np.float32)
+        dptr = ctypes.POINTER(ctypes.c_double)
+        lib.gaussian_kernel_grid(
+            points.ctypes.data_as(dptr),
+            ctypes.c_int(points.shape[0]),
+            xs.ctypes.data_as(dptr),
+            ctypes.c_int(len(xs)),
+            ys.ctypes.data_as(dptr),
+            ctypes.c_int(len(ys)),
+            zs.ctypes.data_as(dptr),
+            ctypes.c_int(len(zs)),
+            ctypes.c_double(truncate if truncate is not None else -1.0),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out
 
     def _kernel_bspline(self, points: np.ndarray) -> np.ndarray:
         """``[P, G]`` separable cubic B-spline kernel on resolution-scaled offsets."""

@@ -25,23 +25,25 @@ Q1Q2_F = 0.084 * 332.0
 
 def _backbone_table(arrays) -> tuple[np.ndarray, dict[str, np.ndarray], np.ndarray]:
     """Residues with a full backbone: (residue indices, {N,CA,C,O} coords, chain ids)."""
-    res_ids = []
-    coords = {name: [] for name in ("N", "CA", "C", "O")}
-    chains = []
-    for r in range(arrays.num_residues):
-        start = int(arrays.res_atom_start[r])
-        count = int(arrays.res_atom_count[r])
-        names = list(arrays.atom_names[start : start + count])
-        if all(n in names for n in ("N", "CA", "C", "O")):
-            res_ids.append(r)
-            for n in ("N", "CA", "C", "O"):
-                coords[n].append(arrays.positions[start + names.index(n)])
-            chains.append(int(arrays.res_chain[r]))
-    return (
-        np.array(res_ids, dtype=np.int64),
-        {k: np.array(v, dtype=np.float64).reshape(-1, 3) for k, v in coords.items()},
-        np.array(chains, dtype=np.int64),
-    )
+    first = first_atom_per_residue(arrays, ("N", "CA", "C", "O"))
+    ok = np.all([first[nm] >= 0 for nm in ("N", "CA", "C", "O")], axis=0)
+    res_ids = np.flatnonzero(ok)
+    coords = {nm: arrays.positions[first[nm][res_ids]].astype(np.float64).reshape(-1, 3) for nm in ("N", "CA", "C", "O")}
+    return res_ids, coords, np.asarray(arrays.res_chain)[res_ids].astype(np.int64)
+
+
+def first_atom_per_residue(arrays, names: tuple[str, ...]) -> dict[str, np.ndarray]:
+    """For each atom name, the first matching atom index per residue (-1 = none)."""
+    atom_names = np.asarray(arrays.atom_names)
+    atom_res = np.asarray(arrays.atom_residue)
+    out = {}
+    for nm in names:
+        sel = np.flatnonzero(atom_names == nm)
+        first = np.full(arrays.num_residues, -1, dtype=np.int64)
+        # reversed assignment leaves the FIRST occurrence per residue
+        first[atom_res[sel][::-1]] = sel[::-1]
+        out[nm] = first
+    return out
 
 
 def assign_secondary_structure(arrays) -> dict[int, str]:
@@ -70,19 +72,29 @@ def assign_secondary_structure(arrays) -> dict[int, str]:
         ok = connected[:-1] & ~is_pro[1:] & (co_norm > 0)
         h_pos[1:][ok] = bb["N"][1:][ok] + co[ok] / co_norm[ok, None]
 
-    # H-bond energy matrix: donor NH(i) ... acceptor CO(j) (fully vectorized)
+    # H-bond energies donor NH(i) ... acceptor CO(j), sparse over candidate
+    # pairs: DSSP's own prefilter — a bonding pair's CA atoms lie within 9 A
+    # (minimal CA distance test in the original implementation) — shrinks the
+    # O(n^2) x 4 distance matrices to O(n x k) on the neighbor list.
     has_h = ~np.isnan(h_pos[:, 0])
     hbond = np.zeros((n, n), dtype=bool)
     if has_h.any():
-        donors = np.flatnonzero(has_h)
-        d_on = np.linalg.norm(bb["N"][donors][:, None, :] - bb["O"][None, :, :], axis=-1)
-        d_cn = np.linalg.norm(bb["N"][donors][:, None, :] - bb["C"][None, :, :], axis=-1)
-        d_oh = np.linalg.norm(h_pos[donors][:, None, :] - bb["O"][None, :, :], axis=-1)
-        d_ch = np.linalg.norm(h_pos[donors][:, None, :] - bb["C"][None, :, :], axis=-1)
-        with np.errstate(divide="ignore"):
-            energy = Q1Q2_F * (1.0 / d_on + 1.0 / d_ch - 1.0 / d_oh - 1.0 / d_cn)
-        separation = np.abs(donors[:, None] - np.arange(n)[None, :]) >= 2  # no self/neighbor bonds  # noqa: PLR2004
-        hbond[donors] = (energy < HBOND_ENERGY_CUTOFF) & separation
+        from scipy.spatial import cKDTree
+
+        cand = cKDTree(bb["CA"]).query_pairs(9.0, output_type="ndarray")  # i < j
+        if len(cand):
+            di = np.concatenate([cand[:, 0], cand[:, 1]])  # donor side
+            aj = np.concatenate([cand[:, 1], cand[:, 0]])  # acceptor side
+            keep = has_h[di] & (np.abs(di - aj) >= 2)  # no self/neighbor bonds  # noqa: PLR2004
+            di, aj = di[keep], aj[keep]
+            d_on = np.linalg.norm(bb["N"][di] - bb["O"][aj], axis=1)
+            d_cn = np.linalg.norm(bb["N"][di] - bb["C"][aj], axis=1)
+            d_oh = np.linalg.norm(h_pos[di] - bb["O"][aj], axis=1)
+            d_ch = np.linalg.norm(h_pos[di] - bb["C"][aj], axis=1)
+            with np.errstate(divide="ignore"):
+                energy = Q1Q2_F * (1.0 / d_on + 1.0 / d_ch - 1.0 / d_oh - 1.0 / d_cn)
+            bonded = energy < HBOND_ENERGY_CUTOFF
+            hbond[di[bonded], aj[bonded]] = True
 
     def window_connected(width: int) -> np.ndarray:
         """[n - width] bool: peptide bonds intact over positions i..i+width."""
