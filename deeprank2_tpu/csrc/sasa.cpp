@@ -64,9 +64,14 @@ extern "C" {
 
 // areas_out: [n_atoms]; if points_out != nullptr it receives exposed surface
 // points (up to n_atoms*n_points*3 doubles) and *n_points_out their count.
+// compute_mask (nullable, [n_atoms] uint8): when given, areas are computed
+// only for flagged atoms — every atom still occludes, so flagged atoms'
+// values are identical to a full run (featurization only reads the graph's
+// atom subset; skipping the rest drops most of the point-loop work).
 void sasa_compute(const double* positions, const double* radii, int n_atoms,
                   const double* sphere, int n_points, double probe,
-                  double* areas_out, double* points_out, int64_t* n_points_out) {
+                  double* areas_out, double* points_out, int64_t* n_points_out,
+                  const unsigned char* compute_mask) {
     double max_r = 0.0;
     for (int i = 0; i < n_atoms; ++i) {
         areas_out[i] = 0.0;
@@ -88,6 +93,7 @@ void sasa_compute(const double* positions, const double* radii, int n_atoms,
 
     for (int i = 0; i < n_atoms; ++i) {
         if (radii[i] <= 0) continue;
+        if (compute_mask && !compute_mask[i]) continue;
         const double ri = radii[i] + probe;
         const double xi = positions[3 * i], yi = positions[3 * i + 1], zi = positions[3 * i + 2];
 

@@ -38,7 +38,16 @@ def add_sasa(pdb_path: str, graph: Graph) -> None:  # noqa: ARG001 (structure al
     the structure), matching freesasa's ``resi`` selection in the reference.
     """
     sa = graph.arrays
-    areas = shrake_rupley(sa.positions, atom_radii(np.asarray(sa.elements)))
+    # full structure occludes, but only the graph's atoms are read: a compute
+    # mask drops most of the per-atom point loops (values identical)
+    mask = np.zeros(sa.num_atoms, dtype=bool)
+    if graph.node_type == "atom":
+        mask[graph.node_indices] = True
+    else:
+        for r in graph.node_indices:
+            start = int(sa.res_atom_start[r])
+            mask[start : start + int(sa.res_atom_count[r])] = True
+    areas = shrake_rupley(sa.positions, atom_radii(np.asarray(sa.elements)), compute_mask=mask)
 
     if graph.node_type == "atom":
         values = areas[graph.node_indices]

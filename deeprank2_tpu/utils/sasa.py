@@ -58,6 +58,7 @@ def shrake_rupley(
     n_points: int = _N_SPHERE_POINTS,
     probe_radius: float = PROBE_RADIUS,
     return_points: bool = False,
+    compute_mask: np.ndarray | None = None,
 ):
     """Per-atom SASA (Å^2) for atoms with positive radius.
 
@@ -71,16 +72,19 @@ def shrake_rupley(
         probe_radius: solvent probe radius.
         return_points: also return the exposed surface points [P, 3]
             (the solvent-accessible surface point cloud).
+        compute_mask: optional [N] bool — compute areas only for flagged
+            atoms (all atoms still occlude, so flagged values are identical
+            to a full run; the rest stay 0).
 
     Returns:
         areas [N] (zero for ignored atoms), and optionally the exposed points.
     """
     sphere = _SPHERE if n_points == _N_SPHERE_POINTS else _fibonacci_sphere(n_points)
 
-    native = _native_shrake_rupley(positions, radii, sphere, probe_radius, return_points)
+    native = _native_shrake_rupley(positions, radii, sphere, probe_radius, return_points, compute_mask)
     if native is not None:
         return native
-    active = np.flatnonzero(radii > 0)
+    active = np.flatnonzero(radii > 0)  # occluder set: ALL positive-radius atoms
     areas = np.zeros(len(positions), dtype=np.float64)
     if active.size == 0:
         return (areas, np.zeros((0, 3))) if return_points else areas
@@ -91,10 +95,11 @@ def shrake_rupley(
     max_r = rad.max()
 
     exposed_points = [] if return_points else None
+    targets = range(len(pos)) if compute_mask is None else np.flatnonzero(compute_mask[active])
 
     # neighbor lists once; per-atom vectorized occlusion test
     neighbor_lists = tree.query_ball_tree(tree, 2.0 * max_r)
-    for k in range(len(pos)):
+    for k in targets:
         neighbors = [j for j in neighbor_lists[k] if j != k]
         test_points = pos[k] + rad[k] * sphere  # [P, 3]
         if neighbors:
@@ -115,7 +120,7 @@ def shrake_rupley(
     return areas
 
 
-def _native_shrake_rupley(positions, radii, sphere, probe_radius, return_points):
+def _native_shrake_rupley(positions, radii, sphere, probe_radius, return_points, compute_mask=None):
     """C++ kernel path; returns None when the native library is unavailable."""
     import ctypes
 
@@ -135,6 +140,7 @@ def _native_shrake_rupley(positions, radii, sphere, probe_radius, return_points)
     dptr = ctypes.POINTER(ctypes.c_double)
     points_buf = np.zeros((n * n_points, 3), dtype=np.float64) if return_points else None
     count = ctypes.c_int64(0)
+    mask_arr = None if compute_mask is None else np.ascontiguousarray(compute_mask, dtype=np.uint8)
     lib.sasa_compute(
         positions.ctypes.data_as(dptr),
         radii.ctypes.data_as(dptr),
@@ -145,6 +151,7 @@ def _native_shrake_rupley(positions, radii, sphere, probe_radius, return_points)
         areas.ctypes.data_as(dptr),
         points_buf.ctypes.data_as(dptr) if return_points else None,
         ctypes.byref(count) if return_points else None,
+        mask_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)) if mask_arr is not None else None,
     )
     if return_points:
         return areas, points_buf[: count.value].copy()
