@@ -110,11 +110,13 @@ def add_features(
     single_amino_acid_variant=None,  # noqa: ARG001
 ) -> None:  # noqa: D103
     sa = graph.arrays
+    res_idx = graph.node_residue_indices
     if _DEPTH_METHOD == "ses_edt":
         from deeprank2_tpu.utils.sasa import atom_radii
         from deeprank2_tpu.utils.ses import atom_ses_depth
 
         atom_depth = atom_ses_depth(sa.positions, atom_radii(np.asarray(sa.elements)))
+        depth_atoms = np.arange(sa.num_atoms)
     else:
         surface = surface_points(sa)
         if len(surface) == 0:
@@ -123,19 +125,23 @@ def add_features(
         surface_tree = cKDTree(surface)
 
         # residue depth per residue: mean over its atoms' nearest-surface
-        # distances. SAS points sit one probe radius outside the SES ->
-        # subtract it (floor 0) to approximate the reference's MSMS SES depth.
+        # distances, queried only for the graph residues' atoms (the only
+        # ones read below). SAS points sit one probe radius outside the
+        # SES -> subtract it (floor 0) to approximate MSMS SES depth.
         from deeprank2_tpu.utils.sasa import PROBE_RADIUS
 
-        atom_depth, _ = surface_tree.query(sa.positions, k=1)
+        need = np.zeros(sa.num_atoms, dtype=bool)
+        for r in np.unique(res_idx):
+            start = int(sa.res_atom_start[r])
+            need[start : start + int(sa.res_atom_count[r])] = True
+        depth_atoms = np.flatnonzero(need)
+        atom_depth, _ = surface_tree.query(sa.positions[depth_atoms], k=1)
         atom_depth = np.maximum(atom_depth - PROBE_RADIUS, 0.0)
     res_depth = np.zeros(sa.num_residues, dtype=np.float64)
-    np.add.at(res_depth, sa.atom_residue, atom_depth)
+    np.add.at(res_depth, sa.atom_residue[depth_atoms], atom_depth)
     res_depth = res_depth / np.maximum(sa.res_atom_count, 1)
 
     hse = compute_hse(sa)
-
-    res_idx = graph.node_residue_indices
     graph.node_features[Nfeat.RESDEPTH] = res_depth[res_idx]
     hse_matrix = np.zeros((graph.num_nodes, 3), dtype=np.float64)
     for v, r in enumerate(res_idx):
