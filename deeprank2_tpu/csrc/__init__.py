@@ -25,21 +25,27 @@ _lib: ctypes.CDLL | None | bool = None  # None = untried, False = unavailable
 
 
 def _build() -> bool:
+    import shutil
+    import tempfile
+
     base = ["g++", "-O3", "-march=native", "-fPIC"]
-    objects = []
+    # build in a per-process temp dir and publish the .so atomically: forked
+    # featurization workers may race into a cold build, and fixed-path .o
+    # intermediates (or a torn .so) would clobber each other
     try:
-        for src, extra in _SOURCES.items():
-            obj = os.path.join(_SRC_DIR, src[:-4] + ".o")
-            subprocess.run([*base, *extra, "-c", os.path.join(_SRC_DIR, src), "-o", obj], check=True, capture_output=True, timeout=120)
-            objects.append(obj)
-        subprocess.run(["g++", "-shared", "-o", _LIB_PATH, *objects], check=True, capture_output=True, timeout=120)
-    except (subprocess.CalledProcessError, subprocess.TimeoutExpired, FileNotFoundError) as e:
+        with tempfile.TemporaryDirectory(dir=_SRC_DIR) as tmp:
+            objects = []
+            for src, extra in _SOURCES.items():
+                obj = os.path.join(tmp, src[:-4] + ".o")
+                subprocess.run([*base, *extra, "-c", os.path.join(_SRC_DIR, src), "-o", obj], check=True, capture_output=True, timeout=120)
+                objects.append(obj)
+            tmp_lib = os.path.join(tmp, "lib.so")
+            subprocess.run(["g++", "-shared", "-o", tmp_lib, *objects], check=True, capture_output=True, timeout=120)
+            shutil.move(tmp_lib, _LIB_PATH + f".{os.getpid()}")
+            os.replace(_LIB_PATH + f".{os.getpid()}", _LIB_PATH)
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired, FileNotFoundError, OSError) as e:
         _log.warning(f"Could not build native kernels ({e}); falling back to numpy implementations.")
         return False
-    finally:
-        for obj in objects:
-            if os.path.exists(obj):
-                os.remove(obj)
     return True
 
 

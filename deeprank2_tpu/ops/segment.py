@@ -26,7 +26,8 @@ def effective_platform() -> str:
     (or CPU mesh dry run) is active while the process default is a TPU."""
     dev = jax.config.jax_default_device
     if dev is not None:
-        return dev.platform
+        # jax accepts both a Device and a platform-name string here
+        return dev if isinstance(dev, str) else dev.platform
     return jax.default_backend()
 
 

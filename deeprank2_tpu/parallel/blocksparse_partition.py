@@ -71,20 +71,13 @@ class PartitionedBlockSparseBatch:
         return self.y_mask_rep[0]
 
 
-def collate_graphs_blocksparse_partitioned(
-    entries: list[dict],
-    num_shards: int,
-    block: int = 128,
-    pad_tiles=None,
-    pad_blocks=None,
-    pad_graphs: int | None = None,
-) -> tuple[PartitionedBlockSparseBatch, list[str]]:
-    """Collate entry dicts straight into a row-tile-partitioned batch — the
-    Trainer's graph-parallel path. One :func:`blocksparse_layout` pass feeds
-    the per-shard rectangular builders directly (no intermediate full
-    structure, no device round-trip). ``pad_tiles``/``pad_blocks`` as in
-    ``collate_graphs_blocksparse`` (``pad_tiles`` resolves BEFORE rounding up
-    to a shard multiple).
+def _collate_shard_arrays(entries: list[dict], num_shards: int, block: int, pad_tiles, pad_graphs: int | None):
+    """Shared collate body for the graph-parallel batch forms: one
+    :func:`blocksparse_layout` pass, tile padding to a shard multiple, node
+    arrays reshaped per shard, targets replicated.
+
+    Returns ``(pairs, r_per, num_nodes, arrays, names, num_graphs)`` where
+    ``arrays`` holds the x/node_graph/node_mask/y_rep/y_mask_rep kwargs.
     """
     from deeprank2_tpu.ops.batch import blocksparse_layout
 
@@ -102,9 +95,49 @@ def collate_graphs_blocksparse_partitioned(
     elif pad_tiles is not None:
         num_tiles = max(num_tiles, pad_tiles)
     r_per = -(-num_tiles // num_shards)
-    nt_pad = r_per * num_shards
-    num_nodes = nt_pad * block
-    pairs = layout["pairs"]
+    num_nodes = r_per * num_shards * block
+
+    feat_dim = layout["feat_dim"]
+    real_rows = sum(a.shape[0] for a in layout["xs"])
+    extra = num_nodes - real_rows
+    if extra:
+        layout["xs"].append(np.zeros((extra, feat_dim), np.float32))
+        layout["graph_ids"].append(np.full(extra, num_graphs, np.int32))
+        layout["masks"].append(np.zeros(extra, bool))
+
+    y = np.zeros(num_graphs, dtype=np.float32)
+    y_mask = np.zeros(num_graphs, dtype=bool)
+    for g, entry in enumerate(entries):
+        if entry.get("y") is not None:
+            y[g] = entry["y"]
+            y_mask[g] = True
+
+    arrays = {
+        "x": jnp.asarray(np.concatenate(layout["xs"]).reshape(num_shards, r_per * block, feat_dim)),
+        "node_graph": jnp.asarray(np.concatenate(layout["graph_ids"]).reshape(num_shards, r_per * block)),
+        "node_mask": jnp.asarray(np.concatenate(layout["masks"]).reshape(num_shards, r_per * block)),
+        "y_rep": jnp.asarray(np.broadcast_to(y, (num_shards, num_graphs)).copy()),
+        "y_mask_rep": jnp.asarray(np.broadcast_to(y_mask, (num_shards, num_graphs)).copy()),
+    }
+    return layout["pairs"], r_per, num_nodes, arrays, names, num_graphs
+
+
+def collate_graphs_blocksparse_partitioned(
+    entries: list[dict],
+    num_shards: int,
+    block: int = 128,
+    pad_tiles=None,
+    pad_blocks=None,
+    pad_graphs: int | None = None,
+) -> tuple[PartitionedBlockSparseBatch, list[str]]:
+    """Collate entry dicts straight into a row-tile-partitioned batch — the
+    Trainer's graph-parallel path. One :func:`blocksparse_layout` pass feeds
+    the per-shard rectangular builders directly (no intermediate full
+    structure, no device round-trip). ``pad_tiles``/``pad_blocks`` as in
+    ``collate_graphs_blocksparse`` (``pad_tiles`` resolves BEFORE rounding up
+    to a shard multiple).
+    """
+    pairs, r_per, num_nodes, arrays, names, num_graphs = _collate_shard_arrays(entries, num_shards, block, pad_tiles, pad_graphs)
 
     ranges = [(d * r_per, (d + 1) * r_per) for d in range(num_shards)]
     cap_blocks = max(required_blocks(pairs, num_nodes, block, row_tile_range=rng) for rng in ranges)
@@ -117,28 +150,8 @@ def collate_graphs_blocksparse_partitioned(
     ]
     stacked = jax.tree.map(lambda *leaves: jnp.stack(leaves), *structures)
 
-    feat_dim = layout["feat_dim"]
-    real_rows = sum(a.shape[0] for a in layout["xs"])
-    extra = num_nodes - real_rows
-    if extra:
-        layout["xs"].append(np.zeros((extra, feat_dim), np.float32))
-        layout["poss"].append(np.zeros((extra, 3), np.float32))
-        layout["graph_ids"].append(np.full(extra, num_graphs, np.int32))
-        layout["masks"].append(np.zeros(extra, bool))
-
-    y = np.zeros(num_graphs, dtype=np.float32)
-    y_mask = np.zeros(num_graphs, dtype=bool)
-    for g, entry in enumerate(entries):
-        if entry.get("y") is not None:
-            y[g] = entry["y"]
-            y_mask[g] = True
-
     return PartitionedBlockSparseBatch(
-        x=jnp.asarray(np.concatenate(layout["xs"]).reshape(num_shards, r_per * block, feat_dim)),
-        node_graph=jnp.asarray(np.concatenate(layout["graph_ids"]).reshape(num_shards, r_per * block)),
-        node_mask=jnp.asarray(np.concatenate(layout["masks"]).reshape(num_shards, r_per * block)),
-        y_rep=jnp.asarray(np.broadcast_to(y, (num_shards, num_graphs)).copy()),
-        y_mask_rep=jnp.asarray(np.broadcast_to(y_mask, (num_shards, num_graphs)).copy()),
+        **arrays,
         structure=stacked,
         num_graphs=num_graphs,
     ), names
@@ -367,19 +380,30 @@ class RingBlockSparseBatch:
 
 
 def _build_ring_structures(pairs: np.ndarray, num_nodes: int, block: int, num_shards: int, r_per: int, pad_blocks_diag=None, pad_blocks_off=None):
-    """(diag stacked [D,...], off stacked [D, D-1, ...], off_has_blocks [D, D-1])."""
+    """(diag stacked [D,...], off stacked [D, D-1, ...], off_has_blocks [D, D-1]).
+
+    Pairs are pre-sliced per destination shard so the D^2 bucket passes scan
+    ~|E|/D edges each instead of rescanning the full edge list (an undirected
+    pair contributes nothing to buckets whose row range it doesn't touch).
+    """
+    pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
     ranges = [(d * r_per, (d + 1) * r_per) for d in range(num_shards)]
+    ba, bb = pairs[:, 0] // block, pairs[:, 1] // block
+    row_pairs = [
+        pairs[((ba >= t0) & (ba < t1)) | ((bb >= t0) & (bb < t1))] for t0, t1 in ranges
+    ]
 
     cap_diag = max(
-        required_blocks(pairs, num_nodes, block, row_tile_range=rng, col_tile_range=rng) for rng in ranges
+        required_blocks(row_pairs[d], num_nodes, block, row_tile_range=rng, col_tile_range=rng)
+        for d, rng in enumerate(ranges)
     )
     if callable(pad_blocks_diag):
         cap_diag = pad_blocks_diag(cap_diag)
     elif pad_blocks_diag is not None:
         cap_diag = max(cap_diag, pad_blocks_diag)
     diag_structs = [
-        build_blocksparse(pairs, num_nodes, block, pad_blocks_to=cap_diag, row_tile_range=rng, col_tile_range=rng)
-        for rng in ranges
+        build_blocksparse(row_pairs[d], num_nodes, block, pad_blocks_to=cap_diag, row_tile_range=rng, col_tile_range=rng)
+        for d, rng in enumerate(ranges)
     ]
     diag = jax.tree.map(lambda *leaves: jnp.stack(leaves), *diag_structs)
 
@@ -393,9 +417,9 @@ def _build_ring_structures(pairs: np.ndarray, num_nodes: int, block: int, num_sh
     for d in range(num_shards):
         for k in range(1, num_shards):
             s = (d - k) % num_shards
-            reqs[d, k - 1] = required_blocks(pairs, num_nodes, block, row_tile_range=ranges[d], col_tile_range=ranges[s])
+            reqs[d, k - 1] = required_blocks(row_pairs[d], num_nodes, block, row_tile_range=ranges[d], col_tile_range=ranges[s])
             # required_blocks returns KBATCH even for an empty bucket; probe emptiness cheaply
-            nonempty[d, k - 1] = _bucket_nonempty(pairs, block, ranges[d], ranges[s])
+            nonempty[d, k - 1] = _bucket_nonempty(row_pairs[d], block, ranges[d], ranges[s])
     cap_off = int(reqs.max())
     if callable(pad_blocks_off):
         cap_off = pad_blocks_off(cap_off)
@@ -406,7 +430,7 @@ def _build_ring_structures(pairs: np.ndarray, num_nodes: int, block: int, num_sh
     for d in range(num_shards):
         per_d = [
             build_blocksparse(
-                pairs, num_nodes, block, pad_blocks_to=cap_off,
+                row_pairs[d], num_nodes, block, pad_blocks_to=cap_off,
                 row_tile_range=ranges[d], col_tile_range=ranges[(d - k) % num_shards],
             )
             for k in range(1, num_shards)
@@ -459,48 +483,10 @@ def collate_graphs_blocksparse_ring(
 ) -> tuple[RingBlockSparseBatch, list[str]]:
     """Collate entry dicts straight into a ring-partitioned batch — the
     Trainer's graph-parallel path for :class:`GINetBlockSparseRing`."""
-    from deeprank2_tpu.ops.batch import blocksparse_layout
-
-    num_real = len(entries)
-    num_graphs = pad_graphs or num_real
-    if num_real > num_graphs:
-        msg = f"{num_real} entries exceed pad_graphs={num_graphs}"
-        raise ValueError(msg)
-    names = [e["entry_name"] for e in entries] + [""] * (num_graphs - num_real)
-
-    layout = blocksparse_layout(entries, block, num_graphs)
-    num_tiles = layout["num_tiles"]
-    if callable(pad_tiles):
-        num_tiles = pad_tiles(num_tiles)
-    elif pad_tiles is not None:
-        num_tiles = max(num_tiles, pad_tiles)
-    r_per = -(-num_tiles // num_shards)
-    num_nodes = r_per * num_shards * block
-    pairs = layout["pairs"]
-
+    pairs, r_per, num_nodes, arrays, names, num_graphs = _collate_shard_arrays(entries, num_shards, block, pad_tiles, pad_graphs)
     diag, off, nonempty = _build_ring_structures(pairs, num_nodes, block, num_shards, r_per, pad_blocks_diag, pad_blocks_off)
-
-    feat_dim = layout["feat_dim"]
-    real_rows = sum(a.shape[0] for a in layout["xs"])
-    extra = num_nodes - real_rows
-    if extra:
-        layout["xs"].append(np.zeros((extra, feat_dim), np.float32))
-        layout["graph_ids"].append(np.full(extra, num_graphs, np.int32))
-        layout["masks"].append(np.zeros(extra, bool))
-
-    y = np.zeros(num_graphs, dtype=np.float32)
-    y_mask = np.zeros(num_graphs, dtype=bool)
-    for g, entry in enumerate(entries):
-        if entry.get("y") is not None:
-            y[g] = entry["y"]
-            y_mask[g] = True
-
     return RingBlockSparseBatch(
-        x=jnp.asarray(np.concatenate(layout["xs"]).reshape(num_shards, r_per * block, feat_dim)),
-        node_graph=jnp.asarray(np.concatenate(layout["graph_ids"]).reshape(num_shards, r_per * block)),
-        node_mask=jnp.asarray(np.concatenate(layout["masks"]).reshape(num_shards, r_per * block)),
-        y_rep=jnp.asarray(np.broadcast_to(y, (num_shards, num_graphs)).copy()),
-        y_mask_rep=jnp.asarray(np.broadcast_to(y_mask, (num_shards, num_graphs)).copy()),
+        **arrays,
         diag=diag,
         off=off,
         off_has_blocks=nonempty,
