@@ -382,19 +382,31 @@ class RingBlockSparseBatch:
 def _build_ring_structures(pairs: np.ndarray, num_nodes: int, block: int, num_shards: int, r_per: int, pad_blocks_diag=None, pad_blocks_off=None):
     """(diag stacked [D,...], off stacked [D, D-1, ...], off_has_blocks [D, D-1]).
 
-    Pairs are pre-sliced per destination shard so the D^2 bucket passes scan
-    ~|E|/D edges each instead of rescanning the full edge list (an undirected
-    pair contributes nothing to buckets whose row range it doesn't touch).
+    Directed edges are pre-bucketed by (row owner, col owner) in ONE pass, so
+    each of the D^2 builder calls scans only its own bucket's edges (its
+    internal mirroring re-adds the already-present reverse direction for
+    diagonal buckets, which is harmless — block entries are 0/1 assignments).
     """
     pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
     ranges = [(d * r_per, (d + 1) * r_per) for d in range(num_shards)]
-    ba, bb = pairs[:, 0] // block, pairs[:, 1] // block
-    row_pairs = [
-        pairs[((ba >= t0) & (ba < t1)) | ((bb >= t0) & (bb < t1))] for t0, t1 in ranges
-    ]
+    # mirrored directed edges (dst, src), bucketed by (dst owner, src owner)
+    dst = np.concatenate([pairs[:, 0], pairs[:, 1]])
+    src = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    owner_r = np.minimum(dst // block // r_per, num_shards - 1)
+    owner_c = np.minimum(src // block // r_per, num_shards - 1)
+    order = np.argsort(owner_r * num_shards + owner_c, kind="stable")
+    bucket_edges = np.stack([dst[order], src[order]], axis=1)
+    bounds = np.searchsorted(
+        (owner_r * num_shards + owner_c)[order], np.arange(num_shards * num_shards + 1)
+    )
 
+    def bucket(d: int, s: int) -> np.ndarray:
+        lo, hi = bounds[d * num_shards + s], bounds[d * num_shards + s + 1]
+        return bucket_edges[lo:hi]
+
+    diag_pairs = [bucket(d, d) for d in range(num_shards)]
     cap_diag = max(
-        required_blocks(row_pairs[d], num_nodes, block, row_tile_range=rng, col_tile_range=rng)
+        required_blocks(diag_pairs[d], num_nodes, block, row_tile_range=rng, col_tile_range=rng)
         for d, rng in enumerate(ranges)
     )
     if callable(pad_blocks_diag):
@@ -402,7 +414,7 @@ def _build_ring_structures(pairs: np.ndarray, num_nodes: int, block: int, num_sh
     elif pad_blocks_diag is not None:
         cap_diag = max(cap_diag, pad_blocks_diag)
     diag_structs = [
-        build_blocksparse(row_pairs[d], num_nodes, block, pad_blocks_to=cap_diag, row_tile_range=rng, col_tile_range=rng)
+        build_blocksparse(diag_pairs[d], num_nodes, block, pad_blocks_to=cap_diag, row_tile_range=rng, col_tile_range=rng)
         for d, rng in enumerate(ranges)
     ]
     diag = jax.tree.map(lambda *leaves: jnp.stack(leaves), *diag_structs)
@@ -417,9 +429,8 @@ def _build_ring_structures(pairs: np.ndarray, num_nodes: int, block: int, num_sh
     for d in range(num_shards):
         for k in range(1, num_shards):
             s = (d - k) % num_shards
-            reqs[d, k - 1] = required_blocks(row_pairs[d], num_nodes, block, row_tile_range=ranges[d], col_tile_range=ranges[s])
-            # required_blocks returns KBATCH even for an empty bucket; probe emptiness cheaply
-            nonempty[d, k - 1] = _bucket_nonempty(row_pairs[d], block, ranges[d], ranges[s])
+            reqs[d, k - 1] = required_blocks(bucket(d, s), num_nodes, block, row_tile_range=ranges[d], col_tile_range=ranges[s])
+            nonempty[d, k - 1] = len(bucket(d, s)) > 0
     cap_off = int(reqs.max())
     if callable(pad_blocks_off):
         cap_off = pad_blocks_off(cap_off)
@@ -430,7 +441,7 @@ def _build_ring_structures(pairs: np.ndarray, num_nodes: int, block: int, num_sh
     for d in range(num_shards):
         per_d = [
             build_blocksparse(
-                row_pairs[d], num_nodes, block, pad_blocks_to=cap_off,
+                bucket(d, (d - k) % num_shards), num_nodes, block, pad_blocks_to=cap_off,
                 row_tile_range=ranges[d], col_tile_range=ranges[(d - k) % num_shards],
             )
             for k in range(1, num_shards)
@@ -438,13 +449,6 @@ def _build_ring_structures(pairs: np.ndarray, num_nodes: int, block: int, num_sh
         off_structs.append(jax.tree.map(lambda *leaves: jnp.stack(leaves), *per_d))
     off = jax.tree.map(lambda *leaves: jnp.stack(leaves), *off_structs)
     return diag, off, jnp.asarray(nonempty)
-
-
-def _bucket_nonempty(pairs: np.ndarray, block: int, row_rng, col_rng) -> bool:
-    pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
-    bi = np.concatenate([pairs[:, 0], pairs[:, 1]]) // block
-    bj = np.concatenate([pairs[:, 1], pairs[:, 0]]) // block
-    return bool((((bi >= row_rng[0]) & (bi < row_rng[1])) & ((bj >= col_rng[0]) & (bj < col_rng[1]))).any())
 
 
 def partition_blocksparse_batch_ring(batch, num_shards: int, pad_blocks_diag=None, pad_blocks_off=None) -> RingBlockSparseBatch:
