@@ -164,6 +164,7 @@ def build_blocksparse(
     pad_blocks_to: int | None = None,
     row_tile_range: tuple[int, int] | None = None,
     col_tile_range: tuple[int, int] | None = None,
+    to_device: bool = True,
 ) -> BlockSparseStructure:
     """BCSR structure from *undirected* node-index pairs (mirrored internally,
     so the adjacency is symmetric by construction). Node indices must already
@@ -266,13 +267,17 @@ def build_blocksparse(
     if nb == 0:
         visited[0, 0] = True  # the artificial zero batch writes slab (0, 0)
 
+    # to_device=False keeps leaves as numpy: multi-structure builders (the
+    # ring/partitioned collates) stack dozens of structures and transfer the
+    # stacked result once instead of per-leaf-per-structure
+    conv = jnp.asarray if to_device else np.asarray
     return BlockSparseStructure(
-        blocks_t=jnp.asarray(blocks, dtype=jnp.int8),
-        block_row=jnp.asarray(block_row),
-        block_col=jnp.asarray(block_col),
-        batch_row=jnp.asarray(batch_row),
-        batch_chunk=jnp.asarray(batch_chunk),
-        visited=jnp.asarray(visited),
+        blocks_t=conv(blocks, dtype=np.int8),
+        block_row=conv(block_row),
+        block_col=conv(block_col),
+        batch_row=conv(batch_row),
+        batch_chunk=conv(batch_chunk),
+        visited=conv(visited),
         num_tiles=num_tiles,
         num_chunks=num_chunks,
         block=block,

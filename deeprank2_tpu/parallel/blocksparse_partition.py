@@ -146,9 +146,9 @@ def collate_graphs_blocksparse_partitioned(
     elif pad_blocks is not None:
         cap_blocks = max(cap_blocks, pad_blocks)
     structures = [
-        build_blocksparse(pairs, num_nodes, block, pad_blocks_to=cap_blocks, row_tile_range=rng) for rng in ranges
+        build_blocksparse(pairs, num_nodes, block, pad_blocks_to=cap_blocks, row_tile_range=rng, to_device=False) for rng in ranges
     ]
-    stacked = jax.tree.map(lambda *leaves: jnp.stack(leaves), *structures)
+    stacked = jax.tree.map(lambda *leaves: jnp.asarray(np.stack(leaves)), *structures)
 
     return PartitionedBlockSparseBatch(
         **arrays,
@@ -206,9 +206,9 @@ def partition_blocksparse_batch(batch, num_shards: int, pad_blocks=None) -> Part
     elif pad_blocks is not None:
         cap_blocks = max(cap_blocks, pad_blocks)
     structures = [
-        build_blocksparse(pairs, num_nodes, block, pad_blocks_to=cap_blocks, row_tile_range=rng) for rng in ranges
+        build_blocksparse(pairs, num_nodes, block, pad_blocks_to=cap_blocks, row_tile_range=rng, to_device=False) for rng in ranges
     ]
-    stacked = jax.tree.map(lambda *leaves: jnp.stack(leaves), *structures)
+    stacked = jax.tree.map(lambda *leaves: jnp.asarray(np.stack(leaves)), *structures)
 
     arrays = _shard_node_arrays(batch, num_shards, num_nodes, r_per, block)
     return PartitionedBlockSparseBatch(
@@ -353,10 +353,12 @@ class RingBlockSparseBatch:
     own, large capacity), and ``off`` holds ``D-1`` rectangular buckets in
     RING-STEP order — bucket ``k-1`` is ``A[d, (d-k) % D]`` with
     source-LOCAL column tiles, aggregated at ring step ``k`` directly from
-    the rotating buffer. Off-diagonal buckets share one (small) capacity;
-    ``off_has_blocks[k-1]`` lets empty buckets skip their SpMM under
-    ``lax.cond`` (the ppermute itself runs every step — collectives must be
-    uniform across devices).
+    the rotating buffer. The ring loop is statically unrolled, so each step
+    has its OWN capacity (``off[k-1]`` leaves are stacked over shards only):
+    on locality-banded graphs most steps collapse to the minimum block count
+    instead of all paying the worst bucket. ``off_has_blocks[k-1]`` lets
+    empty buckets skip their SpMM under ``lax.cond`` (the ppermute itself
+    runs every step — collectives must be uniform across devices).
     """
 
     x: jax.Array  # f32 [D, R*B, F]
@@ -365,7 +367,7 @@ class RingBlockSparseBatch:
     y_rep: jax.Array  # f32 [D, G]
     y_mask_rep: jax.Array  # bool [D, G]
     diag: BlockSparseStructure  # leaves [D, ...]
-    off: BlockSparseStructure  # leaves [D, D-1, ...]
+    off: tuple  # D-1 BlockSparseStructures, leaves [D, cap_k, ...]
     off_has_blocks: jax.Array  # bool [D, D-1]
     num_graphs: int = field(metadata={"static": True})
     num_shards: int = field(metadata={"static": True})
@@ -380,12 +382,16 @@ class RingBlockSparseBatch:
 
 
 def _build_ring_structures(pairs: np.ndarray, num_nodes: int, block: int, num_shards: int, r_per: int, pad_blocks_diag=None, pad_blocks_off=None):
-    """(diag stacked [D,...], off stacked [D, D-1, ...], off_has_blocks [D, D-1]).
+    """(diag stacked [D,...], off = D-1 structures stacked [D, cap_k, ...],
+    off_has_blocks [D, D-1]).
 
     Directed edges are pre-bucketed by (row owner, col owner) in ONE pass, so
     each of the D^2 builder calls scans only its own bucket's edges (its
     internal mirroring re-adds the already-present reverse direction for
     diagonal buckets, which is harmless — block entries are 0/1 assignments).
+    Each ring step's capacity is independent (``pad_blocks_off`` callables
+    receive ``(required, step_k)``): on banded graphs only the near-diagonal
+    steps pay real block counts.
     """
     pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
     ranges = [(d * r_per, (d + 1) * r_per) for d in range(num_shards)]
@@ -414,41 +420,39 @@ def _build_ring_structures(pairs: np.ndarray, num_nodes: int, block: int, num_sh
     elif pad_blocks_diag is not None:
         cap_diag = max(cap_diag, pad_blocks_diag)
     diag_structs = [
-        build_blocksparse(diag_pairs[d], num_nodes, block, pad_blocks_to=cap_diag, row_tile_range=rng, col_tile_range=rng)
+        build_blocksparse(diag_pairs[d], num_nodes, block, pad_blocks_to=cap_diag, row_tile_range=rng, col_tile_range=rng, to_device=False)
         for d, rng in enumerate(ranges)
     ]
-    diag = jax.tree.map(lambda *leaves: jnp.stack(leaves), *diag_structs)
+    diag = jax.tree.map(lambda *leaves: jnp.asarray(np.stack(leaves)), *diag_structs)
 
     if num_shards == 1:
-        off = jax.tree.map(lambda a: jnp.zeros((a.shape[0], 0) + a.shape[1:], a.dtype), diag)
-        return diag, off, jnp.zeros((1, 0), dtype=bool)
+        return diag, (), jnp.zeros((1, 0), dtype=bool)
 
-    # off bucket (d, k): rows of d, cols of s = (d - k) % D, k = 1..D-1
-    reqs = np.zeros((num_shards, num_shards - 1), dtype=np.int64)
+    # off bucket (d, k): rows of d, cols of s = (d - k) % D, k = 1..D-1;
+    # capacity per ring step k (the loop is unrolled, shapes may differ by k)
     nonempty = np.zeros((num_shards, num_shards - 1), dtype=bool)
-    for d in range(num_shards):
-        for k in range(1, num_shards):
-            s = (d - k) % num_shards
-            reqs[d, k - 1] = required_blocks(bucket(d, s), num_nodes, block, row_tile_range=ranges[d], col_tile_range=ranges[s])
-            nonempty[d, k - 1] = len(bucket(d, s)) > 0
-    cap_off = int(reqs.max())
-    if callable(pad_blocks_off):
-        cap_off = pad_blocks_off(cap_off)
-    elif pad_blocks_off is not None:
-        cap_off = max(cap_off, pad_blocks_off)
-
     off_structs = []
-    for d in range(num_shards):
-        per_d = [
-            build_blocksparse(
-                bucket(d, (d - k) % num_shards), num_nodes, block, pad_blocks_to=cap_off,
-                row_tile_range=ranges[d], col_tile_range=ranges[(d - k) % num_shards],
+    for k in range(1, num_shards):
+        sources = [(d - k) % num_shards for d in range(num_shards)]
+        cap_k = max(
+            required_blocks(bucket(d, s), num_nodes, block, row_tile_range=ranges[d], col_tile_range=ranges[s])
+            for d, s in enumerate(sources)
+        )
+        if callable(pad_blocks_off):
+            cap_k = pad_blocks_off(cap_k, k)
+        elif pad_blocks_off is not None:
+            cap_k = max(cap_k, pad_blocks_off)
+        per_k = []
+        for d, s in enumerate(sources):
+            nonempty[d, k - 1] = len(bucket(d, s)) > 0
+            per_k.append(
+                build_blocksparse(
+                    bucket(d, s), num_nodes, block, pad_blocks_to=cap_k,
+                    row_tile_range=ranges[d], col_tile_range=ranges[s], to_device=False,
+                )
             )
-            for k in range(1, num_shards)
-        ]
-        off_structs.append(jax.tree.map(lambda *leaves: jnp.stack(leaves), *per_d))
-    off = jax.tree.map(lambda *leaves: jnp.stack(leaves), *off_structs)
-    return diag, off, jnp.asarray(nonempty)
+        off_structs.append(jax.tree.map(lambda *leaves: jnp.asarray(np.stack(leaves)), *per_k))
+    return diag, tuple(off_structs), jnp.asarray(nonempty)
 
 
 def partition_blocksparse_batch_ring(batch, num_shards: int, pad_blocks_diag=None, pad_blocks_off=None) -> RingBlockSparseBatch:
@@ -505,23 +509,22 @@ def _ring_impl(axis, precision, num_shards, td_diag, td_off, diag_leaves, off_le
     acc = _spmm_impl(diag, xl, precision)
     if num_shards == 1:
         return acc
-    off = jax.tree_util.tree_unflatten(td_off, off_leaves)
+    off = jax.tree_util.tree_unflatten(td_off, off_leaves)  # tuple of D-1 per-step structures
     perm = [(i, (i + 1) % num_shards) for i in range(num_shards)]
 
-    def step(k, carry):
-        acc, buf = carry
+    # statically unrolled ring (bucket shapes differ per step): hop, then
+    # aggregate the matching source bucket unless it is empty on this shard
+    buf = xl
+    for k in range(1, num_shards):
         buf = jax.lax.ppermute(buf, axis, perm)  # after k hops: shard (d-k) % D's block
-        bucket = jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(a, k - 1, keepdims=False), off)
+        bucket = off[k - 1]
         acc = jax.lax.cond(
             flags[k - 1],
-            lambda acc, buf: acc + _spmm_impl(bucket, buf, precision),
+            lambda acc, buf, bucket=bucket: acc + _spmm_impl(bucket, buf, precision),
             lambda acc, buf: acc,
             acc,
             buf,
         )
-        return acc, buf
-
-    acc, _ = jax.lax.fori_loop(1, num_shards, step, (acc, xl))
     return acc
 
 
@@ -550,7 +553,7 @@ _ring_spmm.defvjp(_ring_spmm_fwd, _ring_spmm_bwd)
 
 def ring_bcsr_spmm(
     diag: BlockSparseStructure,
-    off: BlockSparseStructure,
+    off: tuple,
     off_has_blocks: jnp.ndarray,
     x_local: jnp.ndarray,
     axis: str,

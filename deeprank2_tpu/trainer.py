@@ -445,7 +445,9 @@ class Trainer:
                             jax.device_count(),
                             pad_tiles=self._blocksparse_bucket("tiles"),
                             pad_blocks_diag=self._blocksparse_bucket("ring_diag_blocks"),
-                            pad_blocks_off=self._blocksparse_bucket("ring_off_blocks"),
+                            # per-ring-step grow-only capacities (the ring loop
+                            # is unrolled, so step shapes are independent)
+                            pad_blocks_off=lambda req, k: self._blocksparse_bucket(f"ring_off_{k}")(req),
                             pad_graphs=pad_graphs,
                         )
                     else:
