@@ -54,7 +54,11 @@ DEFAULT_BLOCK = 128
 # adjacency blocks per grid step / per MXU contraction. Measured on v5e: the
 # grid is per-step-overhead-bound (~0.9 us/step at any payload <= 256 KB), so
 # 16 int8 blocks per step (256 KB) halves the step count over 8 and wins ~10 %
-# on the raw SpMM even though run zero-padding grows ~30 %.
+# on the raw SpMM even though run zero-padding grows ~30 %. Re-measured via
+# scan-chained best-of-3 on a 100k-node graph: 32 is within noise of 16 on
+# the raw SpMM (~7 ms both) but regresses the full train step ~12 % (the
+# extra +32 % run-padding blocks cost real HBM streaming), and 64 regresses
+# outright — 16 stays the sweet spot.
 KBATCH = 16
 # tiles per x^T column chunk: sized so an F=64 f32 chunk (the widest the GINet
 # family uses) fits a single ~12 MB VMEM scratch next to the block pipeline
