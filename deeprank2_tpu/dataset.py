@@ -574,6 +574,9 @@ class GraphDataset(DeeprankDataset):
             if standard:
                 vals = (vals - self.means[feat]) / self.devs[feat]
         elif standard:
+            # reference bug (dataset.py:932-934): substring matching, so e.g.
+            # feat "polarity" also collects the "diff_polarity_NNN" mean keys
+            # when both features are selected (broadcast error); reproduced.
             reshaped_mean = [mean_value for mean_key, mean_value in self.means.items() if feat in mean_key]
             reshaped_dev = [dev_value for dev_key, dev_value in self.devs.items() if feat in dev_key]
             vals = (vals - reshaped_mean) / reshaped_dev
