@@ -12,6 +12,9 @@
   (Bio.PDB HSExposureCA semantics): a pseudo-CB direction from the two chain
   neighbors splits a 12 Å sphere; counts of CA atoms in the upper/lower halves
   plus the pseudo-CB/CB angle. Chain-terminal residues get (0, 0, 0).
+  ``set_hse_method("atomic")`` switches to an atomic-resolution variant
+  (extension beyond the reference) that counts every other-residue atom
+  instead of CA atoms only.
 """
 
 from __future__ import annotations
@@ -26,6 +29,20 @@ from deeprank2_tpu.utils.sasa import surface_points
 HSE_RADIUS = 12.0
 
 _DEPTH_METHOD = "sas_offset"
+_HSE_METHOD = "ca"
+
+
+def set_hse_method(name: str) -> None:
+    """Half-sphere-exposure backend: "ca" (default; Bio.PDB HSExposureCA
+    parity — neighbor CA atoms counted in each half sphere) or "atomic"
+    (extension beyond the reference: ALL atoms of other residues are counted,
+    resolving burial differences between residues whose CA environments
+    match; same pseudo-CB splitting plane and 12 Å radius)."""
+    global _HSE_METHOD
+    if name not in ("ca", "atomic"):
+        msg = f"unknown hse method: {name}"
+        raise ValueError(msg)
+    _HSE_METHOD = name
 
 
 def set_depth_method(name: str) -> None:
@@ -69,20 +86,33 @@ def compute_hse(arrays) -> dict[int, tuple[float, float, float]]:
     valid = same_chain & (pnorm > 0)
     pcb[valid] = pcb[valid] / pnorm[valid, None]
 
-    # count neighbors in the upper/lower half spheres via pair list
-    tree = cKDTree(ca_pos)
-    pairs = tree.query_pairs(HSE_RADIUS, output_type="ndarray")  # i < j
+    # count neighbors in the upper/lower half spheres
     up = np.zeros(num_ca)
     down = np.zeros(num_ca)
-    if len(pairs):
-        i, j = pairs[:, 0], pairs[:, 1]
-        direction = ca_pos[j] - ca_pos[i]
-        side_i = (pcb[i] * direction).sum(axis=1) > 0  # j seen from i
-        side_j = (pcb[j] * -direction).sum(axis=1) > 0  # i seen from j
-        np.add.at(up, i, side_i)
-        np.add.at(down, i, ~side_i)
-        np.add.at(up, j, side_j)
-        np.add.at(down, j, ~side_j)
+    if _HSE_METHOD == "atomic":
+        # extension: every atom of OTHER residues within the sphere counts
+        atom_tree = cKDTree(arrays.positions.astype(np.float64))
+        atom_res = arrays.atom_residue
+        for k in range(num_ca):
+            neigh = np.asarray(atom_tree.query_ball_point(ca_pos[k], HSE_RADIUS), dtype=np.int64)
+            neigh = neigh[atom_res[neigh] != ca_res[k]]
+            if len(neigh) == 0:
+                continue
+            side = ((arrays.positions[neigh].astype(np.float64) - ca_pos[k]) * pcb[k]).sum(axis=1) > 0
+            up[k] = side.sum()
+            down[k] = len(side) - side.sum()
+    else:
+        tree = cKDTree(ca_pos)
+        pairs = tree.query_pairs(HSE_RADIUS, output_type="ndarray")  # i < j
+        if len(pairs):
+            i, j = pairs[:, 0], pairs[:, 1]
+            direction = ca_pos[j] - ca_pos[i]
+            side_i = (pcb[i] * direction).sum(axis=1) > 0  # j seen from i
+            side_j = (pcb[j] * -direction).sum(axis=1) > 0  # i seen from j
+            np.add.at(up, i, side_i)
+            np.add.at(down, i, ~side_i)
+            np.add.at(up, j, side_j)
+            np.add.at(down, j, ~side_j)
 
     # angle between pseudo-CB and the actual CB-CA direction (0 if no CB)
     from deeprank2_tpu.utils.secstructure import first_atom_per_residue
