@@ -106,16 +106,29 @@ class GINetClusteredDense:
 
 
 class GINetDense:
-    """No-cluster GINet over :class:`DenseGraphBatch` (dual tower, mean pool)."""
+    """No-cluster GINet over :class:`DenseGraphBatch` (dual tower, mean pool).
+
+    ``compute_dtype=jnp.bfloat16`` runs the tower (conv matmuls and relu
+    intermediates) in bf16 — parameters, the head MLP, and the loss stay f32.
+    The dense step is HBM-bound and the f32 intermediates are a large share
+    of its non-adjacency traffic, so this is the standard TPU mixed-precision
+    trade: ~bf16-epsilon activations for materially fewer bytes streamed."""
 
     needs_clusters = False
     dense_batches = True
     dropout = 0.4
 
-    def __init__(self, input_shape: int, output_shape: int = 1, input_shape_edge: int = 1):
+    def __init__(
+        self,
+        input_shape: int,
+        output_shape: int = 1,
+        input_shape_edge: int = 1,
+        compute_dtype: jnp.dtype | None = None,
+    ):
         self.input_shape = input_shape
         self.output_shape = output_shape
         self.input_shape_edge = input_shape_edge
+        self.compute_dtype = compute_dtype
 
     def init(self, rng: jax.Array) -> dict:
         keys = jax.random.split(rng, 6)
@@ -148,12 +161,20 @@ class GINetDense:
                 h = nn.relu(nn.linear(params["fc1"], h))
                 h = nn.dropout(rng, h, self.dropout, training)
                 return nn.linear(params["fc2"], h)
-        fcx = jnp.concatenate([batch.x @ params["conv1"]["fc"]["w"], batch.x @ params["conv1_ext"]["fc"]["w"]], axis=-1)
-        h = act(batch.adj @ fcx)  # [G, N, 32] = tower1(16) || tower2(16)
-        fcx2 = jnp.concatenate([h[..., :16] @ params["conv2"]["fc"]["w"], h[..., 16:] @ params["conv2_ext"]["fc"]["w"]], axis=-1)
-        h = act(batch.adj @ fcx2)  # [G, N, 64] = tower1(32) || tower2(32)
-        h = h * batch.node_mask[:, :, None]
-        h = h.sum(axis=1) / counts[:, None]  # masked per-graph mean [G, 64]
+        x, adj = batch.x, batch.adj
+        w1a, w1b = params["conv1"]["fc"]["w"], params["conv1_ext"]["fc"]["w"]
+        w2a, w2b = params["conv2"]["fc"]["w"], params["conv2_ext"]["fc"]["w"]
+        if self.compute_dtype is not None:
+            x, adj = x.astype(self.compute_dtype), adj.astype(self.compute_dtype)
+            w1a, w1b = w1a.astype(self.compute_dtype), w1b.astype(self.compute_dtype)
+            w2a, w2b = w2a.astype(self.compute_dtype), w2b.astype(self.compute_dtype)
+        fcx = jnp.concatenate([x @ w1a, x @ w1b], axis=-1)
+        h = act(adj @ fcx)  # [G, N, 32] = tower1(16) || tower2(16)
+        fcx2 = jnp.concatenate([h[..., :16] @ w2a, h[..., 16:] @ w2b], axis=-1)
+        h = act(adj @ fcx2)  # [G, N, 64] = tower1(32) || tower2(32)
+        h = h * batch.node_mask[:, :, None].astype(h.dtype)
+        # per-graph mean accumulated in f32 (bf16 sums over ~10^2 nodes drift)
+        h = h.astype(jnp.float32).sum(axis=1) / counts[:, None]
         h = nn.relu(nn.linear(params["fc1"], h))
         h = nn.dropout(rng, h, self.dropout, training)
         return nn.linear(params["fc2"], h)
