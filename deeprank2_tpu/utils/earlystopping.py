@@ -1,6 +1,17 @@
-"""Early stopping on validation loss with an overfit (val-train gap) guard
-(reference: deeprank2/utils/earlystopping.py — patience/delta/maxgap/min_epoch
-semantics reproduced exactly)."""
+"""Early-stopping policy for the training loop.
+
+Two independent triggers, matching the reference semantics
+(deeprank2/utils/earlystopping.py:39-87):
+
+* **stall**: the validation loss has not improved on its running best by more
+  than ``delta`` for ``patience`` consecutive evaluations;
+* **overfit gap**: once ``epoch > min_epoch``, the spread
+  ``val_loss - train_loss`` exceeds ``maxgap``.
+
+State is exposed as plain attributes (``counter``, ``best_score``,
+``val_loss_min``, ``early_stop``) so the Trainer can checkpoint and restore a
+stopper mid-run.
+"""
 
 from __future__ import annotations
 
@@ -8,9 +19,18 @@ from collections.abc import Callable
 
 
 class EarlyStopping:
-    """Signals training termination when validation loss stops improving for
-    ``patience`` epochs, or when ``val_loss - train_loss > maxgap`` after
-    ``min_epoch``."""
+    """Stateful stop signal fed once per epoch with the latest losses.
+
+    Args:
+        patience: evaluations without sufficient improvement before stopping.
+        delta: improvement margin; a new loss must undercut the best by more
+            than this to reset the stall counter.
+        maxgap: largest tolerated ``val_loss - train_loss`` spread (None
+            disables the overfit trigger).
+        min_epoch: the overfit trigger stays dormant through this epoch.
+        verbose: emit a trace line on every evaluation, not just on stop.
+        trace_func: sink for trace lines (e.g. ``logging.info``).
+    """
 
     def __init__(
         self,
@@ -21,7 +41,7 @@ class EarlyStopping:
         verbose: bool = True,
         trace_func: Callable = print,
     ):
-        self.patience = patience if patience is not None else 10
+        self.patience = 10 if patience is None else patience
         self.delta = delta
         self.maxgap = maxgap
         self.min_epoch = min_epoch
@@ -30,44 +50,44 @@ class EarlyStopping:
 
         self.early_stop = False
         self.counter = 0
-        self.best_score = None
+        self.best_score = None  # negated best val loss, kept for checkpoint compat
         self.val_loss_min = None
 
-    def __call__(self, epoch: int, val_loss: float, train_loss: float | None = None) -> None:
-        score = -val_loss
-
-        if self.best_score is None:
-            self.best_score = score
+    def _check_stall(self, epoch: int, val_loss: float) -> None:
+        if self.val_loss_min is None:  # first evaluation seeds the running best
             self.val_loss_min = val_loss
-        elif score < self.best_score + self.delta:
+        elif val_loss > self.val_loss_min - self.delta:
             self.counter += 1
             if self.verbose:
-                extra_trace = f"more than {self.delta} " if self.delta else ""
+                margin = f"the {self.delta} margin under " if self.delta else ""
                 self.trace_func(
-                    f"Validation loss did not decrease {extra_trace}({self.val_loss_min:.6f} --> {val_loss:.6f}). "
-                    f"EarlyStopping counter: {self.counter} out of {self.patience}",
+                    f"val loss {val_loss:.6f} did not beat {margin}the best so far "
+                    f"{self.val_loss_min:.6f} — stalled {self.counter}/{self.patience}",
                 )
             if self.counter >= self.patience:
-                self.trace_func(f"EarlyStopping activated at epoch # {epoch} because patience of {self.patience} has been reached.")
+                self.trace_func(f"early stop at epoch {epoch}: {self.patience} evaluations without improvement")
                 self.early_stop = True
         else:
             if self.verbose:
-                self.trace_func(f"Validation loss decreased ({self.val_loss_min:.6f} --> {val_loss:.6f}).")
-            self.best_score = score
+                self.trace_func(f"val loss improved: {self.val_loss_min:.6f} -> {val_loss:.6f}")
             self.counter = 0
-
-        if score >= self.best_score:
-            self.best_score = score
+        # a new minimum updates the running best even when it lands inside the
+        # delta margin (and so still counted as a stall) — reference parity
+        if val_loss <= self.val_loss_min:
             self.val_loss_min = val_loss
+        self.best_score = -self.val_loss_min
 
-        if self.maxgap and epoch > self.min_epoch:
-            if train_loss is None:
-                msg = "Cannot compute gap because no train_loss is provided to EarlyStopping."
-                raise ValueError(msg)
-            gap = val_loss - train_loss
-            if gap > self.maxgap:
-                self.trace_func(
-                    f"EarlyStopping activated at epoch # {epoch} due to overfitting. "
-                    f"The difference between validation and training loss of {gap} exceeds the maximum allowed ({self.maxgap})",
-                )
-                self.early_stop = True
+    def _check_gap(self, epoch: int, val_loss: float, train_loss: float | None) -> None:
+        if not self.maxgap or epoch <= self.min_epoch:
+            return
+        if train_loss is None:
+            msg = "maxgap is set but no train_loss was passed to EarlyStopping"
+            raise ValueError(msg)
+        gap = val_loss - train_loss
+        if gap > self.maxgap:
+            self.trace_func(f"early stop at epoch {epoch}: val-train spread {gap} is over the maxgap limit {self.maxgap}")
+            self.early_stop = True
+
+    def __call__(self, epoch: int, val_loss: float, train_loss: float | None = None) -> None:
+        self._check_stall(epoch, val_loss)
+        self._check_gap(epoch, val_loss, train_loss)
