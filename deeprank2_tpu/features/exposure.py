@@ -90,17 +90,22 @@ def compute_hse(arrays) -> dict[int, tuple[float, float, float]]:
     up = np.zeros(num_ca)
     down = np.zeros(num_ca)
     if _HSE_METHOD == "atomic":
-        # extension: every atom of OTHER residues within the sphere counts
+        # extension: every atom of OTHER residues within the sphere counts.
+        # One batched ball query over the valid residues only (invalid ones
+        # are dropped from the returned dict anyway).
         atom_tree = cKDTree(arrays.positions.astype(np.float64))
         atom_res = arrays.atom_residue
-        for k in range(num_ca):
-            neigh = np.asarray(atom_tree.query_ball_point(ca_pos[k], HSE_RADIUS), dtype=np.int64)
-            neigh = neigh[atom_res[neigh] != ca_res[k]]
-            if len(neigh) == 0:
-                continue
-            side = ((arrays.positions[neigh].astype(np.float64) - ca_pos[k]) * pcb[k]).sum(axis=1) > 0
-            up[k] = side.sum()
-            down[k] = len(side) - side.sum()
+        query_idx = np.flatnonzero(valid)
+        if len(query_idx):
+            neigh_lists = atom_tree.query_ball_point(ca_pos[query_idx], HSE_RADIUS, workers=-1)
+            for k, neigh in zip(query_idx, neigh_lists, strict=True):
+                neigh = np.asarray(neigh, dtype=np.int64)
+                neigh = neigh[atom_res[neigh] != ca_res[k]]
+                if len(neigh) == 0:
+                    continue
+                side = ((arrays.positions[neigh].astype(np.float64) - ca_pos[k]) * pcb[k]).sum(axis=1) > 0
+                up[k] = side.sum()
+                down[k] = len(side) - side.sum()
     else:
         tree = cKDTree(ca_pos)
         pairs = tree.query_pairs(HSE_RADIUS, output_type="ndarray")  # i < j

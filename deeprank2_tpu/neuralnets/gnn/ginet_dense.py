@@ -149,7 +149,10 @@ class GINetDense:
         # with the channel split).
         act = nn.relu
         counts = jnp.maximum(batch.node_mask.sum(axis=1), 1.0)
-        if _TOWER_BACKEND == "pallas":
+        # an explicit compute_dtype request always takes the XLA path below —
+        # the pallas tower runs its own (f32) precision schedule and would
+        # silently ignore the requested dtype
+        if _TOWER_BACKEND == "pallas" and self.compute_dtype is None:
             from deeprank2_tpu.ops import pallas_ginet
 
             if pallas_ginet.supports(batch.num_graphs):

@@ -223,6 +223,35 @@ def test_ginet_dense_matches_coo() -> None:
     np.testing.assert_allclose(np.asarray(flat_coo), np.asarray(flat_dense), rtol=2e-3, atol=1e-4)
 
 
+def test_ginet_dense_bf16_tracks_f32() -> None:
+    """GINetDense(compute_dtype=bfloat16) stays within bf16 tolerance of the
+    f32 tower, forward and gradients (the training default on TPU)."""
+    from jax.flatten_util import ravel_pytree
+
+    from deeprank2_tpu.neuralnets.gnn.ginet_dense import GINetDense
+    from deeprank2_tpu.ops.batch import collate_graphs_dense
+    from deeprank2_tpu.ops.synthetic import synthetic_entries
+
+    entries = synthetic_entries(6, 20, feat_dim=11, edge_dim=3, seed=5)
+    batch, _ = collate_graphs_dense(entries)
+
+    f32_model = GINetDense(11, 2, 3)
+    bf16_model = GINetDense(11, 2, 3, compute_dtype=jnp.bfloat16)
+    params = f32_model.init(jax.random.PRNGKey(0))
+
+    out_f32 = np.asarray(f32_model.apply(params, batch))
+    out_bf16 = np.asarray(bf16_model.apply(params, batch))
+    assert out_bf16.dtype == out_f32.dtype  # output stays f32 (pooling upcast)
+    scale = max(1.0, float(np.abs(out_f32).max()))
+    np.testing.assert_allclose(out_bf16, out_f32, atol=2e-2 * scale)
+
+    g_f32, _ = ravel_pytree(jax.grad(lambda p: (f32_model.apply(p, batch) ** 2).sum())(params))
+    g_bf16, _ = ravel_pytree(jax.grad(lambda p: (bf16_model.apply(p, batch) ** 2).sum())(params))
+    g_f32, g_bf16 = np.asarray(g_f32), np.asarray(g_bf16)
+    gscale = max(1.0, float(np.abs(g_f32).max()))
+    np.testing.assert_allclose(g_bf16, g_f32, atol=4e-2 * gscale)
+
+
 @pytest.mark.parametrize("family", ["ginet", "fout", "sgat"])
 def test_clustered_dense_matches_coo(family) -> None:
     """Dense clustered pipelines (one-hot C^T A C pooling) == COO community
@@ -405,9 +434,9 @@ def test_multi_epoch_train_parity(srv_hdf5) -> None:
             opt.zero_grad()
             loss_torch.backward()
             opt.step()
-            # real unstandardized features make the early losses large
-            # (electrostatics columns are O(100)) -> relative tolerance
-            assert abs(float(loss_jax) - float(loss_torch.detach())) < 1e-4 * max(1.0, abs(float(loss_torch)))
+            # relative tolerance: losses can exceed 1 in the first steps
+            loss_torch_val = float(loss_torch.detach())
+            assert abs(float(loss_jax) - loss_torch_val) < 1e-4 * max(1.0, abs(loss_torch_val))
 
     for tower_name in ("conv1", "conv2", "conv1_ext", "conv2_ext"):
         np.testing.assert_allclose(
