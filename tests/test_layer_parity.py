@@ -445,3 +445,221 @@ def test_multi_epoch_train_parity(srv_hdf5) -> None:
     for fc in ("fc1", "fc2"):
         np.testing.assert_allclose(np.asarray(params[fc]["w"]), tp[fc + ".w"].detach().numpy(), rtol=5e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(params[fc]["b"]), tp[fc + ".b"].detach().numpy(), rtol=5e-4, atol=1e-5)
+
+
+def _torch_clustered_ginet_loss(tp: dict, entries: list[dict]) -> torch.Tensor:
+    """Reference clustered-GINet forward + CrossEntropy in torch, built the
+    reference's way — compact (unpadded) concatenated batch, community pooling
+    after conv1, max_pool_x on depth-1 clusters after conv2, per-graph mean
+    (mirrors ginet.py:90-125 with attention == 1.0). Parity vs our padded
+    static-shape pipeline is the point of the comparison."""
+    num_graphs = len(entries)
+    xs, rows, cols, c0_list, c1_list, graph_of_c0 = [], [], [], [], [], []
+    v_off = c0_off = c1_off = 0
+    ys = []
+    for g, e in enumerate(entries):
+        v = e["x"].shape[0]
+        xs.append(np.asarray(e["x"], dtype=np.float32))
+        und = np.asarray(e["edge_index"], dtype=np.int64)
+        rows.append(np.concatenate([und[:, 0], und[:, 1]]) + v_off)
+        cols.append(np.concatenate([und[:, 1], und[:, 0]]) + v_off)
+        c0 = np.asarray(e["cluster0"], dtype=np.int64)
+        c1 = np.asarray(e["cluster1"], dtype=np.int64)
+        n_c0, n_c1 = int(c0.max()) + 1, int(c1.max()) + 1
+        assert len(c1) == n_c0  # cluster1 is indexed by depth-0 cluster id
+        c0_list.append(c0 + c0_off)
+        c1_list.append(c1 + c1_off)
+        graph_of_c0.append(np.full(n_c0, g))
+        ys.append(e["y"])
+        v_off, c0_off, c1_off = v_off + v, c0_off + n_c0, c1_off + n_c1
+
+    x = torch.tensor(np.concatenate(xs))
+    row = torch.tensor(np.concatenate(rows))
+    col = torch.tensor(np.concatenate(cols))
+    c0 = torch.tensor(np.concatenate(c0_list))
+    c1 = torch.tensor(np.concatenate(c1_list))
+    graph_c0 = torch.tensor(np.concatenate(graph_of_c0))
+    num_c0, num_c1 = c0_off, c1_off
+
+    # pooled (depth-0) edges: cluster pairs, self-loops dropped, deduped
+    # (PyG pool_edge/coalesce semantics; attrs don't matter — attention == 1)
+    pc_i, pc_j = c0[row].numpy(), c0[col].numpy()
+    keep = pc_i != pc_j
+    pooled = np.unique(np.stack([pc_i[keep], pc_j[keep]], axis=1), axis=0)
+    prow = torch.tensor(pooled[:, 0])
+    pcol = torch.tensor(pooled[:, 1])
+
+    def conv(w, h, r, c, num_v):
+        fcx = h @ w
+        out = torch.zeros(num_v, w.shape[1], dtype=h.dtype)
+        return out.index_add_(0, r, fcx[c])
+
+    def scatter_amax(src, idx, num):
+        out = torch.full((num, src.shape[1]), -torch.inf, dtype=src.dtype)
+        return out.index_reduce_(0, idx, src, "amax", include_self=False)
+
+    def tower(w1, w2):
+        h = torch.relu(conv(w1, x, row, col, x.shape[0]))
+        hp = scatter_amax(h, c0, num_c0)  # community pooling: max features
+        h2 = torch.relu(conv(w2, hp, prow, pcol, num_c0))
+        hq = scatter_amax(h2, c1, num_c1)  # depth-1 max_pool_x
+        graph_c1 = torch.full((num_c1,), 0, dtype=torch.int64)
+        graph_c1.index_copy_(0, c1, graph_c0)
+        sums = torch.zeros(num_graphs, hq.shape[1], dtype=hq.dtype).index_add_(0, graph_c1, hq)
+        counts = torch.zeros(num_graphs, dtype=hq.dtype).index_add_(0, graph_c1, torch.ones(num_c1))
+        return sums / counts.clamp(min=1.0)[:, None]
+
+    emb = torch.cat([tower(tp["conv1"], tp["conv2"]), tower(tp["conv1_ext"], tp["conv2_ext"])], dim=1)
+    h = torch.relu(emb @ tp["fc1.w"] + tp["fc1.b"])
+    logits = h @ tp["fc2.w"] + tp["fc2.b"]
+    y = torch.tensor(np.asarray(ys, dtype=np.int64))
+    return torch.nn.functional.cross_entropy(logits, y)
+
+
+def test_multi_epoch_clustered_train_parity(srv_hdf5) -> None:
+    """Three epochs x two batches through the CLUSTERED GINet path — MCL
+    community pooling computed exactly as Trainer._precluster does
+    (reference trainer.py:319-348), real featurized 101M SRV graphs — track a
+    torch mirror of the reference pipeline (ginet.py:90-125) step for step to
+    identical final parameters."""
+    from deeprank2_tpu.dataset import GraphDataset
+    from deeprank2_tpu.neuralnets.gnn.ginet import GINet
+    from deeprank2_tpu.ops.batch import collate_graphs
+    from deeprank2_tpu.ops.losses import CrossEntropyLoss
+    from deeprank2_tpu.ops.optim import Adam
+    from deeprank2_tpu.utils.community_pooling import community_detection, community_pooling_host
+
+    feats = ["res_charge", "res_size", "res_mass", "res_pI", "pssm", "info_content"]
+    ds = GraphDataset(
+        hdf5_path=srv_hdf5,
+        target="binary",
+        task="classif",
+        node_features=feats,
+        features_transform={f: {"standardize": True} for f in feats},
+    )
+    entries = [ds.get(i) for i in range(len(ds))]
+    for e in entries:  # what Trainer._precluster writes per entry
+        num_nodes = e["x"].shape[0]
+        e["cluster0"] = community_detection(e["edge_index"], num_nodes, method="mcl")
+        pooled_edges, num_clusters = community_pooling_host(e["cluster0"], e["edge_index"])
+        e["cluster1"] = community_detection(pooled_edges, num_clusters, method="mcl")
+
+    chunks = [entries[i : i + 4] for i in range(0, len(entries), 4)]
+    batches = [collate_graphs(chunk)[0] for chunk in chunks]
+    assert len(batches) >= 2
+
+    model = GINet(batches[0].x.shape[1], 2, batches[0].edge_attr.shape[1])
+    params = model.init(jax.random.PRNGKey(13))
+    loss_fn = CrossEntropyLoss()
+    optimizer = Adam(lr=1e-3, weight_decay=1e-5)
+    opt_state = optimizer.init(params)
+
+    tp = _torch_ginet_params(params)
+    opt = torch.optim.Adam(tp.values(), lr=1e-3, weight_decay=1e-5)
+
+    @jax.jit
+    def step(p, s, batch):
+        def compute(p):
+            pred = model.apply(p, batch, training=False)
+            return loss_fn(pred, batch.y.astype(jnp.int32), batch.y_mask)
+
+        loss, grads = jax.value_and_grad(compute)(p)
+        p, s = optimizer.step(p, grads, s)
+        return p, s, loss
+
+    for _epoch in range(3):
+        for batch, chunk in zip(batches, chunks, strict=True):
+            params, opt_state, loss_jax = step(params, opt_state, batch)
+            loss_torch = _torch_clustered_ginet_loss(tp, chunk)
+            opt.zero_grad()
+            loss_torch.backward()
+            opt.step()
+            loss_torch_val = float(loss_torch.detach())
+            assert abs(float(loss_jax) - loss_torch_val) < 1e-4 * max(1.0, abs(loss_torch_val))
+
+    for tower_name in ("conv1", "conv2", "conv1_ext", "conv2_ext"):
+        np.testing.assert_allclose(
+            np.asarray(params[tower_name]["fc"]["w"]), tp[tower_name].detach().numpy(), rtol=5e-4, atol=1e-5
+        )
+    for fc in ("fc1", "fc2"):
+        np.testing.assert_allclose(np.asarray(params[fc]["w"]), tp[fc + ".w"].detach().numpy(), rtol=5e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(params[fc]["b"]), tp[fc + ".b"].detach().numpy(), rtol=5e-4, atol=1e-5)
+
+
+def test_multi_epoch_cnn_train_parity(grid_hdf5) -> None:
+    """Three epochs x two batches of CnnClassification on real mapped grids:
+    the JAX training loop tracks a torch mirror of the reference CNN
+    (cnn/model3d.py:88) step for step to identical final parameters."""
+    from deeprank2_tpu.dataset import GridDataset
+    from deeprank2_tpu.neuralnets.cnn.model3d import CnnClassification
+    from deeprank2_tpu.ops.batch import collate_grids
+    from deeprank2_tpu.ops.losses import CrossEntropyLoss
+    from deeprank2_tpu.ops.optim import Adam
+
+    ds = GridDataset(hdf5_path=grid_hdf5, target="binary", task="classif")
+    entries = [ds.get(i) for i in range(len(ds))]
+    # standardize grids globally so activations are O(1)
+    all_x = np.stack([e["x"] for e in entries])
+    mean, dev = all_x.mean(), max(all_x.std(), 1e-6)
+    for e in entries:
+        e["x"] = (e["x"] - mean) / dev
+    batches = [collate_grids(entries[i : i + 2])[0] for i in range(0, len(entries), 2)]
+    assert len(batches) >= 2
+
+    num_features = entries[0]["x"].shape[0]
+    box = entries[0]["x"].shape[1:]
+    model = CnnClassification(num_features, box)
+    params = model.init(jax.random.PRNGKey(17))
+    loss_fn = CrossEntropyLoss()
+    optimizer = Adam(lr=1e-3, weight_decay=1e-5)
+    opt_state = optimizer.init(params)
+
+    tp = {
+        "conv000.w": torch.tensor(np.asarray(params["conv000"]["w"]), requires_grad=True),
+        "conv000.b": torch.tensor(np.asarray(params["conv000"]["b"]), requires_grad=True),
+        "conv002.w": torch.tensor(np.asarray(params["conv002"]["w"]), requires_grad=True),
+        "conv002.b": torch.tensor(np.asarray(params["conv002"]["b"]), requires_grad=True),
+        "fc000.w": torch.tensor(np.asarray(params["fc000"]["w"]), requires_grad=True),
+        "fc000.b": torch.tensor(np.asarray(params["fc000"]["b"]), requires_grad=True),
+        "fc001.w": torch.tensor(np.asarray(params["fc001"]["w"]), requires_grad=True),
+        "fc001.b": torch.tensor(np.asarray(params["fc001"]["b"]), requires_grad=True),
+    }
+    opt = torch.optim.Adam(tp.values(), lr=1e-3, weight_decay=1e-5)
+
+    def torch_loss(batch):
+        x = torch.tensor(np.asarray(batch.x))
+        pool = torch.nn.functional.max_pool3d
+        h = torch.relu(torch.nn.functional.conv3d(x, tp["conv000.w"], tp["conv000.b"]))
+        h = pool(h, 2)
+        h = torch.relu(torch.nn.functional.conv3d(h, tp["conv002.w"], tp["conv002.b"]))
+        h = pool(h, 2)
+        h = h.reshape(h.shape[0], -1)
+        h = torch.relu(h @ tp["fc000.w"] + tp["fc000.b"])
+        logits = h @ tp["fc001.w"] + tp["fc001.b"]
+        y = torch.tensor(np.asarray(batch.y).astype(np.int64))
+        return torch.nn.functional.cross_entropy(logits, y)
+
+    @jax.jit
+    def step(p, s, batch):
+        def compute(p):
+            pred = model.apply(p, batch, training=False)
+            return loss_fn(pred, batch.y.astype(jnp.int32), batch.y_mask)
+
+        loss, grads = jax.value_and_grad(compute)(p)
+        p, s = optimizer.step(p, grads, s)
+        return p, s, loss
+
+    for _epoch in range(3):
+        for batch in batches:
+            params, opt_state, loss_jax = step(params, opt_state, batch)
+            loss_torch = torch_loss(batch)
+            opt.zero_grad()
+            loss_torch.backward()
+            opt.step()
+            loss_torch_val = float(loss_torch.detach())
+            assert abs(float(loss_jax) - loss_torch_val) < 1e-4 * max(1.0, abs(loss_torch_val))
+
+    for name, leaf in [("conv000", "w"), ("conv000", "b"), ("conv002", "w"), ("conv002", "b"), ("fc000", "w"), ("fc000", "b"), ("fc001", "w"), ("fc001", "b")]:
+        np.testing.assert_allclose(
+            np.asarray(params[name][leaf]), tp[f"{name}.{leaf}"].detach().numpy(), rtol=5e-4, atol=1e-5
+        )
