@@ -21,7 +21,25 @@ from pathlib import Path  # noqa: E402
 
 import pytest  # noqa: E402
 
-REFERENCE_DATA = Path(os.environ.get("DEEPRANK2_TPU_TEST_DATA", "/root/reference/tests/data"))
+# Fixture-data resolution order: explicit env override -> the full reference
+# corpus (adds its pre-generated HDF5s and torch checkpoints for the interop
+# tests) -> the vendored corpus in tests/data (self-contained: public PDBs,
+# PSSMs, DSSP oracles; interop tests skip on it via `need()`).
+VENDORED_DATA = Path(__file__).parent / "data"
+_candidates = [
+    *( [Path(os.environ["DEEPRANK2_TPU_TEST_DATA"])] if "DEEPRANK2_TPU_TEST_DATA" in os.environ else [] ),
+    Path("/root/reference/tests/data"),
+    VENDORED_DATA,
+]
+REFERENCE_DATA = next((c for c in _candidates if c.exists()), VENDORED_DATA)
+
+
+def need(path: Path) -> Path:
+    """Skip the calling test when an optional fixture file is absent (e.g.
+    reference-generated HDF5s/checkpoints not in the vendored corpus)."""
+    if not Path(path).exists():
+        pytest.skip(f"optional fixture not available: {path}")
+    return path
 
 
 @pytest.fixture(scope="session")

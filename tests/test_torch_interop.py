@@ -20,12 +20,16 @@ from deeprank2_tpu.utils.checkpoint import load_checkpoint
 
 @pytest.fixture(scope="module")
 def graph_ckpt(data_path):
-    return str(data_path / "pretrained" / "testing_graph_model.pth.tar")
+    from tests.conftest import need
+
+    return str(need(data_path / "pretrained" / "testing_graph_model.pth.tar"))
 
 
 @pytest.fixture(scope="module")
 def grid_ckpt(data_path):
-    return str(data_path / "pretrained" / "testing_grid_model.pth.tar")
+    from tests.conftest import need
+
+    return str(need(data_path / "pretrained" / "testing_grid_model.pth.tar"))
 
 
 def test_load_reference_checkpoint_schema(graph_ckpt):
@@ -68,7 +72,9 @@ def test_pretrained_graph_model_predictions_match_reference_math(graph_ckpt, dat
 
     from deeprank2_tpu.ops.batch import collate_graphs
 
-    hdf5 = str(data_path / "hdf5" / "test.hdf5")
+    from tests.conftest import need
+
+    hdf5 = str(need(data_path / "hdf5" / "test.hdf5"))
     ds = GraphDataset(hdf5_path=hdf5, train_source=graph_ckpt)
     trainer = Trainer(VanillaNetwork, dataset_test=ds, pretrained_model=graph_ckpt, output_exporters=[])
     trainer.test(batch_size=4)
@@ -88,7 +94,9 @@ def test_pretrained_graph_model_predictions_match_reference_math(graph_ckpt, dat
 
 
 def test_pretrained_grid_model_runs(grid_ckpt, data_path):
-    hdf5 = str(data_path / "hdf5" / "1ATN_ppi.hdf5")
+    from tests.conftest import need
+
+    hdf5 = str(need(data_path / "hdf5" / "1ATN_ppi.hdf5"))
     ds = GridDataset(hdf5_path=hdf5, train_source=grid_ckpt)
     trainer = Trainer(CnnClassification, dataset_test=ds, pretrained_model=grid_ckpt, output_exporters=[])
     trainer.test(batch_size=2)

@@ -92,7 +92,9 @@ def test_grid_orientation(data_path) -> None:
     from deeprank2_tpu.query import ProteinProteinInterfaceQuery
 
     coord_error_margin = 1.0  # Angstrom
-    with h5py.File(str(data_path / "hdf5" / "original-deeprank-1ak4.hdf5"), "r") as f:
+    from tests.conftest import need
+
+    with h5py.File(str(need(data_path / "hdf5" / "original-deeprank-1ak4.hdf5")), "r") as f:
         grid_points = f["1AK4/grid_points"]
         target_xs = grid_points["x"][()]
         target_ys = grid_points["y"][()]
