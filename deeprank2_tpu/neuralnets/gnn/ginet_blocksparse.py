@@ -33,11 +33,21 @@ class GINetBlockSparse:
     blocksparse_batches = True  # Trainer._collate dispatches on this
     dropout = 0.4
 
-    def __init__(self, input_shape: int, output_shape: int = 1, input_shape_edge: int = 1, precision=jax.lax.Precision.HIGHEST):
+    def __init__(
+        self,
+        input_shape: int,
+        output_shape: int = 1,
+        input_shape_edge: int = 1,
+        precision=jax.lax.Precision.HIGHEST,
+        compute_dtype: jnp.dtype | None = None,
+    ):
         self.input_shape = input_shape
         self.output_shape = output_shape
         self.input_shape_edge = input_shape_edge
         self.precision = precision
+        # bfloat16 = single-pass MXU block matmuls (f32 accumulation); None
+        # keeps f32 operands at ``precision`` (the parity/oracle mode)
+        self.compute_dtype = compute_dtype
         self._coo = GINetCOO(input_shape, output_shape, input_shape_edge)
 
     def init(self, rng: jax.Array) -> dict:
@@ -45,7 +55,7 @@ class GINetBlockSparse:
 
     def apply(self, params: dict, batch: BlockSparseBatch, training: bool = False, rng: jax.Array | None = None) -> jnp.ndarray:
         act = nn.relu
-        spmm = lambda h: bcsr_spmm(batch.structure, h, precision=self.precision)  # noqa: E731
+        spmm = lambda h: bcsr_spmm(batch.structure, h, precision=self.precision, compute_dtype=self.compute_dtype)  # noqa: E731
 
         # layer 1, both towers in one SpMM (channels [0:16] = internal tower)
         fcx = jnp.concatenate(

@@ -149,17 +149,17 @@ class GINetDense:
         # with the channel split).
         act = nn.relu
         counts = jnp.maximum(batch.node_mask.sum(axis=1), 1.0)
-        # an explicit compute_dtype request always takes the XLA path below —
-        # the pallas tower runs its own (f32) precision schedule and would
-        # silently ignore the requested dtype
-        if _TOWER_BACKEND == "pallas" and self.compute_dtype is None:
+        if _TOWER_BACKEND == "pallas":
             from deeprank2_tpu.ops import pallas_ginet
 
             if pallas_ginet.supports(batch.num_graphs):
                 w1 = jnp.concatenate([params["conv1"]["fc"]["w"], params["conv1_ext"]["fc"]["w"]], axis=-1)
                 w2a, w2b = params["conv2"]["fc"]["w"], params["conv2_ext"]["fc"]["w"]
                 w2 = jnp.block([[w2a, jnp.zeros_like(w2b)], [jnp.zeros_like(w2a), w2b]])
-                pooled = pallas_ginet.ginet_tower_pooled(w1, w2, batch.x, batch.adj, batch.node_mask.astype(jnp.float32))
+                # the kernel honors compute_dtype as its matmul operand dtype
+                pooled = pallas_ginet.ginet_tower_pooled(
+                    w1, w2, batch.x, batch.adj, batch.node_mask.astype(jnp.float32), compute_dtype=self.compute_dtype or jnp.float32
+                )
                 h = pooled / counts[:, None]
                 h = nn.relu(nn.linear(params["fc1"], h))
                 h = nn.dropout(rng, h, self.dropout, training)
@@ -171,10 +171,15 @@ class GINetDense:
             x, adj = x.astype(self.compute_dtype), adj.astype(self.compute_dtype)
             w1a, w1b = w1a.astype(self.compute_dtype), w1b.astype(self.compute_dtype)
             w2a, w2b = w2a.astype(self.compute_dtype), w2b.astype(self.compute_dtype)
-        fcx = jnp.concatenate([x @ w1a, x @ w1b], axis=-1)
-        h = act(adj @ fcx)  # [G, N, 32] = tower1(16) || tower2(16)
-        fcx2 = jnp.concatenate([h[..., :16] @ w2a, h[..., 16:] @ w2b], axis=-1)
-        h = act(adj @ fcx2)  # [G, N, 64] = tower1(32) || tower2(32)
+        # Fuse the towers on the WEIGHT side, never the activation side:
+        # concatenating [G,N,C] activations (and splitting them in the VJP)
+        # makes XLA insert full-tensor layout copies — profiled at ~40 % of
+        # the train step. x @ [w1a ‖ w1b] and h @ blockdiag(w2a, w2b) are the
+        # same math with only [F,C]-sized weight concats.
+        w1 = jnp.concatenate([w1a, w1b], axis=1)  # [F, 32]
+        w2 = jnp.block([[w2a, jnp.zeros_like(w2b)], [jnp.zeros_like(w2a), w2b]])  # [32, 64]
+        h = act(adj @ (x @ w1))  # [G, N, 32] = tower1(16) || tower2(16)
+        h = act(adj @ (h @ w2))  # [G, N, 64] = tower1(32) || tower2(32)
         h = h * batch.node_mask[:, :, None].astype(h.dtype)
         # per-graph mean accumulated in f32 (bf16 sums over ~10^2 nodes drift)
         h = h.astype(jnp.float32).sum(axis=1) / counts[:, None]

@@ -299,10 +299,16 @@ def bcsr_spmm(
     structure: BlockSparseStructure,
     x: jnp.ndarray,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    compute_dtype: jnp.dtype | None = None,
 ) -> jnp.ndarray:
     """``A @ x`` for a symmetric BCSR adjacency; differentiable w.r.t. ``x``
     (the VJP is the same SpMM on the cotangent — A is symmetric because edges
     are mirrored). ``x`` must have ``structure.padded_nodes`` rows.
+
+    ``compute_dtype=bfloat16`` runs the block matmuls with bf16 operands
+    (single-pass MXU, f32 accumulation) and keeps the resident x^T chunk in
+    bf16 — the fast training path; the default (None) keeps f32 operands at
+    ``precision``.
     """
     if not structure.symmetric:
         msg = (
@@ -318,13 +324,13 @@ def bcsr_spmm(
 
     @jax.custom_vjp
     def spmm(x):
-        return _spmm_impl(structure, x, precision)
+        return _spmm_impl(structure, x, precision, compute_dtype)
 
     def fwd(x):
         return spmm(x), None
 
     def bwd(_, g):
-        return (_spmm_impl(structure, g, precision),)
+        return (_spmm_impl(structure, g, precision, compute_dtype),)
 
     spmm.defvjp(fwd, bwd)
     return spmm(x)
@@ -333,12 +339,14 @@ def bcsr_spmm(
 _XCHUNK_VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def _spmm_impl(structure: BlockSparseStructure, x: jnp.ndarray, precision) -> jnp.ndarray:
+def _spmm_impl(structure: BlockSparseStructure, x: jnp.ndarray, precision, compute_dtype=None) -> jnp.ndarray:
     """Raw (non-differentiable) ``A_slice @ x``: x has ``padded_nodes`` rows
     (the full column space), the output has ``padded_rows`` rows."""
-    fw = x.shape[1] + (-x.shape[1]) % 8
+    cd = jnp.dtype(compute_dtype) if compute_dtype is not None else jnp.dtype(jnp.float32)
+    sublane = 16 if cd.itemsize == 2 else 8
+    fw = x.shape[1] + (-x.shape[1]) % sublane
     chunk_tiles = min(CHUNK_TILES, structure.num_tiles)
-    if effective_platform() == "tpu" and fw * chunk_tiles * structure.block * 4 <= _XCHUNK_VMEM_BUDGET:
+    if effective_platform() == "tpu" and fw * chunk_tiles * structure.block * cd.itemsize <= _XCHUNK_VMEM_BUDGET:
         return _bcsr_spmm_tpu(
             structure.blocks_t,
             structure.block_col,
@@ -351,6 +359,7 @@ def _spmm_impl(structure: BlockSparseStructure, x: jnp.ndarray, precision) -> jn
             block=structure.block,
             num_row_tiles=structure.num_row_tiles,
             precision=precision,
+            compute_dtype=cd.name,
         )
     return bcsr_spmm_xla(structure, x, precision)
 
@@ -389,6 +398,7 @@ def _kernel_stream(
     kbatch,
     chunk_tiles,
     precision,
+    compute_dtype,
 ):
     """One grid step = one KBATCH of blocks (see module docstring)."""
     bi = pl.program_id(0)
@@ -415,9 +425,9 @@ def _kernel_stream(
         local = block_col_ref[bi * kbatch + kk] - base
         xcat_buf[:, kk * block : (kk + 1) * block] = xchunk[:, pl.ds(pl.multiple_of(local * block, block), block)]
 
-    # int8 -> f32 on the fly (blocks are exactly 0/1, so any widening is
-    # lossless; Mosaic requires matching matmul operand dtypes)
-    blk = blk_ref[:].reshape(kbatch * block, block).astype(jnp.float32)
+    # int8 -> compute dtype on the fly (blocks are exactly 0/1, so any
+    # widening is lossless; Mosaic requires matching matmul operand dtypes)
+    blk = blk_ref[:].reshape(kbatch * block, block).astype(compute_dtype)
     out_ref[0] += jax.lax.dot_general(
         xcat_buf[:],
         blk,
@@ -427,17 +437,20 @@ def _kernel_stream(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_tiles", "num_chunks", "block", "num_row_tiles", "precision"))
-def _bcsr_spmm_tpu(blocks_t, block_col, batch_row, batch_chunk, visited, x, *, num_tiles, num_chunks, block, precision, num_row_tiles=None):
+@functools.partial(jax.jit, static_argnames=("num_tiles", "num_chunks", "block", "num_row_tiles", "precision", "compute_dtype"))
+def _bcsr_spmm_tpu(
+    blocks_t, block_col, batch_row, batch_chunk, visited, x, *, num_tiles, num_chunks, block, precision, num_row_tiles=None, compute_dtype="float32"
+):
     if num_row_tiles is None:
         num_row_tiles = num_tiles
+    cd = jnp.dtype(compute_dtype)
     feat = x.shape[1]
-    pad_f = (-feat) % 8  # sublane quantum for the [F, N] layout
+    pad_f = (-feat) % (16 if cd.itemsize == 2 else 8)  # sublane quantum for the [F, N] layout
     if pad_f:
         x = jnp.pad(x, ((0, 0), (0, pad_f)))
     fw = feat + pad_f
     chunk_tiles = min(CHUNK_TILES, num_tiles) if num_chunks == 1 else CHUNK_TILES
-    x_t = x.T.astype(jnp.float32)  # [F, N]: features on sublanes, nodes on lanes
+    x_t = x.T.astype(cd)  # [F, N]: features on sublanes, nodes on lanes
     pad_n = num_chunks * chunk_tiles * block - x_t.shape[1]
     if pad_n:
         x_t = jnp.pad(x_t, ((0, 0), (0, pad_n)))
@@ -458,14 +471,14 @@ def _bcsr_spmm_tpu(blocks_t, block_col, batch_row, batch_chunk, visited, x, *, n
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((fw, chunk_tiles * block), jnp.float32),  # resident x^T chunk
-            pltpu.VMEM((fw, KBATCH * block), jnp.float32),  # gathered source tiles
+            pltpu.VMEM((fw, chunk_tiles * block), cd),  # resident x^T chunk
+            pltpu.VMEM((fw, KBATCH * block), cd),  # gathered source tiles
             pltpu.SemaphoreType.DMA,
         ],
     )
 
     slabs = pl.pallas_call(
-        functools.partial(_kernel_stream, block=block, kbatch=KBATCH, chunk_tiles=chunk_tiles, precision=precision),
+        functools.partial(_kernel_stream, block=block, kbatch=KBATCH, chunk_tiles=chunk_tiles, precision=precision, compute_dtype=cd),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_chunks, fw, num_row_tiles * block), jnp.float32),
     )(batch_row, batch_chunk, block_col, blocks_t, x_t)
