@@ -1,0 +1,734 @@
+"""Accuracy-parity harness: this framework vs a torch mirror of the reference.
+
+One command runs featurize -> train -> evaluate for the five BASELINE.json
+configs and emits metric trajectories (per-epoch loss, plus AUC/MCC/accuracy
+for classification and MSE/Pearson for regression) for BOTH sides on the SAME
+featurized corpus and batch schedule:
+
+    python -m deeprank2_tpu.tools.accuracy_parity --data tests/data --out /tmp/parity
+
+The JAX side runs through the real product path (QueryCollection.process ->
+GraphDataset/GridDataset -> Trainer with default optimizer/loss, shuffle off
+for determinism, dropout disabled where a model has it). The torch side
+re-implements the reference pipeline (deeprank2/neuralnets/gnn/*.py,
+cnn/model3d.py, trainer.py loss accounting) on the very same entry dicts and
+batch chunks, starting from identical initial parameters.
+
+The corpus is assembled from a reference-layout data directory (PDBs +
+PSSMs): 1ATN docking decoys scored against the bound reference with
+`compute_ppi_scores` (real dockq/irmsd targets — tools/target.py parity) and
+101M single-residue variants. When the Zenodo benchmark sets (record 8187806)
+are mirrored into a directory with the same layout, the identical command
+gates accuracy parity on them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Metrics (numpy; no sklearn dependency in the gate itself)
+# ---------------------------------------------------------------------------
+
+
+def binary_auc(scores: np.ndarray, labels: np.ndarray) -> float:
+    """ROC-AUC via the rank statistic (ties get average rank)."""
+    scores, labels = np.asarray(scores, np.float64), np.asarray(labels)
+    pos, neg = scores[labels == 1], scores[labels == 0]
+    if not len(pos) or not len(neg):
+        return float("nan")
+    order = np.argsort(np.concatenate([pos, neg]), kind="stable")
+    ranks = np.empty(len(order), np.float64)
+    ranks[order] = np.arange(1, len(order) + 1)
+    merged = np.concatenate([pos, neg])
+    for v in np.unique(merged):
+        tie = merged == v
+        ranks[tie] = ranks[tie].mean()
+    return float((ranks[: len(pos)].sum() - len(pos) * (len(pos) + 1) / 2) / (len(pos) * len(neg)))
+
+
+def binary_mcc(pred_labels: np.ndarray, labels: np.ndarray) -> float:
+    tp = int(((pred_labels == 1) & (labels == 1)).sum())
+    tn = int(((pred_labels == 0) & (labels == 0)).sum())
+    fp = int(((pred_labels == 1) & (labels == 0)).sum())
+    fn = int(((pred_labels == 0) & (labels == 1)).sum())
+    denom = np.sqrt(float(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    return float((tp * tn - fp * fn) / denom) if denom else 0.0
+
+
+def classif_metrics(probs: np.ndarray, labels: np.ndarray) -> dict:
+    probs, labels = np.asarray(probs, np.float64), np.asarray(labels, np.int64)
+    pred = probs.argmax(axis=1)
+    return {
+        "accuracy": float((pred == labels).mean()),
+        "auc": binary_auc(probs[:, 1], labels),
+        "mcc": binary_mcc(pred, labels),
+    }
+
+
+def regress_metrics(pred: np.ndarray, target: np.ndarray) -> dict:
+    pred, target = np.asarray(pred, np.float64), np.asarray(target, np.float64)
+    mse = float(((pred - target) ** 2).mean())
+    if pred.std() > 0 and target.std() > 0:
+        r = float(np.corrcoef(pred, target)[0, 1])
+    else:
+        r = float("nan")
+    return {"mse": mse, "pearson": r}
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly + featurization
+# ---------------------------------------------------------------------------
+
+
+def assemble_ppi_queries(data_dir: Path, resolution: str):
+    """PPI queries: 1ATN decoys (+3C8P bound complex) scored against their
+    bound references — real dockq/binary/irmsd targets via our own
+    StructureSimilarity (tools/target.py, no pdb2sql)."""
+    from deeprank2_tpu.query import ProteinProteinInterfaceQuery
+    from deeprank2_tpu.tools.target import compute_ppi_scores
+
+    queries = []
+    cases = [(data_dir / "pdb" / "1ATN" / f"1ATN_{i}w.pdb", data_dir / "ref" / "1ATN" / "1ATN.pdb") for i in range(1, 5)]
+    cases.append((data_dir / "pdb" / "3C8P" / "3C8P.pdb", data_dir / "ref" / "3C8P" / "3C8P.pdb"))
+    for pdb, ref in cases:
+        if not pdb.exists() or not ref.exists():
+            continue
+        scores = compute_ppi_scores(str(pdb), str(ref))
+        queries.append(
+            ProteinProteinInterfaceQuery(
+                pdb_path=str(pdb),
+                resolution=resolution,
+                chain_ids=["A", "B"],
+                targets={k: scores[k] for k in ("binary", "dockq", "irmsd")},
+            )
+        )
+    return queries
+
+
+def assemble_srv_queries(data_dir: Path, num_variants: int = 12):
+    """SRV queries on 101M: alternating binary labels + a smooth synthetic
+    continuous target (depth along the chain) for the regression config."""
+    from deeprank2_tpu.molstruct.aminoacid import alanine, phenylalanine
+    from deeprank2_tpu.query import SingleResidueVariantQuery
+
+    residues = [27, 25, 20, 64, 89, 101, 118, 136, 17, 42, 75, 110][:num_variants]
+    queries = []
+    for i, res in enumerate(residues):
+        queries.append(
+            SingleResidueVariantQuery(
+                pdb_path=str(data_dir / "pdb" / "101M" / "101M.pdb"),
+                resolution="residue",
+                chain_ids="A",
+                variant_residue_number=res,
+                insertion_code=None,
+                wildtype_amino_acid=alanine,
+                variant_amino_acid=phenylalanine,
+                pssm_paths={"A": str(data_dir / "pssm" / "101M" / "101M.A.pdb.pssm")},
+                targets={"binary": i % 2, "irmsd": res / 50.0},
+            )
+        )
+    return queries
+
+
+def featurize_corpus(data_dir: Path, work_dir: Path) -> dict[str, str]:
+    """Featurize all corpus flavors once (cached by file presence)."""
+    from deeprank2_tpu.query import QueryCollection
+    from deeprank2_tpu.utils.grid import GridSettings, MapMethod
+
+    work_dir.mkdir(parents=True, exist_ok=True)
+    out: dict[str, str] = {}
+
+    flavors = {
+        "ppi_residue": dict(queries=lambda: assemble_ppi_queries(data_dir, "residue"), grid=False),
+        "ppi_atom": dict(queries=lambda: assemble_ppi_queries(data_dir, "atom"), grid=False),
+        "ppi_grid": dict(queries=lambda: assemble_ppi_queries(data_dir, "residue"), grid=True),
+        "srv_residue": dict(queries=lambda: assemble_srv_queries(data_dir), grid=False),
+    }
+    for name, spec in flavors.items():
+        path = work_dir / f"{name}.hdf5"
+        out[name] = str(path)
+        if path.exists():
+            continue
+        qc = QueryCollection()
+        for q in spec["queries"]():
+            qc.add(q)
+        kwargs = {}
+        if spec["grid"]:
+            kwargs = {"grid_settings": GridSettings([12, 12, 12], [30.0, 30.0, 30.0]), "grid_map_method": MapMethod.FAST_GAUSSIAN}
+        paths = qc.process(prefix=str(work_dir / name), feature_modules=["components", "contact"], cpu_count=2, **kwargs)
+        if Path(paths[0]) != path:
+            os.rename(paths[0], path)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Torch mirrors of the reference models (compact batches, reference math)
+# ---------------------------------------------------------------------------
+
+
+def _t(x, requires_grad=False):
+    import torch
+
+    t = torch.tensor(np.asarray(x, dtype=np.float32))
+    if requires_grad:
+        t.requires_grad_(True)
+    return t
+
+
+def _compact_batch(entries: list[dict], need_clusters: bool):
+    """Concatenate entry dicts the reference/PyG way (mirrored edges, global
+    cluster ids); returns plain numpy arrays."""
+    xs, rows, cols, eattrs, ngraph = [], [], [], [], []
+    c0_list, c1_list, graph_of_c0 = [], [], []
+    v_off = c0_off = c1_off = 0
+    ys = []
+    for g, e in enumerate(entries):
+        v = e["x"].shape[0]
+        xs.append(np.asarray(e["x"], dtype=np.float32))
+        und = np.asarray(e["edge_index"], dtype=np.int64)
+        rows.append(np.concatenate([und[:, 0], und[:, 1]]) + v_off)
+        cols.append(np.concatenate([und[:, 1], und[:, 0]]) + v_off)
+        ea = np.asarray(e["edge_attr"], dtype=np.float32).reshape(len(und), -1)
+        eattrs.append(np.concatenate([ea, ea], axis=0))
+        ngraph.append(np.full(v, g))
+        ys.append(e["y"])
+        if need_clusters:
+            c0 = np.asarray(e["cluster0"], dtype=np.int64)
+            c1 = np.asarray(e["cluster1"], dtype=np.int64)
+            n_c0, n_c1 = int(c0.max()) + 1, int(c1.max()) + 1
+            c0_list.append(c0 + c0_off)
+            c1_list.append(c1 + c1_off)
+            graph_of_c0.append(np.full(n_c0, g))
+            c0_off, c1_off = c0_off + n_c0, c1_off + n_c1
+        v_off += v
+    batch = {
+        "x": np.concatenate(xs),
+        "row": np.concatenate(rows),
+        "col": np.concatenate(cols),
+        "edge_attr": np.concatenate(eattrs),
+        "node_graph": np.concatenate(ngraph),
+        "y": np.asarray(ys, dtype=np.float64),
+        "num_graphs": len(entries),
+    }
+    if need_clusters:
+        batch.update(
+            c0=np.concatenate(c0_list),
+            c1=np.concatenate(c1_list),
+            graph_c0=np.concatenate(graph_of_c0),
+            num_c0=c0_off,
+            num_c1=c1_off,
+        )
+        pi, pj = batch["c0"][batch["row"]], batch["c0"][batch["col"]]
+        keep = pi != pj
+        pooled, idx = np.unique(np.stack([pi[keep], pj[keep]], axis=1), axis=0, return_index=True)
+        batch["pooled_row"], batch["pooled_col"] = pooled[:, 0], pooled[:, 1]
+        # coalesced pooled edge attrs = SUM over member edges (PyG coalesce)
+        key = pi[keep] * batch["num_c0"] + pj[keep]
+        order = np.argsort(key, kind="stable")
+        uniq, inverse = np.unique(key[order], return_inverse=True)
+        summed = np.zeros((len(uniq), batch["edge_attr"].shape[1]), dtype=np.float64)
+        np.add.at(summed, inverse, batch["edge_attr"][keep][order])
+        # uniq keys sort identically to np.unique(pairs) rows
+        batch["pooled_attr"] = summed.astype(np.float32)
+    return batch
+
+
+def _scatter_sum(src, idx, num):
+    import torch
+
+    out = torch.zeros(num, src.shape[1], dtype=src.dtype)
+    return out.index_add_(0, idx, src)
+
+
+def _scatter_mean(src, idx, num):
+    import torch
+
+    sums = _scatter_sum(src, idx, num)
+    counts = torch.zeros(num, dtype=src.dtype).index_add_(0, idx, torch.ones(len(idx), dtype=src.dtype))
+    return sums / counts.clamp(min=1.0)[:, None]
+
+
+def _scatter_amax(src, idx, num):
+    import torch
+
+    out = torch.full((num, src.shape[1]), -torch.inf, dtype=src.dtype)
+    return out.index_reduce_(0, idx, src, "amax", include_self=False)
+
+
+class TorchMirror:
+    """Reference-pipeline forward passes sharing our initial parameters.
+
+    Parameter tensors are registered leaves driven by torch.optim.Adam with
+    the Trainer's defaults; forwards mirror deeprank2/neuralnets/* math."""
+
+    def __init__(self, kind: str, params, task: str):
+        import torch
+
+        self.kind = kind
+        self.task = task
+        self.tp: dict = {}
+        p = params
+        if kind in ("ginet", "ginet_nocluster"):
+            for tower in ("conv1", "conv2", "conv1_ext", "conv2_ext"):
+                self.tp[tower] = _t(p[tower]["fc"]["w"], True)
+            for fc in ("fc1", "fc2"):
+                self.tp[fc + ".w"] = _t(p[fc]["w"], True)
+                self.tp[fc + ".b"] = _t(p[fc]["b"], True)
+        elif kind == "fout":
+            for conv in ("conv1", "conv2"):
+                self.tp[conv + ".wc"] = _t(p[conv]["wc"], True)
+                self.tp[conv + ".wn"] = _t(p[conv]["wn"], True)
+                self.tp[conv + ".b"] = _t(p[conv]["b"], True)
+            for fc in ("fc1", "fc2"):
+                self.tp[fc + ".w"] = _t(p[fc]["w"], True)
+                self.tp[fc + ".b"] = _t(p[fc]["b"], True)
+        elif kind == "sgat":
+            for conv in ("conv1", "conv2"):
+                self.tp[conv + ".weight"] = _t(p[conv]["weight"], True)
+                self.tp[conv + ".b"] = _t(p[conv]["b"], True)
+            for fc in ("fc1", "fc2"):
+                self.tp[fc + ".w"] = _t(p[fc]["w"], True)
+                self.tp[fc + ".b"] = _t(p[fc]["b"], True)
+        elif kind == "vanilla":
+            for layer in ("external1", "external2"):
+                for mlp in ("edge_mlp", "node_mlp"):
+                    self.tp[f"{layer}.{mlp}.w"] = _t(p[layer][mlp]["w"], True)
+                    self.tp[f"{layer}.{mlp}.b"] = _t(p[layer][mlp]["b"], True)
+            self.tp["fc1.w"] = _t(p["graph_mlp"]["fc1"]["w"], True)
+            self.tp["fc1.b"] = _t(p["graph_mlp"]["fc1"]["b"], True)
+            self.tp["fc2.w"] = _t(p["graph_mlp"]["fc2"]["w"], True)
+            self.tp["fc2.b"] = _t(p["graph_mlp"]["fc2"]["b"], True)
+        elif kind == "cnn":
+            for name in ("conv000", "conv002", "fc000", "fc001"):
+                self.tp[name + ".w"] = _t(p[name]["w"], True)
+                self.tp[name + ".b"] = _t(p[name]["b"], True)
+        else:
+            msg = f"unknown mirror kind {kind}"
+            raise ValueError(msg)
+        self.opt = torch.optim.Adam(self.tp.values(), lr=1e-3, weight_decay=1e-5)
+
+    # --- conv building blocks -------------------------------------------
+    def _ginet_tower(self, b, w1, w2):
+        import torch
+
+        x = _t(b["x"])
+        row, col = torch.tensor(b["row"]), torch.tensor(b["col"])
+        h = torch.relu(_scatter_sum((x @ w1)[col], row, x.shape[0]))
+        hp = _scatter_amax(h, torch.tensor(b["c0"]), b["num_c0"])
+        prow, pcol = torch.tensor(b["pooled_row"]), torch.tensor(b["pooled_col"])
+        h2 = torch.relu(_scatter_sum((hp @ w2)[pcol], prow, b["num_c0"]))
+        hq = _scatter_amax(h2, torch.tensor(b["c1"]), b["num_c1"])
+        graph_c1 = torch.zeros(b["num_c1"], dtype=torch.int64)
+        graph_c1.index_copy_(0, torch.tensor(b["c1"]), torch.tensor(b["graph_c0"]))
+        return _scatter_mean(hq, graph_c1, b["num_graphs"])
+
+    def _fout_conv(self, b, prefix, x, row, col, num_v):
+        alpha = x @ self.tp[prefix + ".wc"]
+        beta = x @ self.tp[prefix + ".wn"]
+        gamma = _scatter_mean(beta[col], row, num_v)
+        return alpha + gamma + self.tp[prefix + ".b"]
+
+    def _sgat_conv(self, b, prefix, x, row, col, ea, num_v):
+        import torch
+
+        w = self.tp[prefix + ".weight"]
+        alpha = torch.cat([x[row], x[col]], dim=1) @ w
+        alpha = ea[:, :1] * alpha  # scalar edge channel broadcast (sgat.py:77)
+        return _scatter_mean(alpha, row, num_v) + self.tp[prefix + ".b"]
+
+    def _clustered_forward(self, b, conv):
+        import torch
+
+        x = _t(b["x"])
+        row, col = torch.tensor(b["row"]), torch.tensor(b["col"])
+        ea = _t(b["edge_attr"])
+        h = torch.relu(conv("conv1", x, row, col, ea, x.shape[0]))
+        hp = _scatter_amax(h, torch.tensor(b["c0"]), b["num_c0"])
+        prow, pcol = torch.tensor(b["pooled_row"]), torch.tensor(b["pooled_col"])
+        pea = _t(b["pooled_attr"])
+        h2 = torch.relu(conv("conv2", hp, prow, pcol, pea, b["num_c0"]))
+        hq = _scatter_amax(h2, torch.tensor(b["c1"]), b["num_c1"])
+        graph_c1 = torch.zeros(b["num_c1"], dtype=torch.int64)
+        graph_c1.index_copy_(0, torch.tensor(b["c1"]), torch.tensor(b["graph_c0"]))
+        pooled = _scatter_mean(hq, graph_c1, b["num_graphs"])
+        h = torch.relu(pooled @ self.tp["fc1.w"] + self.tp["fc1.b"])
+        return h @ self.tp["fc2.w"] + self.tp["fc2.b"]
+
+    # --- model forwards --------------------------------------------------
+    def forward(self, b) -> "object":
+        import torch
+
+        if self.kind == "ginet":
+            emb = torch.cat(
+                [self._ginet_tower(b, self.tp["conv1"], self.tp["conv2"]), self._ginet_tower(b, self.tp["conv1_ext"], self.tp["conv2_ext"])],
+                dim=1,
+            )
+            h = torch.relu(emb @ self.tp["fc1.w"] + self.tp["fc1.b"])
+            return h @ self.tp["fc2.w"] + self.tp["fc2.b"]
+        if self.kind == "ginet_nocluster":
+            x = _t(b["x"])
+            row, col = torch.tensor(b["row"]), torch.tensor(b["col"])
+            ngraph = torch.tensor(b["node_graph"])
+
+            def tower(w1, w2):
+                h = torch.relu(_scatter_sum((x @ w1)[col], row, x.shape[0]))
+                h = torch.relu(_scatter_sum((h @ w2)[col], row, x.shape[0]))
+                return _scatter_mean(h, ngraph, b["num_graphs"])
+
+            emb = torch.cat([tower(self.tp["conv1"], self.tp["conv2"]), tower(self.tp["conv1_ext"], self.tp["conv2_ext"])], dim=1)
+            h = torch.relu(emb @ self.tp["fc1.w"] + self.tp["fc1.b"])
+            return h @ self.tp["fc2.w"] + self.tp["fc2.b"]
+        if self.kind == "fout":
+            return self._clustered_forward(b, lambda pre, x, row, col, ea, n: self._fout_conv(b, pre, x, row, col, n))
+        if self.kind == "sgat":
+            return self._clustered_forward(b, lambda pre, x, row, col, ea, n: self._sgat_conv(b, pre, x, row, col, ea, n))
+        if self.kind == "vanilla":
+            x = _t(b["x"])
+            row, col = torch.tensor(b["row"]), torch.tensor(b["col"])
+            ea = _t(b["edge_attr"])
+
+            def conv(layer, h):
+                msg_in = torch.cat([h[row], h[col], ea], dim=1)
+                msg = torch.relu(msg_in @ self.tp[f"{layer}.edge_mlp.w"] + self.tp[f"{layer}.edge_mlp.b"])
+                sums = _scatter_sum(msg, row, h.shape[0])
+                return torch.relu(torch.cat([h, sums], dim=1) @ self.tp[f"{layer}.node_mlp.w"] + self.tp[f"{layer}.node_mlp.b"])
+
+            h = conv("external2", conv("external1", x))
+            means = _scatter_mean(h, torch.tensor(b["node_graph"]), b["num_graphs"])
+            h = torch.relu(means @ self.tp["fc1.w"] + self.tp["fc1.b"])
+            return h @ self.tp["fc2.w"] + self.tp["fc2.b"]
+        if self.kind == "cnn":
+            f = torch.nn.functional
+            h = torch.relu(f.conv3d(_t(b["x"]), self.tp["conv000.w"], self.tp["conv000.b"]))
+            h = f.max_pool3d(h, 2)
+            h = torch.relu(f.conv3d(h, self.tp["conv002.w"], self.tp["conv002.b"]))
+            h = f.max_pool3d(h, 2)
+            h = h.reshape(h.shape[0], -1)
+            h = torch.relu(h @ self.tp["fc000.w"] + self.tp["fc000.b"])
+            return h @ self.tp["fc001.w"] + self.tp["fc001.b"]
+        raise AssertionError(self.kind)
+
+    def loss(self, logits, y):
+        import torch
+
+        if self.task == "classif":
+            return torch.nn.functional.cross_entropy(logits, torch.tensor(y.astype(np.int64)))
+        return torch.nn.functional.mse_loss(logits.reshape(-1), torch.tensor(y.astype(np.float32)))
+
+    def train_pass(self, chunks) -> tuple[float, np.ndarray]:
+        """One epoch over the chunks (predictions logged pre-update, like the
+        Trainer's training pass); returns (weighted mean loss, outputs)."""
+        losses, counts, outs = [], [], []
+        for b in chunks:
+            logits = self.forward(b)
+            loss = self.loss(logits, b["y"])
+            self.opt.zero_grad()
+            loss.backward()
+            self.opt.step()
+            losses.append(float(loss.detach()))
+            counts.append(b["num_graphs"])
+            outs.append(logits.detach().numpy())
+        total = sum(c for c in counts)
+        mean = sum(lo * c for lo, c in zip(losses, counts)) / total
+        return mean, np.concatenate(outs)
+
+    def eval_pass(self, chunks) -> tuple[float, np.ndarray]:
+        import torch
+
+        losses, counts, outs = [], [], []
+        with torch.no_grad():
+            for b in chunks:
+                logits = self.forward(b)
+                losses.append(float(self.loss(logits, b["y"])))
+                counts.append(b["num_graphs"])
+                outs.append(logits.numpy())
+        total = sum(counts)
+        return sum(lo * c for lo, c in zip(losses, counts)) / total, np.concatenate(outs)
+
+
+def _outputs_to_metrics(task: str, outputs: np.ndarray, y: np.ndarray) -> dict:
+    if task == "classif":
+        z = outputs - outputs.max(axis=1, keepdims=True)
+        probs = np.exp(z) / np.exp(z).sum(axis=1, keepdims=True)
+        return classif_metrics(probs, y)
+    return regress_metrics(outputs.reshape(-1), y)
+
+
+# ---------------------------------------------------------------------------
+# Config runners
+# ---------------------------------------------------------------------------
+
+CONFIG_NAMES = ("vanilla_srv_regress", "ginet_ppi_classif", "fout_atom_classif", "sgat_atom_classif", "cnn_grid_classif", "ginet_edgepart_ba")
+
+
+def run_trainer_config(
+    name: str,
+    hdf5_path: str,
+    out_dir: Path,
+    *,
+    model_cls,
+    mirror_kind: str,
+    task: str,
+    target: str,
+    epochs: int,
+    batch_size: int,
+    clustered: bool,
+    dataset_kwargs: dict | None = None,
+    grid: bool = False,
+) -> dict:
+    """Train via the real Trainer (shuffle off) and the torch mirror on
+    identical batches; return the trajectory/metric comparison."""
+    import jax
+
+    from deeprank2_tpu.dataset import GraphDataset, GridDataset
+    from deeprank2_tpu.trainer import Trainer
+    from deeprank2_tpu.utils.exporters import HDF5OutputExporter
+
+    run_dir = out_dir / name
+    run_dir.mkdir(parents=True, exist_ok=True)
+    ds_kwargs = dict(dataset_kwargs or {})
+    ds_val = None
+    if grid:
+        ds_train = GridDataset(hdf5_path=hdf5_path, target=target, task=task, **ds_kwargs)
+    else:
+        if clustered:
+            ds_kwargs["clustering_method"] = "mcl"
+        ds_train = GraphDataset(hdf5_path=hdf5_path, target=target, task=task, **ds_kwargs)
+        if clustered:
+            # an explicit val set keeps the Trainer from splitting the train
+            # set (clustered path auto-splits otherwise) — determinism first
+            ds_val = GraphDataset(hdf5_path=hdf5_path, train_source=ds_train)
+
+    exporter = HDF5OutputExporter(str(run_dir))
+    trainer = Trainer(model_cls, dataset_train=ds_train, dataset_val=ds_val, output_exporters=[exporter], seed=7)
+
+    # mirror shares the freshly initialized parameters and the exact chunks
+    entries = [ds_train.get(i) for i in range(len(ds_train))]
+    chunks_entries = [entries[i : i + batch_size] for i in range(0, len(entries), batch_size)]
+    if grid:
+        chunks = [
+            {"x": np.stack([e["x"] for e in ch]), "y": np.asarray([e["y"] for e in ch], np.float64), "num_graphs": len(ch)}
+            for ch in chunks_entries
+        ]
+    else:
+        chunks = [_compact_batch(ch, need_clusters=clustered) for ch in chunks_entries]
+    mirror = TorchMirror(mirror_kind, jax.tree.map(np.asarray, trainer.params), task)
+
+    trainer.train(nepoch=epochs, batch_size=batch_size, shuffle=False, validate=False, best_model=False, filename=None)
+
+    # ---- JAX trajectories from the exporter ----
+    df = exporter.read("training")
+    df = df[df["epoch"] > 0]
+    jax_losses = [float(df[df["epoch"] == e]["loss"].iloc[0]) for e in range(1, epochs + 1)]
+    last = df[df["epoch"] == epochs]
+    outputs = np.array([np.atleast_1d(o) for o in last["output"]])
+    y = last["target"].to_numpy()
+    jax_metrics = _outputs_to_metrics(task, np.log(outputs) if task == "classif" else outputs, y)
+    # (exporter stores softmax probs for classif; log() restores logit order —
+    # metrics only need ranking/argmax, both invariant)
+
+    # ---- mirror trajectories ----
+    mirror_losses = []
+    mirror_out = None
+    for _ in range(epochs):
+        loss, mirror_out = mirror.train_pass(chunks)
+        mirror_losses.append(loss)
+    y_all = np.concatenate([c["y"] for c in chunks])
+    mirror_metrics = _outputs_to_metrics(task, mirror_out, y_all)
+
+    return {
+        "config": name,
+        "task": task,
+        "entries": len(entries),
+        "epochs": epochs,
+        "loss_jax": jax_losses,
+        "loss_torch": mirror_losses,
+        "max_loss_delta": float(max(abs(a - b) for a, b in zip(jax_losses, mirror_losses))),
+        "metrics_jax": jax_metrics,
+        "metrics_torch": mirror_metrics,
+    }
+
+
+def run_edgepart_config(hdf5_path: str, out_dir: Path, *, epochs: int, dataset_kwargs: dict | None = None) -> dict:
+    """Config 5: GINet BA (dockq) regression through the edge-partitioned
+    graph-parallel forward on the device mesh, vs the plain torch mirror
+    (the partitioned program computes the same global math)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeprank2_tpu.dataset import GraphDataset
+    from deeprank2_tpu.neuralnets.gnn.ginet_nocluster import GINet
+    from deeprank2_tpu.ops.batch import collate_graphs
+    from deeprank2_tpu.ops.optim import Adam
+    from deeprank2_tpu.parallel.edge_partition import make_edge_partitioned_ginet_forward, partition_graph_batch
+
+    ds = GraphDataset(hdf5_path=hdf5_path, target="dockq", task="regress", **(dataset_kwargs or {}))
+    entries = [ds.get(i) for i in range(len(ds))]
+    batch, _ = collate_graphs(entries)
+    num_shards = jax.device_count()
+    part = partition_graph_batch(batch, num_shards)
+    y = np.asarray([e["y"] for e in entries], np.float64)
+
+    model = GINet(batch.x.shape[1], 1, batch.edge_attr.shape[1])
+    params = model.init(jax.random.PRNGKey(7))
+    fwd = make_edge_partitioned_ginet_forward(model)
+    optimizer = Adam(lr=1e-3, weight_decay=1e-5)
+    opt_state = optimizer.init(params)
+
+    mirror = TorchMirror("ginet_nocluster", jax.tree.map(np.asarray, params), "regress")
+    chunk = _compact_batch(entries, need_clusters=False)
+
+    y_dev = jnp.asarray(y.astype(np.float32))
+    n_real = len(entries)
+
+    def loss_fn(p):
+        pred = fwd(p, part)[:n_real, 0]
+        return ((pred - y_dev) ** 2).mean()
+
+    jax_losses, torch_losses = [], []
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    for _ in range(epochs):
+        loss, grads = grad_fn(params)
+        params, opt_state = optimizer.step(params, grads, opt_state)
+        jax_losses.append(float(loss))
+        t_loss, _ = mirror.train_pass([chunk])
+        torch_losses.append(t_loss)
+
+    # final metrics: post-update predictions on BOTH sides
+    _, out = mirror.eval_pass([chunk])
+    pred_jax = np.asarray(fwd(params, part))[:n_real, 0]
+    return {
+        "config": "ginet_edgepart_ba",
+        "task": "regress",
+        "entries": n_real,
+        "epochs": epochs,
+        "shards": num_shards,
+        "loss_jax": jax_losses,
+        "loss_torch": torch_losses,
+        "max_loss_delta": float(max(abs(a - b) for a, b in zip(jax_losses, torch_losses))),
+        "metrics_jax": regress_metrics(pred_jax, y),
+        "metrics_torch": regress_metrics(out.reshape(-1), y),
+    }
+
+
+def run_all(data_dir: Path, out_dir: Path, configs: list[str], epochs: int) -> list[dict]:
+    from deeprank2_tpu.neuralnets.cnn.model3d import CnnClassification
+    from deeprank2_tpu.neuralnets.gnn.foutnet import FoutNet
+    from deeprank2_tpu.neuralnets.gnn.ginet import GINet as GINetClustered
+    from deeprank2_tpu.neuralnets.gnn.sgat import SGAT
+    from deeprank2_tpu.neuralnets.gnn.vanilla_gnn import VanillaNetwork
+
+    class GINetNoDropout(GINetClustered):
+        """Dropout off so the torch mirror is step-for-step deterministic."""
+
+        dropout = 0.0
+
+    GINetNoDropout.__name__ = "GINet"
+
+    corpus = featurize_corpus(data_dir, out_dir / "corpus")
+    reports = []
+    std = lambda feats: {f: {"standardize": True} for f in feats}  # noqa: E731
+    srv_feats = ["res_charge", "res_size", "res_mass", "res_pI"]
+    ppi_feats = ["res_charge", "res_size", "res_mass", "res_pI"]
+    atom_feats = ["atom_charge", "res_size", "res_mass"]  # non-constant (a constant feature standardizes to NaN — reference behavior)
+
+    if "vanilla_srv_regress" in configs:
+        reports.append(
+            run_trainer_config(
+                "vanilla_srv_regress", corpus["srv_residue"], out_dir,
+                model_cls=VanillaNetwork, mirror_kind="vanilla", task="regress", target="irmsd",
+                epochs=epochs, batch_size=4, clustered=False,
+                dataset_kwargs={"node_features": srv_feats, "features_transform": std(srv_feats)},
+            )
+        )
+    if "ginet_ppi_classif" in configs:
+        reports.append(
+            run_trainer_config(
+                "ginet_ppi_classif", corpus["ppi_residue"], out_dir,
+                model_cls=GINetNoDropout, mirror_kind="ginet", task="classif", target="binary",
+                epochs=epochs, batch_size=3, clustered=True,
+                dataset_kwargs={"node_features": ppi_feats, "features_transform": std(ppi_feats)},
+            )
+        )
+    if "fout_atom_classif" in configs:
+        reports.append(
+            run_trainer_config(
+                "fout_atom_classif", corpus["ppi_atom"], out_dir,
+                model_cls=FoutNet, mirror_kind="fout", task="classif", target="binary",
+                epochs=epochs, batch_size=3, clustered=True,
+                dataset_kwargs={"node_features": atom_feats, "features_transform": std(atom_feats)},
+            )
+        )
+    if "sgat_atom_classif" in configs:
+        reports.append(
+            run_trainer_config(
+                "sgat_atom_classif", corpus["ppi_atom"], out_dir,
+                model_cls=SGAT, mirror_kind="sgat", task="classif", target="binary",
+                epochs=epochs, batch_size=3, clustered=True,
+                dataset_kwargs={"node_features": atom_feats, "features_transform": std(atom_feats), "edge_features": ["distance"]},
+            )
+        )
+    if "cnn_grid_classif" in configs:
+        reports.append(
+            run_trainer_config(
+                "cnn_grid_classif", corpus["ppi_grid"], out_dir,
+                model_cls=CnnClassification, mirror_kind="cnn", task="classif", target="binary",
+                epochs=epochs, batch_size=3, clustered=False, grid=True,
+            )
+        )
+    if "ginet_edgepart_ba" in configs:
+        reports.append(
+            run_edgepart_config(
+                corpus["ppi_residue"], out_dir, epochs=epochs,
+                dataset_kwargs={"node_features": ppi_feats, "features_transform": std(ppi_feats)},
+            )
+        )
+    return reports
+
+
+def format_table(reports: list[dict]) -> str:
+    lines = [
+        "| config | n | epochs | max |Δloss| | metrics (ours) | metrics (torch mirror) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in reports:
+        fmt = lambda m: ", ".join(f"{k}={v:.4f}" for k, v in m.items())  # noqa: E731
+        lines.append(
+            f"| {r['config']} | {r['entries']} | {r['epochs']} | {r['max_loss_delta']:.2e} "
+            f"| {fmt(r['metrics_jax'])} | {fmt(r['metrics_torch'])} |"
+        )
+    return "\n".join(lines)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--data", default="tests/data", help="reference-layout data dir (pdb/, pssm/, ref/)")
+    parser.add_argument("--out", default="/tmp/deeprank2_tpu_parity", help="work/output dir")
+    parser.add_argument("--configs", nargs="*", default=list(CONFIG_NAMES))
+    parser.add_argument("--epochs", type=int, default=5)
+    parser.add_argument("--platform", default=None, help='e.g. "cpu" for exact-f32 parity runs')
+    args = parser.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    # parity gate: f32 matmuls must be exact f32, not the TPU default bf16
+    # passes, or the torch comparison drifts by ~1e-3/step
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    reports = run_all(Path(args.data), Path(args.out), args.configs, args.epochs)
+    out_json = Path(args.out) / "parity_report.json"
+    out_json.write_text(json.dumps(reports, indent=2))
+    print(format_table(reports))
+    print(f"\nfull report: {out_json}")
+
+
+if __name__ == "__main__":
+    main()
