@@ -72,3 +72,49 @@ class VanillaNetwork:
         means = graph_mean_pool(x * batch.node_mask[:, None], batch.node_graph, batch.num_graphs)
         h = nn.relu(nn.linear(params["graph_mlp"]["fc1"], means))
         return nn.linear(params["graph_mlp"]["fc2"], h)
+
+
+class VanillaNetworkBlocked(VanillaNetwork):
+    """VanillaNetwork on the blocked per-edge-feature layout — the fast path
+    for atomic-resolution graphs (and large batches generally), where the COO
+    gather/segment pipeline leaves the MXU idle.
+
+    Identical math and parameter pytree to :class:`VanillaNetwork`
+    (checkpoints are interchangeable); the per-edge ``relu(MLP([x_i || x_j ||
+    e_ij]))`` messages and their aggregation run as tile-local one-hot MXU
+    matmuls (ops/blocked_edges.py, ops/pallas_vanilla.py on TPU).
+
+    ``compute_dtype=jnp.bfloat16`` runs the message matmuls with bf16
+    operands (f32 accumulation) — the fast training setting; parameters, the
+    node/graph MLPs, and the loss stay f32.
+    """
+
+    blocked_edge_batches = True
+
+    def __init__(
+        self,
+        input_shape: int,
+        output_shape: int = 1,
+        input_shape_edge: int = 0,
+        compute_dtype: jnp.dtype | None = None,
+    ):
+        super().__init__(input_shape, output_shape, input_shape_edge)
+        self.compute_dtype = compute_dtype
+
+    def _conv_blocked(self, params: dict, x: jnp.ndarray, structure) -> jnp.ndarray:
+        from deeprank2_tpu.ops.blocked_edges import blocked_message_sum
+
+        w = params["edge_mlp"]["w"]  # [2F + Fe, M]
+        f = x.shape[1]
+        xr = x @ w[:f] + params["edge_mlp"]["b"]  # bias rides the destination part
+        xc = x @ w[f : 2 * f]
+        msg_sums = blocked_message_sum(structure, xr, xc, w[2 * f :], compute_dtype=self.compute_dtype)
+        node_input = jnp.concatenate([x, msg_sums], axis=1)
+        return nn.relu(nn.linear(params["node_mlp"], node_input))
+
+    def apply(self, params: dict, batch, training: bool = False, rng: jax.Array | None = None) -> jnp.ndarray:
+        x = self._conv_blocked(params["external1"], batch.x, batch.structure)
+        x = self._conv_blocked(params["external2"], x, batch.structure)
+        means = graph_mean_pool(x * batch.node_mask[:, None], batch.node_graph, batch.num_graphs)
+        h = nn.relu(nn.linear(params["graph_mlp"]["fc1"], means))
+        return nn.linear(params["graph_mlp"]["fc2"], h)

@@ -633,3 +633,101 @@ def collate_graphs_blocksparse_sharded(
         batches.append(batch)
         names.extend(shard_names)
     return jax.tree.map(lambda *leaves: np.stack(leaves), *batches), names
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class BlockedEdgeBatch:
+    """A batch of graphs in the blocked per-edge-feature layout
+    (ops/blocked_edges.py) — for models whose messages consume per-edge
+    features (VanillaNetwork family). Nodes are locality-reordered per graph,
+    padded to whole ``EDGE_TILE`` tiles, and concatenated, exactly like the
+    block-sparse layout but with the edge list (and its features) kept in
+    tile-sorted slabs instead of an adjacency."""
+
+    x: jax.Array  # f32 [NT*T, F] node features in locality order (padded rows 0)
+    pos: jax.Array  # f32 [NT*T, 3]
+    node_graph: jax.Array  # i32 [NT*T] graph id per node; padded = G
+    node_mask: jax.Array  # bool [NT*T]
+    y: jax.Array  # f32 [G]
+    y_mask: jax.Array  # bool [G]
+    structure: "BlockedEdgeStructure"  # sorted edge slabs over all NT tiles
+    num_graphs: int = field(metadata={"static": True})
+
+    @property
+    def num_nodes(self) -> int:
+        return self.x.shape[0]
+
+
+def collate_graphs_blocked(
+    entries: list[dict],
+    pad_tiles: int | None = None,
+    pad_slabs_rm=None,
+    pad_slabs_cm=None,
+    pad_graphs: int | None = None,
+) -> tuple[BlockedEdgeBatch, list[str]]:
+    """Collate entry dicts (same schema as :func:`collate_graphs`) into a
+    :class:`BlockedEdgeBatch`. Capacity arguments may be ints or
+    ``required -> capacity`` callables (grow-only buckets), as in
+    :func:`collate_graphs_blocksparse`."""
+    from deeprank2_tpu.ops.blocked_edges import EDGE_TILE, build_blocked_edges
+
+    num_real = len(entries)
+    num_graphs = pad_graphs or num_real
+    if num_real > num_graphs:
+        msg = f"{num_real} entries exceed pad_graphs={num_graphs}"
+        raise ValueError(msg)
+    names = [e["entry_name"] for e in entries] + [""] * (num_graphs - num_real)
+
+    layout = blocksparse_layout(entries, EDGE_TILE, num_graphs)
+    xs, poss, graph_ids, masks = layout["xs"], layout["poss"], layout["graph_ids"], layout["masks"]
+    feat_dim = layout["feat_dim"]
+    num_tiles = layout["num_tiles"]
+
+    if callable(pad_tiles):
+        pad_tiles = pad_tiles(num_tiles)
+    if pad_tiles is not None:
+        if pad_tiles < num_tiles:
+            msg = f"pad_tiles={pad_tiles} < required {num_tiles}"
+            raise ValueError(msg)
+        extra = (pad_tiles - num_tiles) * EDGE_TILE
+        if extra:
+            xs.append(np.zeros((extra, feat_dim), np.float32))
+            poss.append(np.zeros((extra, 3), np.float32))
+            graph_ids.append(np.full(extra, num_graphs, np.int32))
+            masks.append(np.zeros(extra, bool))
+        num_tiles = pad_tiles
+
+    # edge features in the same per-entry order as the remapped pairs
+    eattrs = []
+    for entry in entries:
+        ea = np.asarray(entry["edge_attr"], dtype=np.float32)
+        eattrs.append(ea[:, None] if ea.ndim == 1 else ea)
+    edge_dim = eattrs[0].shape[1] if eattrs else 1
+    eattr = np.concatenate(eattrs) if eattrs else np.zeros((0, edge_dim), np.float32)
+
+    structure = build_blocked_edges(
+        layout["pairs"],
+        eattr,
+        num_nodes=num_tiles * EDGE_TILE,
+        pad_slabs_rm=pad_slabs_rm,
+        pad_slabs_cm=pad_slabs_cm,
+    )
+
+    y = np.zeros(num_graphs, dtype=np.float32)
+    y_mask = np.zeros(num_graphs, dtype=bool)
+    for g, entry in enumerate(entries):
+        if entry.get("y") is not None:
+            y[g] = entry["y"]
+            y_mask[g] = True
+
+    return BlockedEdgeBatch(
+        x=np.concatenate(xs),
+        pos=np.concatenate(poss),
+        node_graph=np.concatenate(graph_ids),
+        node_mask=np.concatenate(masks),
+        y=y,
+        y_mask=y_mask,
+        structure=structure,
+        num_graphs=num_graphs,
+    ), names

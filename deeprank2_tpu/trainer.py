@@ -423,6 +423,7 @@ class Trainer:
         if self._is_graph():
             dense = getattr(self.neuralnet, "dense_batches", False)
             blocksparse = getattr(self.neuralnet, "blocksparse_batches", False)
+            blocked_edges = getattr(self.neuralnet, "blocked_edge_batches", False)
             dense_kwargs = {
                 "with_clusters": getattr(self.neuralnet, "needs_clusters", False),
                 "with_edge_weights": getattr(self.neuralnet, "dense_edge_weights", False),
@@ -480,6 +481,21 @@ class Trainer:
                         pad_blocks=self._blocksparse_bucket("blocks"),
                         pad_graphs=pad_graphs,
                     )
+            elif blocked_edges:
+                from deeprank2_tpu.ops.batch import collate_graphs_blocked
+
+                if not hasattr(self, "_bs_caps"):
+                    self._bs_caps = {}
+                if num_shards > 1:
+                    msg = "blocked-edge models do not support data_parallel=True yet; shard at the dataset level instead"
+                    raise NotImplementedError(msg)
+                batch, names = collate_graphs_blocked(
+                    entries,
+                    pad_tiles=self._blocksparse_bucket("be_tiles"),
+                    pad_slabs_rm=self._blocksparse_bucket("be_slabs_rm"),
+                    pad_slabs_cm=self._blocksparse_bucket("be_slabs_cm"),
+                    pad_graphs=pad_graphs,
+                )
             elif num_shards > 1 and dense:
                 from deeprank2_tpu.ops.batch import collate_graphs_dense_sharded
 
