@@ -662,8 +662,7 @@ class BlockedEdgeBatch:
 def collate_graphs_blocked(
     entries: list[dict],
     pad_tiles: int | None = None,
-    pad_slabs_rm=None,
-    pad_slabs_cm=None,
+    pad_slabs=None,
     pad_graphs: int | None = None,
 ) -> tuple[BlockedEdgeBatch, list[str]]:
     """Collate entry dicts (same schema as :func:`collate_graphs`) into a
@@ -710,8 +709,7 @@ def collate_graphs_blocked(
         layout["pairs"],
         eattr,
         num_nodes=num_tiles * EDGE_TILE,
-        pad_slabs_rm=pad_slabs_rm,
-        pad_slabs_cm=pad_slabs_cm,
+        pad_slabs=pad_slabs,
     )
 
     y = np.zeros(num_graphs, dtype=np.float32)

@@ -9,25 +9,28 @@ matrices to serialized dynamic ops. This module reformulates the whole
 ``edge-MLP -> relu -> aggregate`` pipeline as *tile-local one-hot matmuls*:
 
 - directed (mirrored) edges are sorted by ``(row tile, col tile)`` with tile
-  size ``EDGE_TILE``; each ``(row, col)`` tile-pair's edge run is zero-padded
-  to a ``TILE_E`` multiple, so every ``TILE_E`` edge slab has ONE destination
-  tile and ONE source tile — both scalar-prefetched per grid step;
-- inside the kernel, gathers become ``x_tile [M, B] @ onehot [B, TILE_E]``
-  MXU matmuls (the one-hot materializes only in VMEM from an iota compare —
+  size ``EDGE_TILE``; each ``(row, col)`` tile-pair's run is zero-padded to a
+  ``SUB_E`` multiple and carved into *sub-blocks* of ``SUB_E`` edges (one
+  source tile each); ``K_SUB`` consecutive sub-blocks that share a
+  destination tile form one ``TILE_E``-edge grid slab — the sub-block
+  granularity keeps run padding small while the slab granularity keeps the
+  grid short (both tile indices are scalar-prefetched per slab);
+- inside the kernel, gathers become ``x_tile [M, B] @ onehot [B, E]`` MXU
+  matmuls (the one-hot materializes only in VMEM from an iota compare —
   zero HBM traffic), the thin edge-feature matmul ``w_e^T @ e^T`` runs on
   the slab, and the aggregation back onto the destination tile is the same
   one-hot matmul transposed, accumulated in a VMEM-resident output tile;
 - padded edges carry the row sentinel ``EDGE_TILE`` whose one-hot column is
   all zeros, so they vanish from the output AND from every gradient.
 
-The backward pass needs the same structure sorted by ``(col tile, row tile)``
-for the ``d x_col`` scatter (accumulation requires consecutive visits to an
-output tile); since per-edge pre-activations are recomputed per-slab from
-VMEM-resident tiles, the mirror sort only duplicates the (tiny, Fe <= 6)
-edge features and index arrays — never an ``[E, M]`` message matrix.
-
-HDF5/graph semantics are unchanged: this is a pure layout + kernel module;
-:mod:`deeprank2_tpu.neuralnets.gnn.vanilla_gnn` exposes the blocked model.
+The backward runs in the SAME row-major order (no second sort): because the
+edge set is closed under mirroring (undirected pairs are mirrored, reference
+dataset.py:944-951), ``d xc[v] = sum_{col(e)=v} dmsg[e]`` equals
+``sum_{row(e)=v} dmsg[mirror(e)]`` — the kernel evaluates each edge's mirror
+message in place (its operands are the same resident tiles with row/col
+roles swapped) and scatters by destination, so every gradient accumulates
+into consecutively-visited row tiles. Everything per-edge lives only in VMEM;
+HBM never sees an ``[E, M]`` message matrix in either direction.
 """
 
 from __future__ import annotations
@@ -38,48 +41,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# nodes per tile: the one-hot edge of the gather/scatter matmuls. 256 halves
-# run padding and grid steps vs 128 at 2x the one-hot FLOPs — measured faster
-# on v5e for atomic-density graphs (see tests/perf/vanilla_perf.py).
+# nodes per tile: the one-hot edge of the gather/scatter matmuls
 EDGE_TILE = 256
-# edges per grid step; (row, col) runs are padded to a TILE_E multiple
+# edges per grid slab (one destination tile each)
 TILE_E = 1024
+# sub-blocks per slab; each sub-block of SUB_E = TILE_E // K_SUB edges has its
+# own source tile, so (row, col) runs pad to SUB_E instead of TILE_E
+K_SUB = 4
+SUB_E = TILE_E // K_SUB
 
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
-class BlockedEdgeOrder:
-    """One sorted view of the edge list (row-major or col-major).
+class BlockedEdgeStructure:
+    """Row-major sorted edge slabs plus static geometry.
 
     ``E_cap`` is a ``TILE_E`` multiple; slab ``s`` covers edges
-    ``[s*TILE_E, (s+1)*TILE_E)`` and has the single destination tile
-    ``step_row[s]`` and source tile ``step_col[s]``. ``row_local``/
-    ``col_local`` are within-tile indices; padded edges hold the row sentinel
-    ``EDGE_TILE`` (their one-hot column is zero everywhere it matters).
+    ``[s*TILE_E, (s+1)*TILE_E)``, has the single destination tile
+    ``step_row[s]``, and its ``K_SUB`` sub-blocks have source tiles
+    ``sub_col[s*K_SUB : (s+1)*K_SUB]``. ``row_local``/``col_local`` are
+    within-tile indices; padded edges hold the row sentinel ``EDGE_TILE``
+    (their one-hot column is zero everywhere it matters).
     """
 
     row_local: jax.Array  # i32 [E_cap]
     col_local: jax.Array  # i32 [E_cap]
     eattr_t: jax.Array  # f32 [Fe_pad, E_cap] edge features, transposed
     step_row: jax.Array  # i32 [NS] destination tile per slab
-    step_col: jax.Array  # i32 [NS] source tile per slab
-    out_visited: jax.Array  # bool [num_out_tiles] tiles the kernel writes
-
-
-@jax.tree_util.register_dataclass
-@dataclass(frozen=True)
-class BlockedEdgeStructure:
-    """Both sorted views plus static geometry.
-
-    ``rm`` (row-major) drives the forward aggregation and the ``d x_row`` /
-    ``d w_e`` backward; ``cm`` (col-major, i.e. sorted by source tile) drives
-    the ``d x_col`` backward. ``cm.step_row``/``cm.step_col`` keep their
-    forward meaning (destination / source tile) — only the sort key changes,
-    so in ``cm`` the kernel's *output* tile is ``step_col``.
-    """
-
-    rm: BlockedEdgeOrder
-    cm: BlockedEdgeOrder
+    sub_col: jax.Array  # i32 [NS * K_SUB] source tile per sub-block
+    out_visited: jax.Array  # bool [num_node_tiles] row tiles the kernel writes
     num_node_tiles: int = field(metadata={"static": True})
     edge_dim: int = field(metadata={"static": True})  # un-padded Fe
 
@@ -89,127 +79,143 @@ class BlockedEdgeStructure:
 
     @property
     def num_slabs(self) -> int:
-        return self.rm.step_row.shape[0]
+        return self.step_row.shape[0]
 
 
 def _fe_pad(edge_dim: int) -> int:
     return edge_dim + (-edge_dim) % 8  # f32 sublane quantum
 
 
-def _build_order(
-    rows: np.ndarray,
-    cols: np.ndarray,
-    eattr: np.ndarray,
-    num_tiles: int,
-    col_major: bool,
-    pad_slabs_to=None,
-) -> BlockedEdgeOrder:
+def _group_layout(rows: np.ndarray, cols: np.ndarray, num_tiles: int):
+    """Sorted group geometry shared by the builder and the requirements pass.
+
+    Returns (order, uniq keys, real counts, SUB_E-padded counts, per-row-tile
+    slab count after K_SUB alignment, total slab count).
+    """
     tile = EDGE_TILE
-    fe = eattr.shape[1]
-    fep = _fe_pad(fe)
     rt, ct = rows // tile, cols // tile
-    key = (ct * num_tiles + rt) if col_major else (rt * num_tiles + ct)
+    key = rt * num_tiles + ct
     order = np.argsort(key, kind="stable")
-    key_s = key[order]
-    uniq, counts = np.unique(key_s, return_counts=True)
-    pad_counts = -(-counts // TILE_E) * TILE_E
-    e_cap = max(int(pad_counts.sum()), TILE_E)
-    ns = e_cap // TILE_E
-    if callable(pad_slabs_to):
-        pad_slabs_to = pad_slabs_to(ns)
-    if pad_slabs_to is not None:
-        if pad_slabs_to < ns:
-            msg = f"pad_slabs={pad_slabs_to} < required {ns}"
-            raise ValueError(msg)
-        ns = pad_slabs_to
-        e_cap = ns * TILE_E
-
-    row_local = np.full(e_cap, tile, dtype=np.int32)  # sentinel
-    col_local = np.zeros(e_cap, dtype=np.int32)
-    eattr_t = np.zeros((fep, e_cap), dtype=np.float32)
-    step_row = np.zeros(ns, dtype=np.int32)
-    step_col = np.zeros(ns, dtype=np.int32)
-    out_visited = np.zeros(num_tiles, dtype=bool)
-
-    starts = np.concatenate([[0], np.cumsum(pad_counts)])[:-1]
-    pos = 0  # cursor into the sorted real edges
-    for g, (k, cnt) in enumerate(zip(uniq, counts)):
-        s = int(starts[g])
-        sel = order[pos : pos + cnt]
-        pos += cnt
-        row_local[s : s + cnt] = rows[sel] % tile
-        col_local[s : s + cnt] = cols[sel] % tile
-        eattr_t[:fe, s : s + cnt] = eattr[sel].T
-        r_tile = int(k % num_tiles) if col_major else int(k // num_tiles)
-        c_tile = int(k // num_tiles) if col_major else int(k % num_tiles)
-        slab0, nslab = s // TILE_E, int(pad_counts[g]) // TILE_E
-        step_row[slab0 : slab0 + nslab] = r_tile
-        step_col[slab0 : slab0 + nslab] = c_tile
-        out_visited[c_tile if col_major else r_tile] = True
-
-    # trailing capacity-pad slabs: repeat the last real slab's tiles (their
-    # edges are all sentinel, so they only re-accumulate zeros there)
-    nslab_real = max(int(pad_counts.sum()) // TILE_E, 1)
-    step_row[nslab_real:] = step_row[nslab_real - 1]
-    step_col[nslab_real:] = step_col[nslab_real - 1]
-    if not len(uniq):
-        out_visited[0] = True
-
-    return BlockedEdgeOrder(
-        row_local=np.asarray(row_local),
-        col_local=np.asarray(col_local),
-        eattr_t=np.asarray(eattr_t),
-        step_row=np.asarray(step_row),
-        step_col=np.asarray(step_col),
-        out_visited=np.asarray(out_visited),
-    )
+    uniq, counts = np.unique(key[order], return_counts=True)
+    pad_counts = -(-counts // SUB_E) * SUB_E
+    # sub-blocks per row tile, padded so slabs never straddle row tiles
+    row_of = uniq // num_tiles
+    subs_per_row = np.zeros(num_tiles, dtype=np.int64)
+    np.add.at(subs_per_row, row_of, pad_counts // SUB_E)
+    slabs_per_row = -(-subs_per_row // K_SUB)
+    ns = max(int(slabs_per_row.sum()), 1)
+    return order, uniq, counts, pad_counts, slabs_per_row, ns
 
 
-def required_slabs(und_pairs: np.ndarray, num_nodes: int) -> tuple[int, int]:
-    """(row-major, col-major) slab counts :func:`build_blocked_edges` would
-    produce — the light requirements pass used to equalize capacities."""
+def required_slabs(und_pairs: np.ndarray, num_nodes: int) -> int:
+    """The slab count :func:`build_blocked_edges` would produce — the light
+    requirements pass used to equalize capacities before sharded collation."""
     und = np.asarray(und_pairs, dtype=np.int64).reshape(-1, 2)
     num_tiles = max(-(-num_nodes // EDGE_TILE), 1)
     rows = np.concatenate([und[:, 0], und[:, 1]])
     cols = np.concatenate([und[:, 1], und[:, 0]])
-    out = []
-    for col_major in (False, True):
-        rt, ct = rows // EDGE_TILE, cols // EDGE_TILE
-        key = (ct * num_tiles + rt) if col_major else (rt * num_tiles + ct)
-        _, counts = np.unique(key, return_counts=True)
-        e_cap = max(int((-(-counts // TILE_E) * TILE_E).sum()), TILE_E)
-        out.append(e_cap // TILE_E)
-    return out[0], out[1]
+    return _group_layout(rows, cols, num_tiles)[5]
 
 
 def build_blocked_edges(
     und_pairs: np.ndarray,
     edge_attr: np.ndarray,
     num_nodes: int,
-    pad_slabs_rm=None,
-    pad_slabs_cm=None,
+    pad_slabs=None,
     to_device: bool = True,
 ) -> BlockedEdgeStructure:
     """Blocked-edge structure from *undirected* node pairs and their edge
-    features (mirrored internally — both directions get the same features,
-    reference dataset.py:944-951). ``num_nodes`` is rounded up to whole
-    ``EDGE_TILE`` tiles. ``pad_slabs_rm``/``pad_slabs_cm`` bucket the slab
-    capacities (ints or ``required -> capacity`` callables)."""
+    features (mirrored internally — both directions get the same features).
+    Node indices should already be locality-ordered for large graphs (the
+    collate does this); ``num_nodes`` is rounded up to whole ``EDGE_TILE``
+    tiles. ``pad_slabs`` buckets the slab capacity (int or a
+    ``required -> capacity`` callable)."""
     und = np.asarray(und_pairs, dtype=np.int64).reshape(-1, 2)
     eattr = np.asarray(edge_attr, dtype=np.float32)
     if eattr.ndim != 2:
-        eattr = eattr.reshape(len(und), -1) if len(und) else eattr.reshape(0, max(eattr.shape[-1] if eattr.ndim else 1, 1))
+        eattr = eattr.reshape(len(und), 1) if len(und) else eattr.reshape(0, 1)
     if und.size and (und.max() >= num_nodes or und.min() < 0):
         msg = f"edge index out of range: max {und.max()} for {num_nodes} nodes"
         raise ValueError(msg)
-    num_tiles = max(-(-num_nodes // EDGE_TILE), 1)
+    tile = EDGE_TILE
+    num_tiles = max(-(-num_nodes // tile), 1)
     rows = np.concatenate([und[:, 0], und[:, 1]])
     cols = np.concatenate([und[:, 1], und[:, 0]])
     ea2 = np.concatenate([eattr, eattr], axis=0)
+    fe = eattr.shape[1]
+    fep = _fe_pad(fe)
 
-    rm = _build_order(rows, cols, ea2, num_tiles, col_major=False, pad_slabs_to=pad_slabs_rm)
-    cm = _build_order(rows, cols, ea2, num_tiles, col_major=True, pad_slabs_to=pad_slabs_cm)
-    structure = BlockedEdgeStructure(rm=rm, cm=cm, num_node_tiles=num_tiles, edge_dim=eattr.shape[1])
+    order, uniq, counts, pad_counts, slabs_per_row, ns = _group_layout(rows, cols, num_tiles)
+    if callable(pad_slabs):
+        pad_slabs = pad_slabs(ns)
+    if pad_slabs is not None:
+        if pad_slabs < ns:
+            msg = f"pad_slabs={pad_slabs} < required {ns}"
+            raise ValueError(msg)
+        ns_cap = pad_slabs
+    else:
+        ns_cap = ns
+    e_cap = ns_cap * TILE_E
+
+    row_local = np.full(e_cap, tile, dtype=np.int32)  # sentinel
+    col_local = np.zeros(e_cap, dtype=np.int32)
+    eattr_t = np.zeros((fep, e_cap), dtype=np.float32)
+    step_row = np.zeros(ns_cap, dtype=np.int32)
+    sub_col = np.zeros(ns_cap * K_SUB, dtype=np.int32)
+    out_visited = np.zeros(num_tiles, dtype=bool)
+
+    # slab layout: row tiles in ascending order, each owning slabs_per_row[r]
+    # slabs; sub-blocks of that row's groups fill them in (col-ascending) order
+    slab_start_of_row = np.concatenate([[0], np.cumsum(slabs_per_row)])[:-1]
+    sub_cursor = np.zeros(num_tiles, dtype=np.int64)  # sub-blocks filled per row
+
+    pos = 0
+    for g, (k, cnt) in enumerate(zip(uniq, counts)):
+        r_tile = int(k // num_tiles)
+        c_tile = int(k % num_tiles)
+        sel = order[pos : pos + cnt]
+        pos += cnt
+        # this group's sub-blocks start at the row's cursor
+        sub0 = slab_start_of_row[r_tile] * K_SUB + sub_cursor[r_tile]
+        nsub = int(pad_counts[g]) // SUB_E
+        s = int(sub0) * SUB_E
+        row_local[s : s + cnt] = rows[sel] % tile
+        col_local[s : s + cnt] = cols[sel] % tile
+        eattr_t[:fe, s : s + cnt] = ea2[sel].T
+        sub_col[int(sub0) : int(sub0) + nsub] = c_tile
+        sub_cursor[r_tile] += nsub
+        out_visited[r_tile] = True
+
+    for r in range(num_tiles):
+        n_slab = int(slabs_per_row[r])
+        if n_slab == 0:
+            continue
+        s0 = int(slab_start_of_row[r])
+        step_row[s0 : s0 + n_slab] = r
+        # row-run padding: dummy sub-blocks repeat the last real col tile
+        # (their edges are all sentinel, so they contribute nothing)
+        filled = int(sub_cursor[r])
+        total = n_slab * K_SUB
+        if filled < total:
+            last_col = sub_col[s0 * K_SUB + filled - 1] if filled else 0
+            sub_col[s0 * K_SUB + filled : s0 * K_SUB + total] = last_col
+
+    # trailing capacity-pad slabs: repeat the last real slab's tiles
+    step_row[ns:] = step_row[ns - 1]
+    sub_col[ns * K_SUB :] = sub_col[ns * K_SUB - 1]
+    if not len(uniq):
+        out_visited[0] = True
+
+    structure = BlockedEdgeStructure(
+        row_local=row_local,
+        col_local=col_local,
+        eattr_t=eattr_t,
+        step_row=step_row,
+        sub_col=sub_col,
+        out_visited=out_visited,
+        num_node_tiles=num_tiles,
+        edge_dim=fe,
+    )
     if to_device:
         structure = jax.tree.map(jnp.asarray, structure)
     return structure
@@ -234,7 +240,11 @@ def blocked_message_sum(
     ``[edge_dim, M]``. Differentiable w.r.t. ``xr``, ``xc`` and ``w_e``;
     edge features are data (not differentiated).
 
-    On TPU this runs the fused Pallas kernel (ops/pallas_vanilla.py); other
+    ``compute_dtype=bfloat16`` runs the one-hot matmuls single-pass on the
+    MXU (f32 accumulation) — the fast training setting; the default f32 uses
+    ``Precision.HIGHEST`` (exact, ~5x slower).
+
+    On TPU this runs the fused Pallas kernels (ops/pallas_vanilla.py); other
     backends use an XLA reference with identical semantics.
     """
     from deeprank2_tpu.ops.segment import effective_platform
@@ -253,25 +263,30 @@ def blocked_message_sum(
     return blocked_message_sum_xla(structure, xr, xc, w_e)
 
 
+def global_indices(structure: BlockedEdgeStructure) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(row, col) global node indices per edge slot; sentinel rows map to
+    ``padded_nodes`` (one-past-the-end, for scatter dropping)."""
+    tile = EDGE_TILE
+    v_pad = structure.padded_nodes
+    e = jnp.arange(structure.row_local.shape[0], dtype=jnp.int32)
+    grow = structure.step_row[e // TILE_E] * tile + structure.row_local
+    grow = jnp.where(structure.row_local >= tile, v_pad, grow)
+    gcol = structure.sub_col[e // SUB_E] * tile + structure.col_local
+    return grow, gcol
+
+
 def blocked_message_sum_xla(
     structure: BlockedEdgeStructure, xr: jnp.ndarray, xc: jnp.ndarray, w_e: jnp.ndarray
 ) -> jnp.ndarray:
     """Reference/fallback path (CPU tests + kernel oracle): the same sorted
     slab layout evaluated with XLA gathers and a segment sum."""
-    tile = EDGE_TILE
-    rm = structure.rm
     v_pad = structure.padded_nodes
-    # global indices; sentinel rows land on v_pad (dropped by the scatter)
-    slab = jnp.arange(rm.row_local.shape[0], dtype=jnp.int32) // TILE_E
-    grow = rm.step_row[slab] * tile + rm.row_local
-    grow = jnp.where(rm.row_local >= tile, v_pad, grow)
-    gcol = rm.step_col[slab] * tile + rm.col_local
+    grow, gcol = global_indices(structure)
     fe = structure.edge_dim
-    pre = (
-        xr[jnp.clip(grow, 0, v_pad - 1)]
-        + xc[gcol]
-        + rm.eattr_t[:fe].T @ w_e
-    )
+    # HIGHEST keeps the edge-feature matmul exact f32 on TPU (default rounds
+    # the operands to bf16), matching the Pallas kernel's f32 path
+    ew = jnp.dot(structure.eattr_t[:fe].T, w_e, precision=jax.lax.Precision.HIGHEST)
+    pre = xr[jnp.clip(grow, 0, v_pad - 1)] + xc[gcol] + ew
     msg = jax.nn.relu(pre) * (grow < v_pad)[:, None]
     out = jax.ops.segment_sum(msg, grow, num_segments=v_pad + 1)
     return out[:v_pad]

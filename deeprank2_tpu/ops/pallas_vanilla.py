@@ -5,20 +5,20 @@ Implements :func:`deeprank2_tpu.ops.blocked_edges.blocked_message_sum` on TPU:
 the per-edge message pipeline of VanillaNetwork-style models (reference:
 deeprank2/neuralnets/gnn/vanilla_gnn.py:10-41).
 
-Three kernels over TILE_E edge slabs, each slab tied to one (destination,
-source) node-tile pair (scalar-prefetched — see ops/blocked_edges.py for the
-layout):
+Two kernels over TILE_E edge slabs; each slab has one destination tile and
+``K_SUB`` source tiles (all scalar-prefetched — see ops/blocked_edges.py for
+the layout):
 
-- forward (row-major sort): gather both endpoints as one-hot MXU matmuls,
-  thin edge-feature matmul, relu, aggregate back with the transposed one-hot
-  into a VMEM-resident destination tile;
-- backward/rows (row-major sort): recomputes the pre-activations from the
-  same VMEM tiles (rematerialization — the operands are already on-chip),
-  forms ``dmsg = gather(g) * relu'`` and accumulates ``d xr`` (destination
-  tiles, consecutive) and ``d w_e`` (constant block resident across the
-  sequential TPU grid);
-- backward/cols (col-major sort): same recompute, accumulates ``d xc``
-  (source tiles, consecutive in this sort).
+- forward: gather both endpoints as one-hot MXU matmuls (per-sub-block for
+  the source side), thin edge-feature matmul, relu, aggregate back with the
+  transposed one-hot into a VMEM-resident destination tile;
+- backward (same sort, mirror-fused): recomputes the pre-activations from
+  the same VMEM tiles (rematerialization — the operands are already
+  on-chip), forms ``dmsg = gather(g) * relu'`` and accumulates ``d xr``
+  and ``d w_e``; for ``d xc`` it evaluates each edge's MIRROR message
+  (role-swapped gathers of the same resident tiles — the edge set is closed
+  under mirroring) so the source-side gradient also scatters by destination
+  tile, which the grid visits consecutively. No col-major sort exists.
 
 Everything per-edge lives only in VMEM ([M, TILE_E] slabs); HBM never sees an
 ``[E, M]`` message matrix in either direction.
@@ -33,33 +33,37 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from deeprank2_tpu.ops.blocked_edges import EDGE_TILE, TILE_E, BlockedEdgeStructure
+from deeprank2_tpu.ops.blocked_edges import EDGE_TILE, K_SUB, SUB_E, TILE_E, BlockedEdgeStructure
+
+# run the kernels in the Pallas interpreter (exact, any backend) — used by
+# tests to check kernel logic without TPU hardware
+_INTERPRET = False
 
 
-def _onehot(local_ref, tile: int, dtype) -> jnp.ndarray:
-    """[tile, TILE_E] one-hot of within-tile indices; the sentinel ``tile``
+def _onehot(local: jnp.ndarray, tile: int, width: int, dtype) -> jnp.ndarray:
+    """[tile, width] one-hot of within-tile indices; the sentinel ``tile``
     yields an all-zero column (how padded edges vanish)."""
-    local = local_ref[:]  # [TILE_E] slab of the flat index array
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, TILE_E), 0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, width), 0)
     return (local[None, :] == iota).astype(dtype)
 
 
-def _pre_activations(xr_ref, xc_ref, we_ref, e_ref, row_ref, col_ref, cd, precision, tile):
-    """Recompute the [M, TILE_E] pre-activation slab plus the row one-hot."""
-    oh_r = _onehot(row_ref, tile, cd)
-    oh_c = _onehot(col_ref, tile, cd)
-    dot = functools.partial(
-        jax.lax.dot_general,
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    )
-    dst = dot(xr_ref[:].astype(cd), oh_r, (((1,), (0,)), ((), ())))
-    src = dot(xc_ref[:].astype(cd), oh_c, (((1,), (0,)), ((), ())))
-    ew = dot(we_ref[:].astype(cd), e_ref[:].astype(cd), (((1,), (0,)), ((), ())))
-    return dst + src + ew, oh_r, oh_c, dot
+def _dot_for(precision):
+    return functools.partial(jax.lax.dot_general, precision=precision, preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(step_row_ref, step_col_ref, row_ref, col_ref, e_ref, xr_ref, xc_ref, we_ref, out_ref, *, cd, precision, tile):
+def _gather_subs(x_col_refs, col_local, tile, cd, dot):
+    """Per-sub-block source gathers, concatenated to [M, TILE_E]; also
+    returns the per-sub one-hots for reuse."""
+    ohs, parts = [], []
+    for k in range(K_SUB):
+        oh = _onehot(col_local[k * SUB_E : (k + 1) * SUB_E], tile, SUB_E, cd)
+        ohs.append(oh)
+        parts.append(dot(x_col_refs[k][:].astype(cd), oh, (((1,), (0,)), ((), ()))))
+    return jnp.concatenate(parts, axis=1), ohs
+
+
+def _fwd_kernel(step_row_ref, sub_col_ref, row_ref, col_ref, e_ref, xr_ref, *rest, cd, precision, tile):
+    xc_refs, we_ref, out_ref = rest[:K_SUB], rest[K_SUB], rest[K_SUB + 1]
     bi = pl.program_id(0)
     prev = jnp.maximum(bi - 1, 0)
 
@@ -67,15 +71,26 @@ def _fwd_kernel(step_row_ref, step_col_ref, row_ref, col_ref, e_ref, xr_ref, xc_
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    pre, oh_r, _oh_c, dot = _pre_activations(xr_ref, xc_ref, we_ref, e_ref, row_ref, col_ref, cd, precision, tile)
-    msg = jnp.maximum(pre, 0.0)
+    dot = _dot_for(precision)
+    row_local, col_local = row_ref[:], col_ref[:]
+    oh_r = _onehot(row_local, tile, TILE_E, cd)
+    src, _ = _gather_subs(xc_refs, col_local, tile, cd, dot)
+    dst = dot(xr_ref[:].astype(cd), oh_r, (((1,), (0,)), ((), ())))
+    ew = dot(we_ref[:].astype(cd), e_ref[:].astype(cd), (((1,), (0,)), ((), ())))
+    msg = jnp.maximum(dst + src + ew, 0.0)
     # sentinel rows have an all-zero one-hot column -> padded edges vanish here
     out_ref[:] += dot(msg.astype(cd), oh_r, (((1,), (1,)), ((), ())))
 
 
-def _bwd_rows_kernel(
-    step_row_ref, step_col_ref, row_ref, col_ref, e_ref, xr_ref, xc_ref, we_ref, g_ref, dxr_ref, dwe_ref, *, cd, precision, tile
-):
+def _bwd_kernel(step_row_ref, sub_col_ref, row_ref, col_ref, e_ref, xr_ref, *rest, cd, precision, tile):
+    xc_refs = rest[:K_SUB]
+    we_ref = rest[K_SUB]
+    xc_row_ref = rest[K_SUB + 1]
+    xr_col_refs = rest[K_SUB + 2 : 2 * K_SUB + 2]
+    g_row_ref = rest[2 * K_SUB + 2]
+    g_col_refs = rest[2 * K_SUB + 3 : 3 * K_SUB + 3]
+    dxr_ref, dxc_ref, dwe_ref = rest[3 * K_SUB + 3 :]
+
     bi = pl.program_id(0)
     prev = jnp.maximum(bi - 1, 0)
 
@@ -86,42 +101,50 @@ def _bwd_rows_kernel(
     @pl.when(jnp.logical_or(bi == 0, step_row_ref[bi] != step_row_ref[prev]))
     def _():
         dxr_ref[:] = jnp.zeros_like(dxr_ref)
-
-    pre, oh_r, _oh_c, dot = _pre_activations(xr_ref, xc_ref, we_ref, e_ref, row_ref, col_ref, cd, precision, tile)
-    # gather the outer cotangent by destination; sentinel columns give 0, so
-    # padded edges contribute to no gradient
-    dmsg = dot(g_ref[:].astype(cd), oh_r, (((1,), (0,)), ((), ())))
-    dmsg = dmsg * (pre > 0.0).astype(jnp.float32)
-    dxr_ref[:] += dot(dmsg.astype(cd), oh_r, (((1,), (1,)), ((), ())))
-    dwe_ref[:] += dot(dmsg.astype(cd), e_ref[:].astype(cd), (((1,), (1,)), ((), ())))
-
-
-def _bwd_cols_kernel(
-    step_row_ref, step_col_ref, row_ref, col_ref, e_ref, xr_ref, xc_ref, we_ref, g_ref, dxc_ref, *, cd, precision, tile
-):
-    bi = pl.program_id(0)
-    prev = jnp.maximum(bi - 1, 0)
-
-    @pl.when(jnp.logical_or(bi == 0, step_col_ref[bi] != step_col_ref[prev]))
-    def _():
         dxc_ref[:] = jnp.zeros_like(dxc_ref)
 
-    pre, oh_r, oh_c, dot = _pre_activations(xr_ref, xc_ref, we_ref, e_ref, row_ref, col_ref, cd, precision, tile)
-    dmsg = dot(g_ref[:].astype(cd), oh_r, (((1,), (0,)), ((), ())))
+    dot = _dot_for(precision)
+    row_local, col_local = row_ref[:], col_ref[:]
+    oh_r = _onehot(row_local, tile, TILE_E, cd)
+    eT = e_ref[:].astype(cd)
+    ew = dot(we_ref[:].astype(cd), eT, (((1,), (0,)), ((), ())))
+
+    # original messages: dmsg = g[row] * relu'(pre)
+    src, oh_cs = _gather_subs(xc_refs, col_local, tile, cd, dot)
+    dst = dot(xr_ref[:].astype(cd), oh_r, (((1,), (0,)), ((), ())))
+    pre = dst + src + ew
+    dmsg = dot(g_row_ref[:].astype(cd), oh_r, (((1,), (0,)), ((), ())))
     dmsg = dmsg * (pre > 0.0).astype(jnp.float32)
-    dxc_ref[:] += dot(dmsg.astype(cd), oh_c, (((1,), (1,)), ((), ())))
+    dxr_ref[:] += dot(dmsg.astype(cd), oh_r, (((1,), (1,)), ((), ())))
+    dwe_ref[:] += dot(dmsg.astype(cd), eT, (((1,), (1,)), ((), ())))
+
+    # mirror messages: for e = (r, c), dmsg[mirror] = g[c] * relu'(xr[c] +
+    # xc[r] + ew) — scattered by r, which gives d xc (see module docstring)
+    src_m_parts, gm_parts = [], []
+    for k in range(K_SUB):
+        src_m_parts.append(dot(xr_col_refs[k][:].astype(cd), oh_cs[k], (((1,), (0,)), ((), ()))))
+        gm_parts.append(dot(g_col_refs[k][:].astype(cd), oh_cs[k], (((1,), (0,)), ((), ()))))
+    pre_m = dot(xc_row_ref[:].astype(cd), oh_r, (((1,), (0,)), ((), ()))) + jnp.concatenate(src_m_parts, axis=1) + ew
+    dmsg_m = jnp.concatenate(gm_parts, axis=1) * (pre_m > 0.0).astype(jnp.float32)
+    dxc_ref[:] += dot(dmsg_m.astype(cd), oh_r, (((1,), (1,)), ((), ())))
 
 
-def _mt_specs(tile, m_pad, fe_pad):
-    """The shared input BlockSpecs: locals, edge slab, xr/xc tiles, w_e."""
+def _common_specs(tile, m_pad, fe_pad):
+    """locals, edge slab, xr destination tile."""
     return [
         pl.BlockSpec((TILE_E,), lambda bi, sr, sc: (bi,), memory_space=pltpu.VMEM),  # row_local
         pl.BlockSpec((TILE_E,), lambda bi, sr, sc: (bi,), memory_space=pltpu.VMEM),  # col_local
         pl.BlockSpec((fe_pad, TILE_E), lambda bi, sr, sc: (0, bi), memory_space=pltpu.VMEM),  # eattr_t
-        pl.BlockSpec((m_pad, tile), lambda bi, sr, sc: (0, sr[bi]), memory_space=pltpu.VMEM),  # xrT tile
-        pl.BlockSpec((m_pad, tile), lambda bi, sr, sc: (0, sc[bi]), memory_space=pltpu.VMEM),  # xcT tile
-        pl.BlockSpec((m_pad, fe_pad), lambda bi, sr, sc: (0, 0), memory_space=pltpu.VMEM),  # w_eT
+        pl.BlockSpec((m_pad, tile), lambda bi, sr, sc: (0, sr[bi]), memory_space=pltpu.VMEM),  # xrT row tile
     ]
+
+
+def _col_spec(tile, m_pad, k):
+    return pl.BlockSpec((m_pad, tile), lambda bi, sr, sc, _k=k: (0, sc[bi * K_SUB + _k]), memory_space=pltpu.VMEM)
+
+
+def _row_spec(tile, m_pad):
+    return pl.BlockSpec((m_pad, tile), lambda bi, sr, sc: (0, sr[bi]), memory_space=pltpu.VMEM)
 
 
 def _pad_cols(a: jnp.ndarray, to: int) -> jnp.ndarray:
@@ -130,84 +153,73 @@ def _pad_cols(a: jnp.ndarray, to: int) -> jnp.ndarray:
     return jnp.pad(a, ((0, 0), (0, to - a.shape[1])))
 
 
-def _call_setup(order, xr_t, we_t, compute_dtype):
+def _call_setup(structure, xr_t, we_t, compute_dtype):
     tile = EDGE_TILE
     m_pad, fe_pad = xr_t.shape[0], we_t.shape[1]
-    ns = order.step_row.shape[0]
+    ns = structure.num_slabs
     cd = jnp.dtype(compute_dtype)
     precision = jax.lax.Precision.HIGHEST if cd == jnp.float32 else jax.lax.Precision.DEFAULT
-    operands = (
-        order.step_row,
-        order.step_col,
-        order.row_local,
-        order.col_local,
-        order.eattr_t,
-    )
-    mask = jnp.repeat(order.out_visited, tile)[None, :]
+    operands = (structure.step_row, structure.sub_col, structure.row_local, structure.col_local, structure.eattr_t)
+    mask = jnp.repeat(structure.out_visited, tile)[None, :]
     return tile, m_pad, fe_pad, ns, cd, precision, operands, mask
 
 
-@functools.partial(jax.jit, static_argnames=("num_tiles", "compute_dtype"))
-def _fwd_call(order, xr_t, xc_t, we_t, *, num_tiles, compute_dtype):
-    tile, m_pad, fe_pad, ns, cd, precision, operands, mask = _call_setup(order, xr_t, we_t, compute_dtype)
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def _fwd_call(structure, xr_t, xc_t, we_t, *, compute_dtype):
+    tile, m_pad, fe_pad, ns, cd, precision, operands, mask = _call_setup(structure, xr_t, we_t, compute_dtype)
+    num_tiles = structure.num_node_tiles
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ns,),
-        in_specs=_mt_specs(tile, m_pad, fe_pad),
-        out_specs=pl.BlockSpec((m_pad, tile), lambda bi, sr, sc: (0, sr[bi]), memory_space=pltpu.VMEM),
+        in_specs=[
+            *_common_specs(tile, m_pad, fe_pad),
+            *[_col_spec(tile, m_pad, k) for k in range(K_SUB)],  # xcT source tiles
+            pl.BlockSpec((m_pad, fe_pad), lambda bi, sr, sc: (0, 0), memory_space=pltpu.VMEM),  # w_eT
+        ],
+        out_specs=_row_spec(tile, m_pad),
     )
     out_t = pl.pallas_call(
         functools.partial(_fwd_kernel, cd=cd, precision=precision, tile=tile),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, num_tiles * tile), jnp.float32),
-    )(*operands, xr_t, xc_t, we_t)
+        interpret=_INTERPRET,
+    )(*operands, xr_t, *([xc_t] * K_SUB), we_t)
     return jnp.where(mask, out_t, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("num_tiles", "compute_dtype"))
-def _bwd_rows_call(order, xr_t, xc_t, we_t, g_t, *, num_tiles, compute_dtype):
-    tile, m_pad, fe_pad, ns, cd, precision, operands, mask = _call_setup(order, xr_t, we_t, compute_dtype)
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def _bwd_call(structure, xr_t, xc_t, we_t, g_t, *, compute_dtype):
+    tile, m_pad, fe_pad, ns, cd, precision, operands, mask = _call_setup(structure, xr_t, we_t, compute_dtype)
+    num_tiles = structure.num_node_tiles
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ns,),
         in_specs=[
-            *_mt_specs(tile, m_pad, fe_pad),
-            pl.BlockSpec((m_pad, tile), lambda bi, sr, sc: (0, sr[bi]), memory_space=pltpu.VMEM),  # gT tile
+            *_common_specs(tile, m_pad, fe_pad),
+            *[_col_spec(tile, m_pad, k) for k in range(K_SUB)],  # xcT source tiles
+            pl.BlockSpec((m_pad, fe_pad), lambda bi, sr, sc: (0, 0), memory_space=pltpu.VMEM),  # w_eT
+            _row_spec(tile, m_pad),  # xcT at the destination tile (mirror)
+            *[_col_spec(tile, m_pad, k) for k in range(K_SUB)],  # xrT source tiles (mirror)
+            _row_spec(tile, m_pad),  # gT destination tile
+            *[_col_spec(tile, m_pad, k) for k in range(K_SUB)],  # gT source tiles (mirror)
         ],
         out_specs=(
-            pl.BlockSpec((m_pad, tile), lambda bi, sr, sc: (0, sr[bi]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, fe_pad), lambda bi, sr, sc: (0, 0), memory_space=pltpu.VMEM),
+            _row_spec(tile, m_pad),  # d xr
+            _row_spec(tile, m_pad),  # d xc (mirror-scattered by destination)
+            pl.BlockSpec((m_pad, fe_pad), lambda bi, sr, sc: (0, 0), memory_space=pltpu.VMEM),  # d w_e
         ),
     )
-    dxr_t, dwe_t = pl.pallas_call(
-        functools.partial(_bwd_rows_kernel, cd=cd, precision=precision, tile=tile),
+    dxr_t, dxc_t, dwe_t = pl.pallas_call(
+        functools.partial(_bwd_kernel, cd=cd, precision=precision, tile=tile),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((m_pad, num_tiles * tile), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, num_tiles * tile), jnp.float32),
             jax.ShapeDtypeStruct((m_pad, fe_pad), jnp.float32),
         ),
-    )(*operands, xr_t, xc_t, we_t, g_t)
-    return jnp.where(mask, dxr_t, 0.0), dwe_t
-
-
-@functools.partial(jax.jit, static_argnames=("num_tiles", "compute_dtype"))
-def _bwd_cols_call(order, xr_t, xc_t, we_t, g_t, *, num_tiles, compute_dtype):
-    tile, m_pad, fe_pad, ns, cd, precision, operands, mask = _call_setup(order, xr_t, we_t, compute_dtype)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(ns,),
-        in_specs=[
-            *_mt_specs(tile, m_pad, fe_pad),
-            pl.BlockSpec((m_pad, tile), lambda bi, sr, sc: (0, sr[bi]), memory_space=pltpu.VMEM),  # gT tile
-        ],
-        out_specs=pl.BlockSpec((m_pad, tile), lambda bi, sr, sc: (0, sc[bi]), memory_space=pltpu.VMEM),
-    )
-    dxc_t = pl.pallas_call(
-        functools.partial(_bwd_cols_kernel, cd=cd, precision=precision, tile=tile),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m_pad, num_tiles * tile), jnp.float32),
-    )(*operands, xr_t, xc_t, we_t, g_t)
-    return jnp.where(mask, dxc_t, 0.0)
+        interpret=_INTERPRET,
+    )(*operands, xr_t, *([xc_t] * K_SUB), we_t, xc_t, *([xr_t] * K_SUB), g_t, *([g_t] * K_SUB))
+    return jnp.where(mask, dxr_t, 0.0), jnp.where(mask, dxc_t, 0.0), dwe_t
 
 
 def blocked_message_sum_tpu(
@@ -223,8 +235,7 @@ def blocked_message_sum_tpu(
     m = xr.shape[1]
     fe = structure.edge_dim
     m_pad = m + (-m) % 8
-    fe_pad = structure.rm.eattr_t.shape[0]
-    num_tiles = structure.num_node_tiles
+    fe_pad = structure.eattr_t.shape[0]
 
     def _pack(xr, xc, w_e):
         xr_t = _pad_cols(xr, m_pad).T
@@ -236,7 +247,7 @@ def blocked_message_sum_tpu(
     @jax.custom_vjp
     def op(xr, xc, w_e):
         xr_t, xc_t, we_t = _pack(xr, xc, w_e)
-        out_t = _fwd_call(structure.rm, xr_t, xc_t, we_t, num_tiles=num_tiles, compute_dtype=cd_name)
+        out_t = _fwd_call(structure, xr_t, xc_t, we_t, compute_dtype=cd_name)
         return out_t[:m].T
 
     def fwd(xr, xc, w_e):
@@ -246,8 +257,7 @@ def blocked_message_sum_tpu(
         xr, xc, w_e = res
         xr_t, xc_t, we_t = _pack(xr, xc, w_e)
         g_t = _pad_cols(g, m_pad).T
-        dxr_t, dwe_t = _bwd_rows_call(structure.rm, xr_t, xc_t, we_t, g_t, num_tiles=num_tiles, compute_dtype=cd_name)
-        dxc_t = _bwd_cols_call(structure.cm, xr_t, xc_t, we_t, g_t, num_tiles=num_tiles, compute_dtype=cd_name)
+        dxr_t, dxc_t, dwe_t = _bwd_call(structure, xr_t, xc_t, we_t, g_t, compute_dtype=cd_name)
         return dxr_t[:m].T, dxc_t[:m].T, dwe_t[:m, :fe].T
 
     op.defvjp(fwd, bwd)

@@ -492,8 +492,7 @@ class Trainer:
                 batch, names = collate_graphs_blocked(
                     entries,
                     pad_tiles=self._blocksparse_bucket("be_tiles"),
-                    pad_slabs_rm=self._blocksparse_bucket("be_slabs_rm"),
-                    pad_slabs_cm=self._blocksparse_bucket("be_slabs_cm"),
+                    pad_slabs=self._blocksparse_bucket("be_slabs"),
                     pad_graphs=pad_graphs,
                 )
             elif num_shards > 1 and dense:

@@ -55,9 +55,8 @@ def main() -> None:
         batch, _ = collate_graphs_blocked([entry])
         st = batch.structure
         print(
-            f"# {num_nodes} nodes, {real_edges} edges, rm slabs {st.rm.step_row.shape[0]}, "
-            f"cm slabs {st.cm.step_row.shape[0]}, "
-            f"slab fill {real_edges / st.rm.row_local.shape[0]:.3f}",
+            f"# {num_nodes} nodes, {real_edges} edges, {st.num_slabs} slabs, "
+            f"slab fill {real_edges / st.row_local.shape[0]:.3f}",
             file=sys.stderr,
         )
         model = VanillaNetworkBlocked(feat_dim, 2, edge_dim, compute_dtype=jnp.bfloat16 if bf16 else None)
