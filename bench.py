@@ -1,22 +1,34 @@
-"""Benchmark: GINet training throughput (edges/s) on batched PPI-sized graphs.
+"""Benchmark: GINet training on one chip — dense (PPI-scale) and BCSR
+(atomic-scale) paths, each reported as edges/s AND % of its HBM-roofline
+speed-of-light (the BASELINE.json north-star metric "SpMM %SoL per chip").
 
-Runs on whatever device JAX selects (the real TPU chip under the driver).
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Driver-facing keys: ``metric``/``value``/``unit`` are
+the dense-path training throughput (comparable across rounds);
+``vs_baseline`` is the dense step's fraction of its own HBM-traffic lower
+bound (1.0 = at the roofline) — the reference publishes no training-speed
+numbers (BASELINE.md), so the roofline is the honest denominator. The
+``dense`` and ``bcsr`` objects carry the full {edges/s, %SoL} pairs.
+
+Bound definitions (see tests/perf/sol_perf.py and tests/perf/bcsr_sol.py):
+- dense: 4 adjacency passes (2 fwd layers + their VJPs) + x fwd/bwd + saved
+  activations. Measured decomposition (tests/perf/dense_decompose.py, v5e):
+  the raw 4-pass adjacency stream alone takes ~242 us vs the 235 us bound —
+  streaming runs at speed-of-light — and the forward half of the step is
+  stream-bound too; the residual is the backward pass's f32 intermediate
+  round-trips (dh/dfcx materialization), which XLA does not fuse into the
+  contractions. The fused Pallas tower (ops/pallas_ginet.py) eliminates
+  those round-trips but Mosaic's batched-small-matmul schedule costs more
+  than the fusion saves on this chip (422 vs 386 us), so XLA stays the
+  measured path.
+- bcsr: 4 int8 block-stream passes + x^T chunk DMAs + slab round-trips.
 
 Measurement notes:
-- Steps are chained inside a jitted ``lax.scan`` (25 per dispatch) so per-call
-  dispatch latency over the TPU tunnel is amortized.
-- On this box ``block_until_ready`` can return before the remote computation
-  finishes, so the clock is stopped by ``float(loss)`` — a value transfer that
-  is data-dependent on every step.
-- The batch is passed as an argument (never closed over) so it is not baked
+- Steps are chained inside a jitted ``lax.scan`` so per-call dispatch latency
+  over the TPU tunnel is amortized; the clock is stopped by ``float(loss)``
+  (block_until_ready can return early on this box).
+- Batches are passed as arguments (never closed over) so they are not baked
   into the program or re-uploaded.
-
-vs_baseline compares against the reference's only published compute numbers
-indirectly: the reference has no training-throughput baseline (BASELINE.json
-"published" is empty), so vs_baseline reports the ratio to a 1 M edges/s
-floor — a conservative proxy for a well-utilized GPU PyG run on these tiny
-models.
+- Best of two fully-measured windows guards against transient slow dispatch.
 """
 
 from __future__ import annotations
@@ -24,36 +36,10 @@ from __future__ import annotations
 import json
 import time
 
-import numpy as np
 
-BASELINE_EDGES_PER_S = 1.0e6
-
-
-def main() -> None:
+def _train_chunk_fn(model, optimizer, loss_fn, steps_per_call):
     import jax
-
-    from deeprank2_tpu.neuralnets.gnn.ginet_dense import GINetDense
-    from deeprank2_tpu.ops.batch import collate_graphs_dense
-    from deeprank2_tpu.ops.losses import CrossEntropyLoss
-    from deeprank2_tpu.ops.optim import Adam
-    from deeprank2_tpu.ops.synthetic import synthetic_entries
-
-    feat_dim, edge_dim = 38, 6
-    # ~PPI scale: 512 graphs x 160 nodes x ~8 edges/node -> ~640k real edges
-    entries = synthetic_entries(512, 160, feat_dim, edge_dim, seed=7)
-    batch, _ = collate_graphs_dense(entries, pad_graphs=512, pad_nodes=160)
-    real_edges = int(sum(2 * e["edge_index"].shape[0] for e in entries))  # mirrored count
-    batch = jax.device_put(batch)
-
-    model = GINetDense(feat_dim, 2, edge_dim)
-    params = model.init(jax.random.PRNGKey(0))
-    optimizer = Adam(lr=1e-3, weight_decay=1e-5)
-    opt_state = optimizer.init(params)
-    loss_fn = CrossEntropyLoss()
-
     import jax.numpy as jnp
-
-    steps_per_call = 50
 
     @jax.jit
     def train_chunk(carry, batch):
@@ -72,14 +58,24 @@ def main() -> None:
         carry, losses = jax.lax.scan(train_step, carry, None, length=steps_per_call)
         return carry, losses[-1]
 
+    return train_chunk
+
+
+def _measure(model, batch, steps_per_call, calls):
+    import jax
+
+    from deeprank2_tpu.ops.losses import CrossEntropyLoss
+    from deeprank2_tpu.ops.optim import Adam
+
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = Adam(lr=1e-3, weight_decay=1e-5)
+    opt_state = optimizer.init(params)
+    train_chunk = _train_chunk_fn(model, optimizer, CrossEntropyLoss(), steps_per_call)
+
     carry = (params, opt_state, jax.random.PRNGKey(1))
-    # warmup/compile; float() forces real completion (see module docstring)
     carry, loss = train_chunk(carry, batch)
     float(loss)
 
-    calls = 8
-    # best of two measured windows: guards the recorded number against a
-    # transient slow dispatch on the TPU tunnel (both windows fully measured)
     best_dt = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
@@ -87,15 +83,88 @@ def main() -> None:
             carry, loss = train_chunk(carry, batch)
         float(loss)
         best_dt = min(best_dt, time.perf_counter() - t0)
+    return best_dt / (steps_per_call * calls)
 
-    edges_per_s = real_edges * steps_per_call * calls / best_dt
+
+def dense_result() -> dict:
+    import jax
+
+    from deeprank2_tpu.neuralnets.gnn.ginet_dense import GINetDense
+    from deeprank2_tpu.ops.batch import collate_graphs_dense
+    from deeprank2_tpu.ops.synthetic import synthetic_entries
+    from tests.perf.sol_perf import DEFAULT_PEAK_GBPS, PEAK_HBM_GBPS
+
+    feat_dim, edge_dim = 38, 6
+    num_graphs, nodes = 512, 160
+    entries = synthetic_entries(num_graphs, nodes, feat_dim, edge_dim, seed=7)
+    batch, _ = collate_graphs_dense(entries, pad_graphs=num_graphs, pad_nodes=nodes)
+    real_edges = int(sum(2 * e["edge_index"].shape[0] for e in entries))
+    batch = jax.device_put(batch)
+
+    step_s = _measure(GINetDense(feat_dim, 2, edge_dim), batch, steps_per_call=50, calls=8)
+
+    adj_bytes = batch.adj.size * batch.adj.dtype.itemsize
+    x_bytes = batch.x.size * batch.x.dtype.itemsize
+    h_bytes = num_graphs * nodes * (32 + 64) * 4
+    bound_bytes = 4 * adj_bytes + 2 * x_bytes + 2 * h_bytes
+    device = jax.devices()[0]
+    peak = PEAK_HBM_GBPS.get(getattr(device, "device_kind", ""), DEFAULT_PEAK_GBPS)
+    sol_s = bound_bytes / (peak * 1e9)
+    return {
+        "edges_per_s": round(real_edges / step_s, 1),
+        "step_us": round(step_s * 1e6, 1),
+        "pct_speed_of_light": round(100.0 * sol_s / step_s, 1),
+        "hbm_bound_us": round(sol_s * 1e6, 1),
+    }
+
+
+def bcsr_result(num_nodes: int = 100_000) -> dict:
+    import jax
+
+    from deeprank2_tpu.neuralnets.gnn.ginet_blocksparse import GINetBlockSparse
+    from deeprank2_tpu.ops.batch import collate_graphs_blocksparse
+    from tests.perf.bcsr_sol import bcsr_bound_bytes
+    from tests.perf.blocksparse_perf import geometric_entry
+    from tests.perf.sol_perf import DEFAULT_PEAK_GBPS, PEAK_HBM_GBPS
+
+    feat_dim, edge_dim = 38, 6
+    entry = geometric_entry(num_nodes, feat_dim, edge_dim)
+    real_edges = 2 * entry["edge_index"].shape[0]
+    batch, _ = collate_graphs_blocksparse([entry])
+    batch = jax.device_put(batch)
+
+    step_s = _measure(GINetBlockSparse(feat_dim, 2, edge_dim), batch, steps_per_call=50, calls=3)
+
+    bound = bcsr_bound_bytes(batch.structure, (32, 64))
+    device = jax.devices()[0]
+    peak = PEAK_HBM_GBPS.get(getattr(device, "device_kind", ""), DEFAULT_PEAK_GBPS)
+    sol_s = bound["bound_bytes"] / (peak * 1e9)
+    return {
+        "num_nodes": num_nodes,
+        "edges_per_s": round(real_edges / step_s, 1),
+        "step_ms": round(step_s * 1e3, 3),
+        "pct_speed_of_light": round(100.0 * sol_s / step_s, 1),
+        "hbm_bound_ms": round(sol_s * 1e3, 3),
+    }
+
+
+def main() -> None:
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    dense = dense_result()
+    bcsr = bcsr_result()
     print(
         json.dumps(
             {
                 "metric": "ginet_train_edges_per_s",
-                "value": round(edges_per_s, 1),
+                "value": dense["edges_per_s"],
                 "unit": "edges/s",
-                "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 3),
+                "vs_baseline": round(dense["pct_speed_of_light"] / 100.0, 3),
+                "dense": dense,
+                "bcsr": bcsr,
             }
         )
     )

@@ -34,9 +34,12 @@ _TOWER_BACKEND = "xla"
 
 def set_dense_tower_backend(name: str) -> None:
     """Select the no-cluster tower implementation: "xla" (default; batched
-    matmuls, ~90 % of HBM speed-of-light on v5e) or "pallas" (fused
-    single-adjacency-pass kernel, ops/pallas_ginet.py — see the measured
-    numbers there; kept for re-profiling on directly-attached chips)."""
+    matmuls — the adjacency *stream* runs at ~100 % of HBM speed-of-light
+    and the full train step at ~58-62 % of its 4-pass bound, the residual
+    being backward-pass f32 intermediate round-trips; see
+    tests/perf/dense_decompose.py) or "pallas" (fused single-adjacency-pass
+    kernel, ops/pallas_ginet.py — see the measured numbers there; kept for
+    re-profiling on directly-attached chips)."""
     global _TOWER_BACKEND
     if name not in ("xla", "pallas"):
         msg = f"unknown dense tower backend: {name}"

@@ -71,9 +71,13 @@ def main() -> None:
     from deeprank2_tpu.ops.optim import Adam
 
     feat_dim, edge_dim = 38, 6
+    t0 = time.perf_counter()
     entry = geometric_entry(num_nodes, feat_dim, edge_dim)
     real_edges = 2 * entry["edge_index"].shape[0]
+    print(f"# geometry {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
     batch, _ = collate_graphs_blocksparse([entry])
+    print(f"# collate {time.perf_counter() - t0:.1f}s, blocks {batch.structure.num_blocks}", file=sys.stderr, flush=True)
     batch = jax.device_put(batch)
 
     model = GINetBlockSparse(feat_dim, 2, edge_dim)
@@ -102,8 +106,10 @@ def main() -> None:
         return carry, losses[-1]
 
     carry = (params, opt_state, jax.random.PRNGKey(1))
+    t0 = time.perf_counter()
     carry, loss = train_chunk(carry, batch)
     float(loss)
+    print(f"# compile+warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
 
     best_dt = float("inf")
     for _ in range(2):
