@@ -729,3 +729,66 @@ def collate_graphs_blocked(
         structure=structure,
         num_graphs=num_graphs,
     ), names
+
+
+def blocked_requirements(entries: list[dict]) -> tuple[int, int]:
+    """(tiles, slabs) :func:`collate_graphs_blocked` would need for these
+    entries — used to equalize per-shard capacities."""
+    from deeprank2_tpu.ops.blocked_edges import EDGE_TILE, required_slabs
+
+    layout = blocksparse_layout(entries, EDGE_TILE, features=False)
+    return layout["num_tiles"], required_slabs(layout["pairs"], layout["num_tiles"] * EDGE_TILE)
+
+
+def collate_graphs_blocked_sharded(
+    entries: list[dict],
+    num_shards: int,
+    pad_graphs_per_shard: int,
+    pad_tiles=None,
+    pad_slabs=None,
+) -> tuple[BlockedEdgeBatch, list[str]]:
+    """Collate into ``num_shards`` equally-shaped blocked-edge sub-batches
+    stacked on a leading device axis (for shard_map data parallelism), with
+    the same greedy tile-balanced assignment as the block-sparse variant."""
+    from deeprank2_tpu.ops.blocked_edges import EDGE_TILE
+
+    if len(entries) > num_shards * pad_graphs_per_shard:
+        msg = f"{len(entries)} entries exceed {num_shards} shards x {pad_graphs_per_shard} graphs"
+        raise ValueError(msg)
+    template = entries[0]
+    tiles_of = [-(-e["x"].shape[0] // EDGE_TILE) for e in entries]
+    order = sorted(range(len(entries)), key=lambda i: -tiles_of[i])
+    shards: list[list[dict]] = [[] for _ in range(num_shards)]
+    loads = [0] * num_shards
+    for i in order:
+        open_shards = [s for s in range(num_shards) if len(shards[s]) < pad_graphs_per_shard]
+        s = min(open_shards, key=lambda s: loads[s])
+        shards[s].append(entries[i])
+        loads[s] += tiles_of[i]
+
+    shards = [shard or [_dummy_entry(template)] for shard in shards]
+
+    reqs = [blocked_requirements(shard) for shard in shards]
+    cap_tiles = max(t for t, _ in reqs)
+    cap_slabs = max(b for _, b in reqs)
+    if callable(pad_tiles):
+        cap_tiles = pad_tiles(cap_tiles)
+    elif pad_tiles is not None:
+        cap_tiles = max(cap_tiles, pad_tiles)
+    if callable(pad_slabs):
+        cap_slabs = pad_slabs(cap_slabs)
+    elif pad_slabs is not None:
+        cap_slabs = max(cap_slabs, pad_slabs)
+
+    batches = []
+    names: list[str] = []
+    for shard in shards:
+        batch, shard_names = collate_graphs_blocked(
+            shard,
+            pad_tiles=cap_tiles,
+            pad_slabs=cap_slabs,
+            pad_graphs=pad_graphs_per_shard,
+        )
+        batches.append(batch)
+        names.extend(shard_names)
+    return jax.tree.map(lambda *leaves: np.stack(leaves), *batches), names

