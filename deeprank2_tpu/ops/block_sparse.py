@@ -60,9 +60,15 @@ DEFAULT_BLOCK = 128
 # extra +32 % run-padding blocks cost real HBM streaming), and 64 regresses
 # outright — 16 stays the sweet spot.
 KBATCH = 16
-# tiles per x^T column chunk: sized so an F=64 f32 chunk (the widest the GINet
-# family uses) fits a single ~12 MB VMEM scratch next to the block pipeline
-CHUNK_TILES = 384
+# KBATCH sub-batches per Pallas grid step: the grid is per-step-overhead-bound
+# (~0.5-0.9 us/step), so each step processes SUPER sub-batches and writes
+# completed (chunk, row-tile) output tiles with explicit async DMA (each run
+# is visited exactly once per SpMM, so flushes are plain writes). Capacity
+# therefore pads to KBATCH*SUPER blocks; run padding stays KBATCH-granular.
+SUPER = 4
+# tiles per x^T column chunk: sized so an F=64 f32 chunk fits the VMEM budget
+# next to the (now SUPER-deep) double-buffered block pipeline
+CHUNK_TILES = 320
 _CELL = 8.0  # Å — locality-sort cell size (≈ 2x the atomic contact cutoff)
 
 
@@ -232,7 +238,7 @@ def build_blocksparse(
     if callable(pad_blocks_to):
         pad_blocks_to = pad_blocks_to(nb_pad)
     cap = max(pad_blocks_to or 0, nb_pad)
-    cap = -(-cap // KBATCH) * KBATCH
+    cap = -(-cap // (KBATCH * SUPER)) * (KBATCH * SUPER)
     if (pad_blocks_to or 0) and pad_blocks_to < nb_pad:
         msg = f"pad_blocks={pad_blocks_to} < required {nb_pad}"
         raise ValueError(msg)
@@ -393,70 +399,99 @@ def _kernel_stream(
     block_col_ref,
     blk_ref,
     xt_hbm,
-    out_ref,
+    out_hbm,
     xchunk,
     xcat_buf,
-    sem,
+    acc,
+    sem_x,
+    sem_out,
     *,
     block,
     kbatch,
     chunk_tiles,
     precision,
     compute_dtype,
+    num_subs,
 ):
-    """One grid step = one KBATCH of blocks (see module docstring)."""
+    """One grid step = SUPER sub-batches of KBATCH blocks each. The output
+    tile of a (chunk, row-tile) run accumulates in a VMEM scratch and is
+    DMA'd to its HBM slab when the run ends (each run is visited exactly
+    once per SpMM, so the flush is a plain write — see module docstring)."""
     bi = pl.program_id(0)
-    prev = jnp.maximum(bi - 1, 0)
-    chunk_changed = jnp.logical_or(bi == 0, batch_chunk_ref[bi] != batch_chunk_ref[prev])
 
-    @pl.when(chunk_changed)
-    def _():
-        c = batch_chunk_ref[bi]
+    def flush(sub):
         cp = pltpu.make_async_copy(
-            xt_hbm.at[:, pl.ds(pl.multiple_of(c * chunk_tiles * block, block), chunk_tiles * block)],
-            xchunk,
-            sem,
+            acc,
+            out_hbm.at[batch_chunk_ref[sub], :, pl.ds(batch_row_ref[sub] * block, block)],
+            sem_out,
         )
         cp.start()
         cp.wait()
 
-    @pl.when(jnp.logical_or(chunk_changed, batch_row_ref[bi] != batch_row_ref[prev]))
-    def _():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
+    for k in range(SUPER):  # unrolled: SUPER is static
+        sub = bi * SUPER + k
+        prev = jnp.maximum(sub - 1, 0)
+        chunk_changed = jnp.logical_or(sub == 0, batch_chunk_ref[sub] != batch_chunk_ref[prev])
+        run_changed = jnp.logical_or(chunk_changed, batch_row_ref[sub] != batch_row_ref[prev])
 
-    base = batch_chunk_ref[bi] * chunk_tiles
-    for kk in range(kbatch):  # unrolled: kbatch is static
-        local = block_col_ref[bi * kbatch + kk] - base
-        xcat_buf[:, kk * block : (kk + 1) * block] = xchunk[:, pl.ds(pl.multiple_of(local * block, block), block)]
+        @pl.when(jnp.logical_and(run_changed, sub > 0))
+        def _():
+            flush(prev)
 
-    # int8 -> compute dtype on the fly (blocks are exactly 0/1, so any
-    # widening is lossless; Mosaic requires matching matmul operand dtypes)
-    if jnp.dtype(compute_dtype).itemsize == 4:
-        # f32 path: because the adjacency operand is EXACTLY representable in
-        # bf16, near-f32 results need only the x side split into bf16 hi+lo —
-        # two single-pass MXU matmuls (f32 accumulation) instead of Mosaic's
-        # six-pass HIGHEST emulation (~3x faster, ~1e-5 relative; measured
-        # equal-speed-to-bf16 + one extra pass). The XLA fallback
-        # (bcsr_spmm_xla) keeps true HIGHEST and is the exactness oracle.
-        blk = blk_ref[:].reshape(kbatch * block, block).astype(jnp.bfloat16)
-        xc = xcat_buf[:]
-        hi = xc.astype(jnp.bfloat16)
-        lo = (xc - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        dot = functools.partial(
-            jax.lax.dot_general,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        out_ref[0] += dot(hi, blk) + dot(lo, blk)
-    else:
-        blk = blk_ref[:].reshape(kbatch * block, block).astype(compute_dtype)
-        out_ref[0] += jax.lax.dot_general(
-            xcat_buf[:],
-            blk,
-            (((1,), (0,)), ((), ())),
-            precision=precision,
-            preferred_element_type=jnp.float32,
-        )
+        @pl.when(chunk_changed)
+        def _():
+            c = batch_chunk_ref[sub]
+            cp = pltpu.make_async_copy(
+                xt_hbm.at[:, pl.ds(pl.multiple_of(c * chunk_tiles * block, block), chunk_tiles * block)],
+                xchunk,
+                sem_x,
+            )
+            cp.start()
+            cp.wait()
+
+        @pl.when(run_changed)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        base = batch_chunk_ref[sub] * chunk_tiles
+        # unrolled: kbatch is static (a lax.fori_loop variant compiles even
+        # slower in Mosaic than the SUPER*KBATCH-slice unroll)
+        for kk in range(kbatch):
+            local = block_col_ref[sub * kbatch + kk] - base
+            xcat_buf[:, kk * block : (kk + 1) * block] = xchunk[:, pl.ds(pl.multiple_of(local * block, block), block)]
+
+        # int8 -> compute dtype on the fly (blocks are exactly 0/1, so any
+        # widening is lossless; Mosaic requires matching matmul operand dtypes)
+        if jnp.dtype(compute_dtype).itemsize == 4:
+            # f32 path: because the adjacency operand is EXACTLY representable
+            # in bf16, near-f32 results need only the x side split into bf16
+            # hi+lo — two single-pass MXU matmuls (f32 accumulation) instead
+            # of Mosaic's six-pass HIGHEST emulation (~3x faster, ~1e-5
+            # relative). The XLA fallback (bcsr_spmm_xla) keeps true HIGHEST
+            # and is the exactness oracle.
+            blk = blk_ref[k * kbatch : (k + 1) * kbatch].reshape(kbatch * block, block).astype(jnp.bfloat16)
+            xc = xcat_buf[:]
+            hi = xc.astype(jnp.bfloat16)
+            lo = (xc - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dot = functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc[:] += dot(hi, blk) + dot(lo, blk)
+        else:
+            blk = blk_ref[k * kbatch : (k + 1) * kbatch].reshape(kbatch * block, block).astype(compute_dtype)
+            acc[:] += jax.lax.dot_general(
+                xcat_buf[:],
+                blk,
+                (((1,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(sub == num_subs - 1)
+        def _():
+            flush(sub)
 
 
 @functools.partial(jax.jit, static_argnames=("num_tiles", "num_chunks", "block", "num_row_tiles", "precision", "compute_dtype"))
@@ -477,30 +512,36 @@ def _bcsr_spmm_tpu(
     if pad_n:
         x_t = jnp.pad(x_t, ((0, 0), (0, pad_n)))
 
-    num_batches = blocks_t.shape[0] // KBATCH
+    num_subs = blocks_t.shape[0] // KBATCH
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_batches,),
+        grid=(num_subs // SUPER,),
         in_specs=[
-            # one KBATCH of blocks per grid step, pipelined by Mosaic
-            pl.BlockSpec((KBATCH, block, block), lambda bi, *_: (bi, 0, 0), memory_space=pltpu.VMEM),
+            # SUPER*KBATCH blocks per grid step, pipelined by Mosaic
+            pl.BlockSpec((SUPER * KBATCH, block, block), lambda bi, *_: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # x^T; chunks DMA'd manually
         ],
-        # one slab per chunk; revisited while consecutive batches share a row tile
-        out_specs=pl.BlockSpec(
-            (1, fw, block),
-            lambda bi, br, bc, _cols: (bc[bi], 0, br[bi]),
-            memory_space=pltpu.VMEM,
-        ),
+        # per-chunk slabs written tile-by-tile with explicit DMA in-kernel
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((fw, chunk_tiles * block), cd),  # resident x^T chunk
             pltpu.VMEM((fw, KBATCH * block), cd),  # gathered source tiles
+            pltpu.VMEM((fw, block), jnp.float32),  # run accumulator
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
 
     slabs = pl.pallas_call(
-        functools.partial(_kernel_stream, block=block, kbatch=KBATCH, chunk_tiles=chunk_tiles, precision=precision, compute_dtype=cd),
+        functools.partial(
+            _kernel_stream,
+            block=block,
+            kbatch=KBATCH,
+            chunk_tiles=chunk_tiles,
+            precision=precision,
+            compute_dtype=cd,
+            num_subs=num_subs,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_chunks, fw, num_row_tiles * block), jnp.float32),
     )(batch_row, batch_chunk, block_col, blocks_t, x_t)
