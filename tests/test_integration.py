@@ -141,3 +141,20 @@ def test_grid_data_parallel(grid_hdf5) -> None:
     ds = GridDataset(hdf5_path=grid_hdf5, target="binary")
     trainer = Trainer(CnnClassification, dataset_train=ds, output_exporters=[], data_parallel=True)
     trainer.train(nepoch=1, batch_size=8, filename=None)
+
+
+def test_blocked_edges_atom_ppi(atom_ppi_dataset, tmp_path) -> None:
+    """PDB -> atomic featurization -> blocked-edge VanillaNetwork training —
+    the per-edge-feature fast path end to end, and checkpoint interop with
+    the COO model (same parameter pytree)."""
+    from deeprank2_tpu.neuralnets.gnn.vanilla_gnn import VanillaNetwork, VanillaNetworkBlocked
+
+    ds = GraphDataset(hdf5_path=atom_ppi_dataset, target="binary")
+    trainer = Trainer(VanillaNetworkBlocked, dataset_train=ds, output_exporters=[])
+    model_path = str(tmp_path / "blocked.pth.tar")
+    trainer.train(nepoch=2, batch_size=2, filename=model_path)
+
+    # a checkpoint trained on the blocked path loads on the COO model
+    ds_test = GraphDataset(hdf5_path=atom_ppi_dataset, train_source=model_path)
+    trainer2 = Trainer(VanillaNetwork, dataset_test=ds_test, pretrained_model=model_path)
+    trainer2.test(batch_size=2)
