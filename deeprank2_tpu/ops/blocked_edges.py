@@ -43,7 +43,9 @@ import numpy as np
 
 # nodes per tile: the one-hot edge of the gather/scatter matmuls
 EDGE_TILE = 256
-# edges per grid slab (one destination tile each)
+# edges per grid slab (one destination tile each). A 2048/K_SUB=8 variant
+# halves the grid but its Mosaic compile exceeds 8 minutes on this box —
+# 1024/4 keeps compiles ~1-2 min at 157M edges/s (bf16, 100k-node graph).
 TILE_E = 1024
 # sub-blocks per slab; each sub-block of SUB_E = TILE_E // K_SUB edges has its
 # own source tile, so (row, col) runs pad to SUB_E instead of TILE_E
