@@ -663,3 +663,66 @@ def test_multi_epoch_cnn_train_parity(grid_hdf5) -> None:
         np.testing.assert_allclose(
             np.asarray(params[name][leaf]), tp[f"{name}.{leaf}"].detach().numpy(), rtol=5e-4, atol=1e-5
         )
+
+
+def test_multi_epoch_blocked_vs_coo_train_parity(srv_hdf5) -> None:
+    """Three epochs x multiple batches of REAL featurized data: the
+    blocked-edge VanillaNetwork and the COO VanillaNetwork train in lockstep
+    from identical parameters — same loss at every optimizer step, same
+    final parameters (accumulated-drift check for the fast path's custom
+    VJP through Adam moments)."""
+    from deeprank2_tpu.dataset import GraphDataset
+    from deeprank2_tpu.neuralnets.gnn.vanilla_gnn import VanillaNetwork, VanillaNetworkBlocked
+    from deeprank2_tpu.ops.batch import collate_graphs, collate_graphs_blocked
+    from deeprank2_tpu.ops.losses import CrossEntropyLoss
+    from deeprank2_tpu.ops.optim import Adam
+
+    feats = ["res_charge", "res_size", "res_mass", "res_pI", "pssm", "info_content"]
+    ds = GraphDataset(
+        hdf5_path=srv_hdf5,
+        target="binary",
+        task="classif",
+        node_features=feats,
+        features_transform={f: {"standardize": True} for f in feats},
+    )
+    entries = [ds.get(i) for i in range(len(ds))]
+    coo_batches = [collate_graphs(entries[i : i + 4])[0] for i in range(0, len(entries), 4)]
+    blk_batches = [collate_graphs_blocked(entries[i : i + 4])[0] for i in range(0, len(entries), 4)]
+    assert len(coo_batches) >= 2
+
+    feat_dim = coo_batches[0].x.shape[1]
+    edge_dim = coo_batches[0].edge_attr.shape[1]
+    model_coo = VanillaNetwork(feat_dim, 2, edge_dim)
+    model_blk = VanillaNetworkBlocked(feat_dim, 2, edge_dim)
+    params0 = model_coo.init(jax.random.PRNGKey(13))
+    loss_fn = CrossEntropyLoss()
+    optimizer = Adam(lr=1e-3, weight_decay=1e-5)
+
+    def make_step(model):
+        @jax.jit
+        def step(p, s, batch):
+            def compute(p):
+                pred = model.apply(p, batch, training=False)
+                return loss_fn(pred, batch.y.astype(jnp.int32), batch.y_mask)
+
+            loss, grads = jax.value_and_grad(compute)(p)
+            p, s = optimizer.step(p, grads, s)
+            return p, s, loss
+
+        return step
+
+    step_coo, step_blk = make_step(model_coo), make_step(model_blk)
+    p_coo = p_blk = params0
+    s_coo = optimizer.init(params0)
+    s_blk = optimizer.init(params0)
+    for _epoch in range(3):
+        for cb, bb in zip(coo_batches, blk_batches):
+            p_coo, s_coo, loss_coo = step_coo(p_coo, s_coo, cb)
+            p_blk, s_blk, loss_blk = step_blk(p_blk, s_blk, bb)
+            np.testing.assert_allclose(float(loss_blk), float(loss_coo), rtol=2e-4)
+
+    from jax.flatten_util import ravel_pytree
+
+    flat_coo, _ = ravel_pytree(p_coo)
+    flat_blk, _ = ravel_pytree(p_blk)
+    np.testing.assert_allclose(np.asarray(flat_blk), np.asarray(flat_coo), rtol=5e-3, atol=2e-4)
