@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from deeprank2_tpu.neuralnets import nn
 from deeprank2_tpu.neuralnets.gnn.ginet_nocluster import GINet as GINetCOO
 from deeprank2_tpu.ops.batch import BlockSparseBatch
-from deeprank2_tpu.ops.block_sparse import bcsr_spmm
+from deeprank2_tpu.ops.block_sparse import bcsr_spmm_t
 from deeprank2_tpu.ops.pooling import graph_mean_pool
 
 
@@ -55,25 +55,29 @@ class GINetBlockSparse:
 
     def apply(self, params: dict, batch: BlockSparseBatch, training: bool = False, rng: jax.Array | None = None) -> jnp.ndarray:
         act = nn.relu
-        spmm = lambda h: bcsr_spmm(batch.structure, h, precision=self.precision, compute_dtype=self.compute_dtype)  # noqa: E731
+        spmm_t = lambda h_t: bcsr_spmm_t(batch.structure, h_t, precision=self.precision, compute_dtype=self.compute_dtype)  # noqa: E731
+        # the whole tower runs in the kernel's native transposed [F, V]
+        # layout — one transpose in, one out. Measured on v5e this matches
+        # the [V, F] formulation exactly (XLA's layout assignment already
+        # elided the per-SpMM transposes); keeping the layout explicit makes
+        # that independent of the compiler's mood. Transposed linear (conv
+        # fc maps are bias-free):
+        lin_t = lambda p, x_t: jnp.dot(p["w"].T, x_t) + (p["b"][:, None] if "b" in p else 0.0)  # noqa: E731
 
+        x_t = batch.x.T  # [F, V]
         # layer 1, both towers in one SpMM (channels [0:16] = internal tower)
-        fcx = jnp.concatenate(
-            [nn.linear(params["conv1"]["fc"], batch.x), nn.linear(params["conv1_ext"]["fc"], batch.x)],
-            axis=1,
-        )
-        h = act(spmm(fcx))
-        h_int, h_ext = h[:, :16], h[:, 16:]
+        fcx_t = jnp.concatenate([lin_t(params["conv1"]["fc"], x_t), lin_t(params["conv1_ext"]["fc"], x_t)], axis=0)
+        h_t = act(spmm_t(fcx_t))
 
         # layer 2
-        fcx2 = jnp.concatenate(
-            [nn.linear(params["conv2"]["fc"], h_int), nn.linear(params["conv2_ext"]["fc"], h_ext)],
-            axis=1,
+        fcx2_t = jnp.concatenate(
+            [lin_t(params["conv2"]["fc"], h_t[:16]), lin_t(params["conv2_ext"]["fc"], h_t[16:])],
+            axis=0,
         )
-        h2 = act(spmm(fcx2))
-        h2 = h2 * batch.node_mask[:, None]
+        h2_t = act(spmm_t(fcx2_t))
+        h2_t = h2_t * batch.node_mask[None, :]
 
-        pooled = graph_mean_pool(h2, batch.node_graph, batch.num_graphs)
+        pooled = graph_mean_pool(h2_t.T, batch.node_graph, batch.num_graphs)
         # COO model concatenates [internal_tower, external_tower] after pooling
         # — the fused channels are already in that order.
         out = nn.relu(nn.linear(params["fc1"], pooled))

@@ -75,7 +75,14 @@ _CELL = 8.0  # Å — locality-sort cell size (≈ 2x the atomic contact cutoff)
 def locality_order(positions: np.ndarray, cell: float = _CELL) -> np.ndarray:
     """Node permutation that clusters spatial neighbours: lexsort by 8 Å grid
     cell, then by coordinates within the cell. Geometric-cutoff graphs sorted
-    this way have ~1-2 % nonzero-block fill at B = 128."""
+    this way have ~1-2 % nonzero-block fill at B = 128.
+
+    Measured alternatives on a 100k-node protein-density graph (4.5 Å
+    cutoff), both WORSE than this lexsort: reverse Cuthill-McKee gives +50 %
+    nonzero blocks (bandwidth minimization spreads neighbours thinly along
+    the band instead of densifying local blocks) and Morton/Z-order on the
+    cells gives +37 % at any cell size 6-12 Å (octant jumps break the
+    within-column contiguity the final coordinate sort provides)."""
     pos = np.asarray(positions, dtype=np.float64)
     q = np.floor(pos / cell).astype(np.int64)
     return np.lexsort((pos[:, 2], pos[:, 1], pos[:, 0], q[:, 2], q[:, 1], q[:, 0]))
@@ -342,19 +349,53 @@ def bcsr_spmm(
     return spmm(x)
 
 
+def bcsr_spmm_t(
+    structure: BlockSparseStructure,
+    x_t: jnp.ndarray,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    compute_dtype: jnp.dtype | None = None,
+) -> jnp.ndarray:
+    """``A @ x`` with transposed ``[F, padded_nodes] -> [F, padded_rows]``
+    input/output — the layout the kernel computes in natively. Models that
+    keep activations transposed between layers (`GINetBlockSparse`) skip the
+    per-SpMM ``x.T`` / ``out.T`` HBM round-trips this way. Same symmetry/
+    differentiability contract as :func:`bcsr_spmm`."""
+    if not structure.symmetric:
+        msg = "bcsr_spmm_t requires a symmetric structure (see bcsr_spmm)"
+        raise ValueError(msg)
+    if x_t.shape[1] != structure.padded_nodes:
+        msg = f"x_t has {x_t.shape[1]} cols; structure expects {structure.padded_nodes}"
+        raise ValueError(msg)
+
+    @jax.custom_vjp
+    def spmm(x_t):
+        return _spmm_impl(structure, x_t, precision, compute_dtype, transposed_io=True)
+
+    def fwd(x_t):
+        return spmm(x_t), None
+
+    def bwd(_, g):
+        return (_spmm_impl(structure, g, precision, compute_dtype, transposed_io=True),)
+
+    spmm.defvjp(fwd, bwd)
+    return spmm(x_t)
+
+
 _XCHUNK_VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def _spmm_impl(structure: BlockSparseStructure, x: jnp.ndarray, precision, compute_dtype=None) -> jnp.ndarray:
+def _spmm_impl(structure: BlockSparseStructure, x: jnp.ndarray, precision, compute_dtype=None, transposed_io: bool = False) -> jnp.ndarray:
     """Raw (non-differentiable) ``A_slice @ x``: x has ``padded_nodes`` rows
-    (the full column space), the output has ``padded_rows`` rows."""
+    (the full column space), the output has ``padded_rows`` rows; with
+    ``transposed_io`` both sides are ``[F, nodes]`` instead."""
     cd = jnp.dtype(compute_dtype) if compute_dtype is not None else jnp.dtype(jnp.float32)
     if cd.itemsize == 2:
         # bf16 operands run single-pass; HIGHEST is an f32-only request and
         # Mosaic rejects the combination ("Bad lhs type")
         precision = jax.lax.Precision.DEFAULT
     sublane = 16 if cd.itemsize == 2 else 8
-    fw = x.shape[1] + (-x.shape[1]) % sublane
+    feat = x.shape[0] if transposed_io else x.shape[1]
+    fw = feat + (-feat) % sublane
     chunk_tiles = min(CHUNK_TILES, structure.num_tiles)
     if effective_platform() == "tpu" and fw * chunk_tiles * structure.block * cd.itemsize <= _XCHUNK_VMEM_BUDGET:
         return _bcsr_spmm_tpu(
@@ -370,7 +411,10 @@ def _spmm_impl(structure: BlockSparseStructure, x: jnp.ndarray, precision, compu
             num_row_tiles=structure.num_row_tiles,
             precision=precision,
             compute_dtype=cd.name,
+            transposed_io=transposed_io,
         )
+    if transposed_io:
+        return bcsr_spmm_xla(structure, x.T, precision).T
     return bcsr_spmm_xla(structure, x, precision)
 
 
@@ -494,20 +538,36 @@ def _kernel_stream(
             flush(sub)
 
 
-@functools.partial(jax.jit, static_argnames=("num_tiles", "num_chunks", "block", "num_row_tiles", "precision", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("num_tiles", "num_chunks", "block", "num_row_tiles", "precision", "compute_dtype", "transposed_io"))
 def _bcsr_spmm_tpu(
-    blocks_t, block_col, batch_row, batch_chunk, visited, x, *, num_tiles, num_chunks, block, precision, num_row_tiles=None, compute_dtype="float32"
+    blocks_t,
+    block_col,
+    batch_row,
+    batch_chunk,
+    visited,
+    x,
+    *,
+    num_tiles,
+    num_chunks,
+    block,
+    precision,
+    num_row_tiles=None,
+    compute_dtype="float32",
+    transposed_io=False,
 ):
     if num_row_tiles is None:
         num_row_tiles = num_tiles
     cd = jnp.dtype(compute_dtype)
-    feat = x.shape[1]
+    feat = x.shape[0] if transposed_io else x.shape[1]
     pad_f = (-feat) % (16 if cd.itemsize == 2 else 8)  # sublane quantum for the [F, N] layout
-    if pad_f:
-        x = jnp.pad(x, ((0, 0), (0, pad_f)))
+    if transposed_io:
+        x_t = (jnp.pad(x, ((0, pad_f), (0, 0))) if pad_f else x).astype(cd)
+    else:
+        if pad_f:
+            x = jnp.pad(x, ((0, 0), (0, pad_f)))
+        x_t = x.T.astype(cd)  # [F, N]: features on sublanes, nodes on lanes
     fw = feat + pad_f
     chunk_tiles = min(CHUNK_TILES, num_tiles) if num_chunks == 1 else CHUNK_TILES
-    x_t = x.T.astype(cd)  # [F, N]: features on sublanes, nodes on lanes
     pad_n = num_chunks * chunk_tiles * block - x_t.shape[1]
     if pad_n:
         x_t = jnp.pad(x_t, ((0, 0), (0, pad_n)))
@@ -550,4 +610,6 @@ def _bcsr_spmm_tpu(
     # so select (not multiply) them away before summing
     mask = jnp.repeat(visited, block, axis=1)[:, None, :]  # [C, 1, N]
     out_t = jnp.where(mask, slabs, 0.0).sum(axis=0)
+    if transposed_io:
+        return out_t[:feat].astype(x.dtype)
     return out_t[:feat].T.astype(x.dtype)
