@@ -282,3 +282,26 @@ def test_collate_blocksparse_buckets() -> None:
     for t in range(8):
         real = gid[t][gid[t] < 4]
         assert len(set(real.tolist())) <= 1
+
+
+def test_bcsr_spmm_transposed_io():
+    """bcsr_spmm_t == bcsr_spmm modulo the transpose, forward and VJP."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeprank2_tpu.ops.block_sparse import bcsr_spmm, bcsr_spmm_t, build_blocksparse
+
+    rng = np.random.default_rng(4)
+    n = 300
+    und = rng.integers(0, n, size=(1500, 2))
+    und = und[und[:, 0] != und[:, 1]]
+    st = build_blocksparse(und, n)
+    x = jnp.asarray(rng.normal(size=(st.padded_nodes, 24)), dtype=jnp.float32)
+
+    out = bcsr_spmm(st, x)
+    out_t = bcsr_spmm_t(st, x.T)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out).T, rtol=1e-5, atol=1e-5)
+
+    g = jax.grad(lambda x: jnp.sum(jnp.cos(bcsr_spmm(st, x))))(x)
+    g_t = jax.grad(lambda xt: jnp.sum(jnp.cos(bcsr_spmm_t(st, xt))))(x.T)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g).T, rtol=1e-5, atol=1e-5)
