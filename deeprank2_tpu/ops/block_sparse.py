@@ -281,6 +281,12 @@ def build_blocksparse(
     nbatch_real = nb_pad // KBATCH
     batch_row[nbatch_real:] = batch_row[max(nbatch_real - 1, 0)]
     batch_chunk[nbatch_real:] = batch_chunk[max(nbatch_real - 1, 0)]
+    # ...and point their block_col INTO the routed chunk (like in-run zero
+    # pads) — np.zeros left them at global tile 0, which for a chunk > 0 makes
+    # the kernel's ``local = block_col - chunk*CHUNK_TILES`` negative and the
+    # xchunk slice out of bounds (garbage reads; harmless only by accident
+    # because the pad block is all-zero)
+    block_col[nb_pad:] = batch_chunk[max(nbatch_real - 1, 0)] * CHUNK_TILES
     if nb == 0:
         visited[0, 0] = True  # the artificial zero batch writes slab (0, 0)
 
@@ -320,8 +326,15 @@ def bcsr_spmm(
 
     ``compute_dtype=bfloat16`` runs the block matmuls with bf16 operands
     (single-pass MXU, f32 accumulation) and keeps the resident x^T chunk in
-    bf16 — the fast training path; the default (None) keeps f32 operands at
-    ``precision``.
+    bf16 — the fast training path; the default (None) keeps f32 operands.
+
+    Precision caveat (TPU kernel path): the f32 kernel always uses a bf16
+    hi+lo split of ``x`` against the exactly-bf16 0/1 adjacency (two
+    single-pass MXU matmuls, ~1e-5 relative error) regardless of
+    ``precision`` — Mosaic's HIGHEST is a 6-pass emulation ~3x slower and
+    rejects bf16 operands. Only the XLA fallback (CPU, or graphs whose x^T
+    chunk exceeds VMEM) honors ``precision`` exactly; callers needing
+    bit-exact HIGHEST should use :func:`bcsr_spmm_xla` directly.
     """
     if not structure.symmetric:
         msg = (

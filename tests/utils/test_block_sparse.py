@@ -94,6 +94,23 @@ def test_builder_matches_dense_adjacency() -> None:
         prev = cur
 
 
+def test_builder_trailing_pad_blocks_stay_in_chunk(monkeypatch) -> None:
+    """Capacity-pad slots beyond the last real batch must point their
+    block_col INTO the routed chunk: the kernel computes
+    ``local = block_col - batch_chunk*CHUNK_TILES`` and a stale global-tile-0
+    column under a chunk > 0 routing makes ``local`` negative (OOB xchunk
+    read — round-2 advisor finding)."""
+    monkeypatch.setattr(bs, "CHUNK_TILES", 2)
+    pos, pairs = _geometric_graph(900, seed=8)
+    st = build_blocksparse(pairs, 900)
+    assert st.num_chunks > 1
+    bc = np.asarray(st.block_col)
+    bchunk = np.asarray(st.batch_chunk)
+    local = bc - np.repeat(bchunk, KBATCH) * bs.CHUNK_TILES
+    assert (local >= 0).all()
+    assert (local < bs.CHUNK_TILES).all()
+
+
 def test_spmm_xla_matches_dense() -> None:
     pos, pairs = _geometric_graph(700, seed=2)
     st = build_blocksparse(pairs, 700)
@@ -112,8 +129,11 @@ def test_spmm_kernel_interpret_matches_xla() -> None:
     want = np.asarray(bcsr_spmm_xla(st, jnp.asarray(x)))
     try:
         got = _run_kernel_interpret(st, x)
-    except Exception as e:  # pragma: no cover - interpreter support varies
+    except NotImplementedError as e:  # pragma: no cover - interpreter support varies
         pytest.skip(f"pallas interpret mode unavailable here: {e}")
+    # any OTHER failure (IndexError, XlaRuntimeError, ...) is a real kernel
+    # bug and must fail the test — interpret mode is the kernel's only CPU
+    # coverage (the round-2 trailing-pad OOB hid behind a bare except here)
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
@@ -130,7 +150,7 @@ def test_spmm_kernel_chunked_interpret(monkeypatch) -> None:
         want = np.asarray(bcsr_spmm_xla(st, jnp.asarray(x)))
         try:
             got = _run_kernel_interpret(st, x)
-        except Exception as e:  # pragma: no cover
+        except NotImplementedError as e:  # pragma: no cover
             pytest.skip(f"pallas interpret mode unavailable here: {e}")
         np.testing.assert_allclose(got, want, atol=1e-4)
     finally:
