@@ -462,6 +462,7 @@ def blocksparse_layout(
     num_graphs = len(entries) if num_graphs is None else num_graphs
     feat_dim = entries[0]["x"].shape[1] if entries else 0
     xs, poss, graph_ids, masks, pairs = [], [], [], [], []
+    orders, offsets = [], []
     offset = 0
     for g, entry in enumerate(entries):
         v = entry["x"].shape[0]
@@ -471,6 +472,8 @@ def blocksparse_layout(
         cap = -(-v // block) * block
         und = np.asarray(entry["edge_index"], dtype=np.int64).reshape(-1, 2)
         pairs.append(inv[und] + offset)
+        orders.append(order)
+        offsets.append(offset)
         if features:
             x = np.zeros((cap, feat_dim), dtype=np.float32)
             x[:v] = entry["x"][order]
@@ -493,6 +496,10 @@ def blocksparse_layout(
         "pairs": np.concatenate(pairs) if pairs else np.zeros((0, 2), np.int64),
         "num_tiles": max(offset // block, 1),
         "feat_dim": feat_dim,
+        # per-entry locality orders and global node offsets: the clustered
+        # collate remaps host-side cluster assignments through these
+        "orders": orders,
+        "offsets": offsets,
     }
 
 
@@ -633,6 +640,282 @@ def collate_graphs_blocksparse_sharded(
         batches.append(batch)
         names.extend(shard_names)
     return jax.tree.map(lambda *leaves: np.stack(leaves), *batches), names
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class ClusteredBlockSparseBatch:
+    """Block-sparse batch for *clustered* models (GINet clustered / FoutNet /
+    sGAT) at atomic scale: the full graph AND its depth-0 community-pooled
+    graph both ride BCSR adjacencies, with every cluster/pooling lookup
+    precomputed host-side at collate (cluster assignments are static inputs —
+    the reference recomputes pooled edges per forward, community_pooling.py:165,
+    but they depend only on the batch).
+
+    Pooled-node rows live in their own locality order (clusters are spatially
+    tight, so the pooled adjacency stays banded); ``cluster0`` maps full-graph
+    node slots to pooled-node slots. ``deg``/``deg_p`` are neighbor counts
+    (the COO segment-mean denominators); ``wsum``/``wsum_p`` are weighted
+    adjacency row sums (sGAT's row-part coefficient; zero-size when the model
+    takes no edge weights).
+    """
+
+    x: jax.Array  # f32 [NT*B, F] node features in locality order (padded rows 0)
+    pos: jax.Array  # f32 [NT*B, 3]
+    node_graph: jax.Array  # i32 [NT*B] graph id per node; padded = G
+    node_mask: jax.Array  # bool [NT*B]
+    y: jax.Array  # f32 [G]
+    y_mask: jax.Array  # bool [G]
+    structure: "BlockSparseStructure"  # full-graph adjacency (weighted iff edge weights)
+    deg: jax.Array  # f32 [NT*B] full-graph neighbor counts
+    cluster0: jax.Array  # i32 [NT*B] node -> pooled-node slot; padded = NTp*B
+    structure_p: "BlockSparseStructure"  # pooled-graph adjacency (distinct cluster pairs)
+    deg_p: jax.Array  # f32 [NTp*B] pooled neighbor counts (distinct clusters)
+    pooled_node_graph: jax.Array  # i32 [NTp*B]; padded = G
+    pooled_node_mask: jax.Array  # bool [NTp*B]
+    cluster1: jax.Array  # i32 [NTp*B] pooled node -> depth-1 slot; padded = C1 cap
+    c1_graph: jax.Array  # i32 [C1] graph id per depth-1 slot; padded = G
+    wsum: jax.Array  # f32 [NT*B] weighted row sums ([0] when unused)
+    wsum_p: jax.Array  # f32 [NTp*B] pooled weighted row sums ([0] when unused)
+    num_graphs: int = field(metadata={"static": True})
+
+    @property
+    def num_nodes(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def num_pooled_nodes(self) -> int:
+        return self.cluster1.shape[0]
+
+
+def collate_graphs_blocksparse_clustered(
+    entries: list[dict],
+    block: int = 128,
+    pad_tiles: int | None = None,
+    pad_blocks: int | None = None,
+    pad_pooled_tiles: int | None = None,
+    pad_pooled_blocks: int | None = None,
+    pad_c1: int | None = None,
+    pad_graphs: int | None = None,
+    with_edge_weights: bool = False,
+    weight_dtype: np.dtype | None = None,
+) -> tuple[ClusteredBlockSparseBatch, list[str]]:
+    """Collate entries (the :func:`collate_graphs` schema, ``cluster0``/
+    ``cluster1`` required) into a :class:`ClusteredBlockSparseBatch`.
+
+    Pooled-graph semantics mirror :func:`deeprank2_tpu.ops.pooling.community_pool`
+    (PyG parity): self-loop cluster pairs dropped, duplicate pairs coalesced;
+    with ``with_edge_weights`` the coalesced pair weight is the SUM of member
+    edge weights over the first edge-attr channel (PyG ``coalesce`` sums
+    attrs; the dense path does the same, :func:`collate_graphs_dense`).
+    All ``pad_*`` arguments may be ints or ``required -> capacity`` callables.
+    """
+    from deeprank2_tpu.ops.block_sparse import build_blocksparse, locality_order
+
+    num_real = len(entries)
+    num_graphs = pad_graphs or num_real
+    if num_real > num_graphs:
+        msg = f"{num_real} entries exceed pad_graphs={num_graphs}"
+        raise ValueError(msg)
+    names = [e["entry_name"] for e in entries] + [""] * (num_graphs - num_real)
+
+    layout = blocksparse_layout(entries, block, num_graphs)
+    xs, poss, graph_ids, masks = layout["xs"], layout["poss"], layout["graph_ids"], layout["masks"]
+    feat_dim = layout["feat_dim"]
+    num_tiles = layout["num_tiles"]
+
+    # ---- per-entry pooled-node layout + cluster remapping ----------------
+    cluster0_cols: list[np.ndarray] = []  # per-entry, in full locality order
+    pooled_graph_ids: list[np.ndarray] = []
+    pooled_masks: list[np.ndarray] = []
+    cluster1_cols: list[np.ndarray] = []
+    c1_graphs: list[np.ndarray] = []
+    pooled_pairs: list[np.ndarray] = []
+    pooled_weights: list[np.ndarray] = []
+    weights_full: list[np.ndarray] = []
+    p_offset = 0
+    c1_off = 0
+    for g, entry in enumerate(entries):
+        v = entry["x"].shape[0]
+        order = layout["orders"][g]
+        c0 = np.asarray(entry["cluster0"], dtype=np.int64)
+        c1 = np.asarray(entry["cluster1"], dtype=np.int64)
+        if c0.shape[0] != v:
+            msg = f"cluster0 has {c0.shape[0]} entries for {v} nodes"
+            raise ValueError(msg)
+        n_c0 = int(c0.max()) + 1 if c0.size else 0
+        n_c1 = int(c1.max()) + 1 if c1.size else 0
+
+        # pooled locality order from cluster mean positions
+        pos = np.asarray(entry["pos"], dtype=np.float64)
+        psum = np.zeros((n_c0, 3))
+        np.add.at(psum, c0, pos)
+        counts = np.bincount(c0, minlength=n_c0).astype(np.float64)
+        pmean = psum / np.maximum(counts, 1.0)[:, None]
+        p_order = locality_order(pmean) if n_c0 > block else np.arange(n_c0)
+        p_inv = np.empty(n_c0, dtype=np.int64)
+        p_inv[p_order] = np.arange(n_c0)
+
+        p_cap = max(-(-n_c0 // block) * block, block)
+        # cluster0 column for this entry's full-graph rows (locality order)
+        cap = -(-v // block) * block
+        col = np.full(cap, -1, dtype=np.int64)  # -1 marks padding; fixed up below
+        col[:v] = p_inv[c0[order]] + p_offset
+        cluster0_cols.append(col)
+
+        pg = np.full(p_cap, num_graphs, dtype=np.int32)
+        pg[:n_c0] = g
+        pooled_graph_ids.append(pg)
+        pm = np.zeros(p_cap, dtype=bool)
+        pm[:n_c0] = True
+        pooled_masks.append(pm)
+
+        # cluster1 indexed by depth-0 cluster id -> pooled slot order
+        c1_col = np.full(p_cap, -1, dtype=np.int64)
+        c1_col[:n_c0] = c1[p_order] + c1_off
+        cluster1_cols.append(c1_col)
+        # only ids actually hit by a pooled node count toward the per-graph
+        # mean (COO max_pool_x parity: unhit slots keep an OOB graph id)
+        cg = np.full(n_c1, -1, dtype=np.int64)
+        if c1.size:
+            cg[np.unique(c1)] = g
+        c1_graphs.append(cg)
+
+        # pooled edges: map member edges, drop self-loops, coalesce
+        und = np.asarray(entry["edge_index"], dtype=np.int64).reshape(-1, 2)
+        w = None
+        if with_edge_weights:
+            if und.size:
+                ea = np.asarray(entry["edge_attr"], dtype=np.float32).reshape(len(und), -1)
+                w = ea[:, 0]
+            else:
+                w = np.zeros(0, np.float32)
+            weights_full.append(w)
+        pi = p_inv[c0[und[:, 0]]] if und.size else np.zeros(0, np.int64)
+        pj = p_inv[c0[und[:, 1]]] if und.size else np.zeros(0, np.int64)
+        keep = pi != pj
+        pi, pj = pi[keep], pj[keep]
+        lo, hi = np.minimum(pi, pj), np.maximum(pi, pj)
+        pair_key = lo * p_cap + hi
+        uniq_key, inverse = np.unique(pair_key, return_inverse=True)
+        up = np.stack([uniq_key // p_cap, uniq_key % p_cap], axis=1) + p_offset
+        pooled_pairs.append(up)
+        if with_edge_weights:
+            pw = np.zeros(len(uniq_key), dtype=np.float32)
+            np.add.at(pw, inverse, w[keep])
+            pooled_weights.append(pw)
+
+        p_offset += p_cap
+        c1_off += n_c1
+
+    num_pooled_tiles = max(p_offset // block, 1)
+    if callable(pad_pooled_tiles):
+        pad_pooled_tiles = pad_pooled_tiles(num_pooled_tiles)
+    if pad_pooled_tiles is not None:
+        if pad_pooled_tiles < num_pooled_tiles:
+            msg = f"pad_pooled_tiles={pad_pooled_tiles} < required {num_pooled_tiles}"
+            raise ValueError(msg)
+        extra = (pad_pooled_tiles - num_pooled_tiles) * block
+        if extra:
+            pooled_graph_ids.append(np.full(extra, num_graphs, np.int32))
+            pooled_masks.append(np.zeros(extra, bool))
+            cluster1_cols.append(np.full(extra, -1, np.int64))
+        num_pooled_tiles = pad_pooled_tiles
+    pooled_cap = num_pooled_tiles * block
+
+    if callable(pad_tiles):
+        pad_tiles = pad_tiles(num_tiles)
+    if pad_tiles is not None:
+        if pad_tiles < num_tiles:
+            msg = f"pad_tiles={pad_tiles} < required {num_tiles}"
+            raise ValueError(msg)
+        extra = (pad_tiles - num_tiles) * block
+        if extra:
+            xs.append(np.zeros((extra, feat_dim), np.float32))
+            poss.append(np.zeros((extra, 3), np.float32))
+            graph_ids.append(np.full(extra, num_graphs, np.int32))
+            masks.append(np.zeros(extra, bool))
+            cluster0_cols.append(np.full(extra, -1, np.int64))
+        num_tiles = pad_tiles
+    node_cap = num_tiles * block
+
+    n_c1_total = max(c1_off, 1)
+    if callable(pad_c1):
+        pad_c1 = pad_c1(n_c1_total)
+    c1_cap = max(pad_c1 or 0, n_c1_total)
+    if (pad_c1 or 0) and pad_c1 < n_c1_total:
+        msg = f"pad_c1={pad_c1} < required {n_c1_total}"
+        raise ValueError(msg)
+
+    cluster0 = np.concatenate(cluster0_cols) if cluster0_cols else np.zeros(0, np.int64)
+    cluster0 = np.where(cluster0 < 0, pooled_cap, cluster0).astype(np.int32)
+    cluster1 = np.concatenate(cluster1_cols) if cluster1_cols else np.zeros(0, np.int64)
+    cluster1 = np.where(cluster1 < 0, c1_cap, cluster1).astype(np.int32)
+    c1_graph = np.full(c1_cap, num_graphs, dtype=np.int32)
+    if c1_graphs:
+        cg = np.concatenate(c1_graphs)
+        c1_graph[: len(cg)] = np.where(cg < 0, num_graphs, cg)
+
+    pairs = layout["pairs"]
+    w_full = np.concatenate(weights_full) if with_edge_weights and weights_full else None
+    structure = build_blocksparse(
+        pairs, num_nodes=node_cap, block=block, pad_blocks_to=pad_blocks, weights=w_full, weight_dtype=weight_dtype
+    )
+    p_pairs = np.concatenate(pooled_pairs) if pooled_pairs else np.zeros((0, 2), np.int64)
+    p_w = np.concatenate(pooled_weights) if with_edge_weights and pooled_weights else None
+    structure_p = build_blocksparse(
+        p_pairs, num_nodes=pooled_cap, block=block, pad_blocks_to=pad_pooled_blocks, weights=p_w, weight_dtype=weight_dtype
+    )
+
+    # degrees / weighted row sums (segment-mean denominators + sGAT row part)
+    deg = np.zeros(node_cap, dtype=np.float32)
+    if pairs.size:
+        np.add.at(deg, pairs[:, 0], 1.0)
+        np.add.at(deg, pairs[:, 1], 1.0)
+    deg_p = np.zeros(pooled_cap, dtype=np.float32)
+    if p_pairs.size:
+        np.add.at(deg_p, p_pairs[:, 0], 1.0)
+        np.add.at(deg_p, p_pairs[:, 1], 1.0)
+    if with_edge_weights:
+        wsum = np.zeros(node_cap, dtype=np.float32)
+        if pairs.size and w_full is not None:
+            np.add.at(wsum, pairs[:, 0], w_full)
+            np.add.at(wsum, pairs[:, 1], w_full)
+        wsum_p = np.zeros(pooled_cap, dtype=np.float32)
+        if p_pairs.size and p_w is not None:
+            np.add.at(wsum_p, p_pairs[:, 0], p_w)
+            np.add.at(wsum_p, p_pairs[:, 1], p_w)
+    else:
+        wsum = np.zeros(0, dtype=np.float32)
+        wsum_p = np.zeros(0, dtype=np.float32)
+
+    y = np.zeros(num_graphs, dtype=np.float32)
+    y_mask = np.zeros(num_graphs, dtype=bool)
+    for g, entry in enumerate(entries):
+        if entry.get("y") is not None:
+            y[g] = entry["y"]
+            y_mask[g] = True
+
+    return ClusteredBlockSparseBatch(
+        x=np.concatenate(xs),
+        pos=np.concatenate(poss),
+        node_graph=np.concatenate(graph_ids),
+        node_mask=np.concatenate(masks),
+        y=y,
+        y_mask=y_mask,
+        structure=structure,
+        deg=deg,
+        cluster0=cluster0,
+        structure_p=structure_p,
+        deg_p=deg_p,
+        pooled_node_graph=np.concatenate(pooled_graph_ids),
+        pooled_node_mask=np.concatenate(pooled_masks),
+        cluster1=cluster1,
+        c1_graph=c1_graph,
+        wsum=wsum,
+        wsum_p=wsum_p,
+        num_graphs=num_graphs,
+    ), names
 
 
 @jax.tree_util.register_dataclass

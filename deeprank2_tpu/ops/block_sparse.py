@@ -50,25 +50,29 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 DEFAULT_BLOCK = 128
-# adjacency blocks per grid step / per MXU contraction. Measured on v5e: the
-# grid is per-step-overhead-bound (~0.9 us/step at any payload <= 256 KB), so
-# 16 int8 blocks per step (256 KB) halves the step count over 8 and wins ~10 %
-# on the raw SpMM even though run zero-padding grows ~30 %. Re-measured via
-# scan-chained best-of-3 on a 100k-node graph: 32 is within noise of 16 on
-# the raw SpMM (~7 ms both) but regresses the full train step ~12 % (the
-# extra +32 % run-padding blocks cost real HBM streaming), and 64 regresses
-# outright — 16 stays the sweet spot.
-KBATCH = 16
-# KBATCH sub-batches per Pallas grid step: the grid is per-step-overhead-bound
-# (~0.5-0.9 us/step), so each step processes SUPER sub-batches and writes
-# completed (chunk, row-tile) output tiles with explicit async DMA (each run
-# is visited exactly once per SpMM, so flushes are plain writes). Capacity
-# therefore pads to KBATCH*SUPER blocks; run padding stays KBATCH-granular.
-SUPER = 4
+# adjacency blocks per run-padding quantum / per MXU contraction. Runs are
+# zero-padded to a KBATCH multiple; on banded atomic graphs the mean run
+# length is ~15 blocks, so KBATCH=16 pads the stream ~50 % while KBATCH=8
+# pads ~18 % — but the round-3 sweep (tests/perf/bcsr_decompose.py, v5e,
+# 100k-node graph) measured the SAME step time for both stream sizes: the
+# kernel is not HBM-bound at these shapes, so the smaller padding buys
+# nothing and KBATCH=16 keeps the fuller MXU contraction. Sweepable via
+# DR2_BCSR_* env vars.
+KBATCH = int(_os.environ.get("DR2_BCSR_KBATCH", "16"))
+# KBATCH sub-batches per Pallas grid step: each step processes SUPER
+# sub-batches and writes completed (chunk, row-tile) output tiles with
+# explicit async DMA (each run is visited exactly once per SpMM, so flushes
+# are plain writes; waits are deferred one run via the parity double-buffer,
+# see _kernel_stream). Capacity pads to KBATCH*SUPER blocks; run padding
+# stays KBATCH-granular. Round-3 sweep: SUPER=8 beats 4 by ~3 % (fewer
+# grid steps); 8x16 int8 blocks/step = 2 MB pipelined payload.
+SUPER = int(_os.environ.get("DR2_BCSR_SUPER", "8"))
 # tiles per x^T column chunk: sized so an F=64 f32 chunk fits the VMEM budget
 # next to the (now SUPER-deep) double-buffered block pipeline
-CHUNK_TILES = 320
+CHUNK_TILES = int(_os.environ.get("DR2_BCSR_CHUNK_TILES", "320"))
 _CELL = 8.0  # Å — locality-sort cell size (≈ 2x the atomic contact cutoff)
 
 
@@ -182,6 +186,8 @@ def build_blocksparse(
     row_tile_range: tuple[int, int] | None = None,
     col_tile_range: tuple[int, int] | None = None,
     to_device: bool = True,
+    weights: np.ndarray | None = None,
+    weight_dtype: np.dtype | None = None,
 ) -> BlockSparseStructure:
     """BCSR structure from *undirected* node-index pairs (mirrored internally,
     so the adjacency is symmetric by construction). Node indices must already
@@ -202,11 +208,25 @@ def build_blocksparse(
     that range — the rectangular bucket ``A[t0*B : t1*B, c0*B : c1*B]`` whose
     SpMM consumes only shard ``s``'s node block (the ppermute ring's rotating
     buffer; see ``parallel.blocksparse_partition.ring_bcsr_spmm``).
+
+    ``weights`` (f32 [num_pairs]) builds a *weighted* symmetric adjacency:
+    entry (i, j) and (j, i) both carry the pair's weight (the sGAT
+    edge-weighted aggregation). Duplicate pairs accumulate. Storage dtype is
+    ``weight_dtype`` (default bfloat16: ~0.4 % relative error, halved stream
+    bytes, and what the TPU kernel's single-pass MXU path consumes anyway;
+    float32 keeps the XLA fallback exact for oracle tests).
     """
     und = np.asarray(und_pairs, dtype=np.int64).reshape(-1, 2)
     num_tiles = max(-(-num_nodes // block), 1)
     rows = np.concatenate([und[:, 0], und[:, 1]])
     cols = np.concatenate([und[:, 1], und[:, 0]])
+    wvals = None
+    if weights is not None:
+        w = np.asarray(weights, dtype=np.float32).reshape(-1)
+        if w.shape[0] != und.shape[0]:
+            msg = f"weights has {w.shape[0]} entries for {und.shape[0]} pairs"
+            raise ValueError(msg)
+        wvals = np.concatenate([w, w])
     if rows.size and (rows.max() >= num_nodes or rows.min() < 0):
         msg = f"edge index out of range: max {rows.max()} for {num_nodes} nodes"
         raise ValueError(msg)
@@ -217,10 +237,12 @@ def build_blocksparse(
     if row_tile_range is not None:
         sel = (bi >= t0) & (bi < t1)
         rows, cols, bi, bj = rows[sel], cols[sel], bi[sel], bj[sel]
+        wvals = wvals[sel] if wvals is not None else None
     if col_tile_range is not None:
         c0, c1 = col_tile_range
         sel = (bj >= c0) & (bj < c1)
         rows, cols, bi, bj = rows[sel], cols[sel] - c0 * block, bi[sel], bj[sel] - c0
+        wvals = wvals[sel] if wvals is not None else None
         num_tiles = max(c1 - c0, 1)
     num_chunks = -(-num_tiles // CHUNK_TILES)
     bi_local = bi - t0
@@ -250,7 +272,8 @@ def build_blocksparse(
         msg = f"pad_blocks={pad_blocks_to} < required {nb_pad}"
         raise ValueError(msg)
 
-    blocks = np.zeros((cap, block, block), dtype=np.int8)
+    block_dtype = np.int8 if wvals is None else np.float32
+    blocks = np.zeros((cap, block, block), dtype=block_dtype)
     block_row = np.zeros(cap, dtype=np.int32)
     block_col = np.zeros(cap, dtype=np.int32)
     block_chunk = np.zeros(cap, dtype=np.int32)
@@ -272,7 +295,10 @@ def build_blocksparse(
     k[order] = slot[inverse_sorted]
     # transposed fill: [slot, col-within, row-within]
     if len(key):
-        blocks[k, cols % block, rows % block] = 1
+        if wvals is None:
+            blocks[k, cols % block, rows % block] = 1
+        else:
+            np.add.at(blocks, (k, cols % block, rows % block), wvals)
 
     batch_row = block_row[::KBATCH].astype(np.int32)
     batch_chunk = block_chunk[::KBATCH].astype(np.int32)
@@ -294,8 +320,16 @@ def build_blocksparse(
     # ring/partitioned collates) stack dozens of structures and transfer the
     # stacked result once instead of per-leaf-per-structure
     conv = jnp.asarray if to_device else np.asarray
+    if wvals is None:
+        store_dtype = np.int8
+    elif weight_dtype is not None:
+        store_dtype = weight_dtype
+    else:
+        import ml_dtypes
+
+        store_dtype = ml_dtypes.bfloat16
     return BlockSparseStructure(
-        blocks_t=conv(blocks, dtype=np.int8),
+        blocks_t=conv(blocks, dtype=store_dtype),
         block_row=conv(block_row),
         block_col=conv(block_col),
         batch_row=conv(batch_row),
@@ -460,6 +494,7 @@ def _kernel_stream(
     xchunk,
     xcat_buf,
     acc,
+    runct,
     sem_x,
     sem_out,
     *,
@@ -473,17 +508,28 @@ def _kernel_stream(
     """One grid step = SUPER sub-batches of KBATCH blocks each. The output
     tile of a (chunk, row-tile) run accumulates in a VMEM scratch and is
     DMA'd to its HBM slab when the run ends (each run is visited exactly
-    once per SpMM, so the flush is a plain write — see module docstring)."""
+    once per SpMM, so the flush is a plain write — see module docstring).
+
+    The accumulator is double-buffered by run parity and the flush's wait is
+    deferred until the SAME-parity buffer is next reused (two runs later) —
+    a synchronous ``start(); wait()`` per run cost ~0.2 us x ~1000 runs per
+    SpMM on v5e (round-3 sweep: time was invariant to both stream bytes and
+    sub-batch count, leaving flush-wait latency as the residual).
+    ``runct[0]`` counts runs started so far; ``runct[1]`` holds the current
+    run's parity."""
     bi = pl.program_id(0)
 
-    def flush(sub):
-        cp = pltpu.make_async_copy(
-            acc,
+    def flush_cp(sub, parity):
+        return pltpu.make_async_copy(
+            acc.at[parity],
             out_hbm.at[batch_chunk_ref[sub], :, pl.ds(batch_row_ref[sub] * block, block)],
-            sem_out,
+            sem_out.at[parity],
         )
-        cp.start()
-        cp.wait()
+
+    @pl.when(bi == 0)
+    def _():
+        runct[0] = 0
+        runct[1] = 0
 
     for k in range(SUPER):  # unrolled: SUPER is static
         sub = bi * SUPER + k
@@ -493,7 +539,7 @@ def _kernel_stream(
 
         @pl.when(jnp.logical_and(run_changed, sub > 0))
         def _():
-            flush(prev)
+            flush_cp(prev, runct[1]).start()
 
         @pl.when(chunk_changed)
         def _():
@@ -508,8 +554,19 @@ def _kernel_stream(
 
         @pl.when(run_changed)
         def _():
-            acc[:] = jnp.zeros_like(acc)
+            nrun = runct[0]
+            parity = jnp.bitwise_and(nrun, 1)
+            runct[0] = nrun + 1
+            runct[1] = parity
 
+            # same-parity buffer was flushed two runs ago; drain before reuse
+            @pl.when(nrun >= 2)
+            def _():
+                flush_cp(sub, parity).wait()
+
+            acc[parity] = jnp.zeros_like(acc[parity])
+
+        parity = runct[1]
         base = batch_chunk_ref[sub] * chunk_tiles
         # unrolled: kbatch is static (a lax.fori_loop variant compiles even
         # slower in Mosaic than the SUPER*KBATCH-slice unroll)
@@ -535,10 +592,10 @@ def _kernel_stream(
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            acc[:] += dot(hi, blk) + dot(lo, blk)
+            acc[parity] += dot(hi, blk) + dot(lo, blk)
         else:
             blk = blk_ref[k * kbatch : (k + 1) * kbatch].reshape(kbatch * block, block).astype(compute_dtype)
-            acc[:] += jax.lax.dot_general(
+            acc[parity] += jax.lax.dot_general(
                 xcat_buf[:],
                 blk,
                 (((1,), (0,)), ((), ())),
@@ -548,7 +605,15 @@ def _kernel_stream(
 
         @pl.when(sub == num_subs - 1)
         def _():
-            flush(sub)
+            last = flush_cp(sub, parity)
+            last.start()
+            last.wait()
+
+            # the previous run's flush (opposite parity) may still be in
+            # flight; drain it so every semaphore is settled at kernel exit
+            @pl.when(runct[0] >= 2)
+            def _():
+                flush_cp(sub, 1 - parity).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("num_tiles", "num_chunks", "block", "num_row_tiles", "precision", "compute_dtype", "transposed_io"))
@@ -599,9 +664,10 @@ def _bcsr_spmm_tpu(
         scratch_shapes=[
             pltpu.VMEM((fw, chunk_tiles * block), cd),  # resident x^T chunk
             pltpu.VMEM((fw, KBATCH * block), cd),  # gathered source tiles
-            pltpu.VMEM((fw, block), jnp.float32),  # run accumulator
+            pltpu.VMEM((2, fw, block), jnp.float32),  # run accumulators (parity double-buffer)
+            pltpu.SMEM((2,), jnp.int32),  # [runs started, current parity]
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),  # per-parity flush semaphores
         ],
     )
 

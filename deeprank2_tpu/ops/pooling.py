@@ -117,6 +117,34 @@ def graph_mean_pool(x: jnp.ndarray, node_graph: jnp.ndarray, num_graphs: int) ->
     return segment_mean(x, node_graph, num_graphs)
 
 
+def tiled_graph_mean_pool(
+    h_t: jnp.ndarray,  # f32 [F, NT*B] transposed node features, padded cols 0
+    node_graph: jnp.ndarray,  # i32 [NT*B] graph id per node; padded >= num_graphs
+    node_mask: jnp.ndarray,  # bool [NT*B]
+    num_graphs: int,
+    block: int = 128,
+) -> jnp.ndarray:
+    """Per-graph masked feature mean for tile-aligned layouts — ``[G, F]``.
+
+    XLA lowers a scatter over V rows at ~9 ns/row, which at atomic scale
+    (V = 100k) made the single ``segment_mean`` the most expensive op of the
+    whole BCSR train step (0.88 ms, profiled round 3). Block-sparse collation
+    guarantees no 128-node tile spans two graphs, so the sum factorizes:
+    reduce each tile on the VPU (one pass over ``h_t``), then scatter only
+    the NT tile partials. Padded columns MUST already be zero (the models
+    multiply by ``node_mask`` before pooling).
+    """
+    f, vpad = h_t.shape
+    nt = vpad // block
+    tile_sums = h_t.reshape(f, nt, block).sum(axis=2)  # [F, NT]
+    gid = jnp.where(node_mask, node_graph, num_graphs).reshape(nt, block)
+    tile_graph = jnp.min(gid, axis=1)  # [NT]; empty tiles -> num_graphs (dropped)
+    tile_counts = node_mask.reshape(nt, block).sum(axis=1, dtype=jnp.float32)
+    sums = segment_sum(tile_sums.T, tile_graph, num_graphs)  # [G, F]
+    counts = segment_sum(tile_counts, tile_graph, num_graphs)
+    return sums / jnp.maximum(counts, 1.0)[:, None]
+
+
 # ----------------------------------------------------------------------
 # Block-dense pooling (see ops/batch.py:DenseGraphBatch)
 # ----------------------------------------------------------------------

@@ -423,12 +423,31 @@ class Trainer:
         if self._is_graph():
             dense = getattr(self.neuralnet, "dense_batches", False)
             blocksparse = getattr(self.neuralnet, "blocksparse_batches", False)
+            clustered_bs = getattr(self.neuralnet, "clustered_blocksparse_batches", False)
             blocked_edges = getattr(self.neuralnet, "blocked_edge_batches", False)
             dense_kwargs = {
                 "with_clusters": getattr(self.neuralnet, "needs_clusters", False),
                 "with_edge_weights": getattr(self.neuralnet, "dense_edge_weights", False),
             }
-            if blocksparse:
+            if clustered_bs:
+                if not hasattr(self, "_bs_caps"):
+                    self._bs_caps = {}
+                if num_shards > 1:
+                    msg = "clustered block-sparse models do not support data_parallel sharding yet; use the COO or dense path for DP"
+                    raise ValueError(msg)
+                from deeprank2_tpu.ops.batch import collate_graphs_blocksparse_clustered
+
+                batch, names = collate_graphs_blocksparse_clustered(
+                    entries,
+                    pad_tiles=self._blocksparse_bucket("tiles"),
+                    pad_blocks=self._blocksparse_bucket("blocks"),
+                    pad_pooled_tiles=self._blocksparse_bucket("pooled_tiles"),
+                    pad_pooled_blocks=self._blocksparse_bucket("pooled_blocks"),
+                    pad_c1=self._blocksparse_bucket("c1"),
+                    pad_graphs=pad_graphs,
+                    with_edge_weights=getattr(self.neuralnet, "clustered_blocksparse_edge_weights", False),
+                )
+            elif blocksparse:
                 if not hasattr(self, "_bs_caps"):
                     self._bs_caps = {}
                 if getattr(self.neuralnet, "graph_parallel", False):

@@ -86,6 +86,33 @@ def test_ginet_blocksparse(srv_hdf5, tmp_path) -> None:
     trainer2.test(batch_size=4)
 
 
+def test_clustered_blocksparse_models(srv_hdf5, tmp_path) -> None:
+    """The clustered BCSR fast-path models (GINet clustered / FoutNet / sGAT)
+    train through the same Trainer surface: preclustering + the clustered
+    block-sparse collation with grow-only capacity buckets."""
+    from deeprank2_tpu.neuralnets.gnn.clustered_blocksparse import (
+        FoutNetBlockSparse,
+        GINetClusteredBlockSparse,
+        SGATBlockSparse,
+    )
+
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary", clustering_method="mcl")
+    trainer = _train(GINetClusteredBlockSparse, ds, tmp_path)
+    assert trainer.epoch_saved_model is not None
+    caps = trainer._bs_caps
+    assert caps["pooled_tiles"] > 0 and caps["c1"] > 0
+
+    # checkpoints interchange with the clustered COO GINet
+    model_path = str(tmp_path / "model.pth.tar")
+    ds_test = GraphDataset(hdf5_path=srv_hdf5, train_source=model_path, clustering_method="mcl")
+    trainer2 = Trainer(GINet, dataset_test=ds_test, pretrained_model=model_path)
+    trainer2.test(batch_size=4)
+
+    _train(FoutNetBlockSparse, ds, tmp_path)
+    ds_sgat = GraphDataset(hdf5_path=srv_hdf5, target="binary", clustering_method="mcl", edge_features=["distance"])
+    _train(SGATBlockSparse, ds_sgat, tmp_path)
+
+
 def test_foutnet(srv_hdf5, tmp_path) -> None:
     ds = GraphDataset(hdf5_path=srv_hdf5, target="binary", clustering_method="mcl")
     _train(FoutNet, ds, tmp_path)

@@ -294,7 +294,8 @@ def test_collate_blocksparse_buckets() -> None:
         )
     batch, names = collate_graphs_blocksparse(entries, pad_tiles=8, pad_blocks=64, pad_graphs=4)
     assert batch.x.shape[0] == 8 * 128
-    assert batch.structure.num_blocks == 64
+    # capacity rounds up to the KBATCH*SUPER grid-step quantum
+    assert batch.structure.num_blocks == -(-64 // (bs.KBATCH * bs.SUPER)) * (bs.KBATCH * bs.SUPER)
     assert batch.num_graphs == 4
     assert names[:2] == ["e0", "e1"]
     # graphs never share a tile: each tile's nodes carry at most one graph id
