@@ -37,33 +37,34 @@ def pool_edges_coalesce(
     cj = cluster[safe_nodes[1]]
     valid = edge_mask & (ci != cj) & (ci < capacity) & (cj < capacity)
 
-    # Composite sort key ci * capacity + cj in int32: requires capacity <=
-    # 46340 (sqrt(2^31)) — far above any realistic padded batch node count.
-    assert capacity <= 46340, "pool_edges_coalesce: node capacity too large for int32 keys"  # noqa: PLR2004, S101
-    big = capacity * capacity  # sort-to-end key for invalid edges
-    key = jnp.where(valid, ci.astype(jnp.int32) * capacity + cj.astype(jnp.int32), big)
-    order = jnp.argsort(key)
-    sorted_key = key[order]
+    # lexsort on the (ci, cj) pair — no composite int key, so capacity is
+    # unbounded (the previous ci*capacity+cj int32 key capped batches at
+    # 46340 nodes, below atomic scale). Invalid edges sort to the end.
+    ci_s = jnp.where(valid, ci, capacity).astype(jnp.int32)
+    cj_s = jnp.where(valid, cj, capacity).astype(jnp.int32)
+    order = jnp.lexsort((cj_s, ci_s))
+    sci = ci_s[order]
+    scj = cj_s[order]
     sorted_attr = edge_attr[order]
 
-    prev = jnp.concatenate([jnp.full((1,), -1, dtype=sorted_key.dtype), sorted_key[:-1]])
-    is_first = sorted_key != prev
+    prev_ci = jnp.concatenate([jnp.full((1,), -1, dtype=sci.dtype), sci[:-1]])
+    prev_cj = jnp.concatenate([jnp.full((1,), -1, dtype=scj.dtype), scj[:-1]])
+    is_first = (sci != prev_ci) | (scj != prev_cj)
     group = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # [E] 0..K-1
-    sorted_valid = sorted_key < big
+    sorted_valid = sci < capacity
     group_or_oob = jnp.where(sorted_valid, group, num_edges)
 
     pooled_attr = segment_sum(sorted_attr, group_or_oob, num_edges)
 
-    # representative cluster pair per group (all members share the key)
-    slot_key = jnp.full((num_edges,), big, dtype=sorted_key.dtype)
-    slot_key = slot_key.at[group_or_oob].min(sorted_key, mode="drop")
-    pooled_mask = slot_key < big
-    safe_key = jnp.where(pooled_mask, slot_key, 0)
-    pooled_ci = (safe_key // capacity).astype(jnp.int32)
-    pooled_cj = (safe_key % capacity).astype(jnp.int32)
+    # representative cluster pair per group (all members share the pair)
+    slot_ci = jnp.full((num_edges,), capacity, dtype=sci.dtype)
+    slot_ci = slot_ci.at[group_or_oob].min(sci, mode="drop")
+    slot_cj = jnp.full((num_edges,), capacity, dtype=scj.dtype)
+    slot_cj = slot_cj.at[group_or_oob].min(scj, mode="drop")
+    pooled_mask = slot_ci < capacity
     # invalid slots point OOB so downstream scatters drop them
-    pooled_ci = jnp.where(pooled_mask, pooled_ci, capacity)
-    pooled_cj = jnp.where(pooled_mask, pooled_cj, capacity)
+    pooled_ci = jnp.where(pooled_mask, slot_ci, capacity)
+    pooled_cj = jnp.where(pooled_mask, slot_cj, capacity)
 
     return jnp.stack([pooled_ci, pooled_cj]), pooled_attr, pooled_mask
 

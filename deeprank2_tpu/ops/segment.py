@@ -55,9 +55,16 @@ def segment_sum(
     batcher produces) and unlocks the Pallas kernel when the backend is set.
     """
     if _SEGMENT_BACKEND == "pallas" and indices_sorted and data.ndim == 2 and effective_platform() == "tpu":
-        from deeprank2_tpu.ops.pallas_segment import segment_sum_sorted
+        from deeprank2_tpu.ops.pallas_segment import TILE_E, TILE_V, segment_sum_sorted
 
-        return segment_sum_sorted(data, segment_ids, num_segments)
+        # the kernel holds the whole sorted row array in VMEM (plus the
+        # double-buffered edge blocks and one output tile) — beyond ~3M
+        # edges that overflows the ~16 MB budget, so fall back to XLA
+        fw = data.shape[1] + (-data.shape[1]) % 8
+        e_pad = data.shape[0] + (-data.shape[0]) % TILE_E
+        vmem = 4 * e_pad + 4 * fw * (2 * TILE_E + TILE_V)
+        if vmem <= 13 * 1024 * 1024:
+            return segment_sum_sorted(data, segment_ids, num_segments)
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments, indices_are_sorted=indices_sorted)
 
 
