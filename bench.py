@@ -148,6 +148,45 @@ def bcsr_result(num_nodes: int = 100_000) -> dict:
     }
 
 
+def blocked_result(num_nodes: int = 100_000) -> dict:
+    """VanillaNetworkBlocked (per-edge-feature fast path) train step, bf16 and
+    f32-near-exact variants, against the layout-exact HBM bound
+    (tests/perf/blocked_sol.py). NOTE: this kernel trades FLOPs for gathers
+    (one-hot MXU matmuls), so it is MXU/overhead-bound, not HBM-bound — its
+    %SoL is structurally lower than the SpMM paths'."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeprank2_tpu.neuralnets.gnn.vanilla_gnn import MESSAGE_SIZE, VanillaNetworkBlocked
+    from deeprank2_tpu.ops.batch import collate_graphs_blocked
+    from tests.perf.blocked_sol import blocked_bound_bytes
+    from tests.perf.blocksparse_perf import geometric_entry
+    from tests.perf.sol_perf import DEFAULT_PEAK_GBPS, PEAK_HBM_GBPS
+
+    feat_dim, edge_dim = 38, 6
+    entry = geometric_entry(num_nodes, feat_dim, edge_dim)
+    real_edges = 2 * entry["edge_index"].shape[0]
+    batch, _ = collate_graphs_blocked([entry])
+    batch = jax.device_put(batch)
+
+    bound = blocked_bound_bytes(batch.structure, MESSAGE_SIZE, feat_dim)
+    device = jax.devices()[0]
+    peak = PEAK_HBM_GBPS.get(getattr(device, "device_kind", ""), DEFAULT_PEAK_GBPS)
+    sol_s = bound["bound_bytes"] / (peak * 1e9)
+
+    out = {"num_nodes": num_nodes}
+    for label, cd in (("bf16", jnp.bfloat16), ("f32", None)):
+        model = VanillaNetworkBlocked(feat_dim, 2, edge_dim, compute_dtype=cd)
+        step_s = _measure(model, batch, steps_per_call=20, calls=3)
+        out[label] = {
+            "edges_per_s": round(real_edges / step_s, 1),
+            "step_ms": round(step_s * 1e3, 3),
+            "pct_speed_of_light": round(100.0 * sol_s / step_s, 1),
+            "hbm_bound_ms": round(sol_s * 1e3, 3),
+        }
+    return out
+
+
 def main() -> None:
     import os
     import sys
@@ -156,15 +195,22 @@ def main() -> None:
 
     dense = dense_result()
     bcsr = bcsr_result()
+    blocked = blocked_result()
     print(
         json.dumps(
             {
                 "metric": "ginet_train_edges_per_s",
                 "value": dense["edges_per_s"],
                 "unit": "edges/s",
+                # vs_baseline == pct_sol: the dense step's fraction of its HBM
+                # bound. (Definition changed in round 2 — round-1 BENCH files
+                # used a ratio to a 1M-edges/s floor; compare r01 via
+                # edges_per_s, not vs_baseline.)
                 "vs_baseline": round(dense["pct_speed_of_light"] / 100.0, 3),
+                "pct_sol": round(dense["pct_speed_of_light"] / 100.0, 3),
                 "dense": dense,
                 "bcsr": bcsr,
+                "blocked": blocked,
             }
         )
     )

@@ -113,8 +113,17 @@ class VanillaNetworkBlocked(VanillaNetwork):
         return nn.relu(nn.linear(params["node_mlp"], node_input))
 
     def apply(self, params: dict, batch, training: bool = False, rng: jax.Array | None = None) -> jnp.ndarray:
+        from deeprank2_tpu.ops.blocked_edges import EDGE_TILE
+        from deeprank2_tpu.ops.pooling import tiled_graph_mean_pool_rows
+
         x = self._conv_blocked(params["external1"], batch.x, batch.structure)
         x = self._conv_blocked(params["external2"], x, batch.structure)
-        means = graph_mean_pool(x * batch.node_mask[:, None], batch.node_graph, batch.num_graphs)
+        # tile-factorized pooling: a full-V scatter costs ~0.9 ms per segment
+        # op at 100k nodes (see ginet_blocksparse.py); blocked collation
+        # keeps graphs tile-disjoint so the tile reduce + NT-row scatter is
+        # exact
+        means = tiled_graph_mean_pool_rows(
+            x * batch.node_mask[:, None], batch.node_graph, batch.node_mask, batch.num_graphs, EDGE_TILE
+        )
         h = nn.relu(nn.linear(params["graph_mlp"]["fc1"], means))
         return nn.linear(params["graph_mlp"]["fc2"], h)

@@ -51,14 +51,44 @@ def _dot_for(precision):
     return functools.partial(jax.lax.dot_general, precision=precision, preferred_element_type=jnp.float32)
 
 
-def _gather_subs(x_col_refs, col_local, tile, cd, dot):
+def _make_gdot(cd, precision):
+    """Gather/scatter matmul against an exactly-bf16 one-hot operand.
+
+    f32 path: one-hots are exactly representable in bf16, so near-f32
+    results need only the x side split into bf16 hi+lo — two single-pass
+    MXU matmuls (f32 accumulation, ~1e-5 relative) instead of Mosaic's
+    six-pass HIGHEST emulation. The same trick as the BCSR SpMM
+    (ops/block_sparse.py); round 3 closed the f32 blocked path's 4.8x gap
+    to its bf16 twin with it. bf16 path: plain single-pass matmul."""
+    if cd == jnp.float32:
+
+        def gdot(x, oh, dims):
+            x = x.astype(jnp.float32)
+            hi = x.astype(jnp.bfloat16)
+            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            d = functools.partial(jax.lax.dot_general, dimension_numbers=dims, preferred_element_type=jnp.float32)
+            return d(hi, oh) + d(lo, oh)
+    else:
+
+        def gdot(x, oh, dims):
+            return jax.lax.dot_general(x.astype(cd), oh, dims, precision=precision, preferred_element_type=jnp.float32)
+
+    return gdot
+
+
+def _oh_dtype(cd):
+    """One-hot operand dtype: bf16 rides the f32 split path exactly."""
+    return jnp.bfloat16 if cd == jnp.float32 else cd
+
+
+def _gather_subs(x_col_refs, col_local, tile, cd, gdot):
     """Per-sub-block source gathers, concatenated to [M, TILE_E]; also
     returns the per-sub one-hots for reuse."""
     ohs, parts = [], []
     for k in range(K_SUB):
-        oh = _onehot(col_local[k * SUB_E : (k + 1) * SUB_E], tile, SUB_E, cd)
+        oh = _onehot(col_local[k * SUB_E : (k + 1) * SUB_E], tile, SUB_E, _oh_dtype(cd))
         ohs.append(oh)
-        parts.append(dot(x_col_refs[k][:].astype(cd), oh, (((1,), (0,)), ((), ()))))
+        parts.append(gdot(x_col_refs[k][:], oh, (((1,), (0,)), ((), ()))))
     return jnp.concatenate(parts, axis=1), ohs
 
 
@@ -72,14 +102,16 @@ def _fwd_kernel(step_row_ref, sub_col_ref, row_ref, col_ref, e_ref, xr_ref, *res
         out_ref[:] = jnp.zeros_like(out_ref)
 
     dot = _dot_for(precision)
+    gdot = _make_gdot(cd, precision)
     row_local, col_local = row_ref[:], col_ref[:]
-    oh_r = _onehot(row_local, tile, TILE_E, cd)
-    src, _ = _gather_subs(xc_refs, col_local, tile, cd, dot)
-    dst = dot(xr_ref[:].astype(cd), oh_r, (((1,), (0,)), ((), ())))
+    oh_r = _onehot(row_local, tile, TILE_E, _oh_dtype(cd))
+    src, _ = _gather_subs(xc_refs, col_local, tile, cd, gdot)
+    dst = gdot(xr_ref[:], oh_r, (((1,), (0,)), ((), ())))
+    # thin [M, fe] @ [fe, TILE_E] matmul: HIGHEST stays cheap here (fe <= 8)
     ew = dot(we_ref[:].astype(cd), e_ref[:].astype(cd), (((1,), (0,)), ((), ())))
     msg = jnp.maximum(dst + src + ew, 0.0)
     # sentinel rows have an all-zero one-hot column -> padded edges vanish here
-    out_ref[:] += dot(msg.astype(cd), oh_r, (((1,), (1,)), ((), ())))
+    out_ref[:] += gdot(msg, oh_r, (((1,), (1,)), ((), ())))
 
 
 def _bwd_kernel(step_row_ref, sub_col_ref, row_ref, col_ref, e_ref, xr_ref, *rest, cd, precision, tile):
@@ -104,29 +136,31 @@ def _bwd_kernel(step_row_ref, sub_col_ref, row_ref, col_ref, e_ref, xr_ref, *res
         dxc_ref[:] = jnp.zeros_like(dxc_ref)
 
     dot = _dot_for(precision)
+    gdot = _make_gdot(cd, precision)
     row_local, col_local = row_ref[:], col_ref[:]
-    oh_r = _onehot(row_local, tile, TILE_E, cd)
+    oh_r = _onehot(row_local, tile, TILE_E, _oh_dtype(cd))
     eT = e_ref[:].astype(cd)
     ew = dot(we_ref[:].astype(cd), eT, (((1,), (0,)), ((), ())))
 
     # original messages: dmsg = g[row] * relu'(pre)
-    src, oh_cs = _gather_subs(xc_refs, col_local, tile, cd, dot)
-    dst = dot(xr_ref[:].astype(cd), oh_r, (((1,), (0,)), ((), ())))
+    src, oh_cs = _gather_subs(xc_refs, col_local, tile, cd, gdot)
+    dst = gdot(xr_ref[:], oh_r, (((1,), (0,)), ((), ())))
     pre = dst + src + ew
-    dmsg = dot(g_row_ref[:].astype(cd), oh_r, (((1,), (0,)), ((), ())))
+    dmsg = gdot(g_row_ref[:], oh_r, (((1,), (0,)), ((), ())))
     dmsg = dmsg * (pre > 0.0).astype(jnp.float32)
-    dxr_ref[:] += dot(dmsg.astype(cd), oh_r, (((1,), (1,)), ((), ())))
-    dwe_ref[:] += dot(dmsg.astype(cd), eT, (((1,), (1,)), ((), ())))
+    dxr_ref[:] += gdot(dmsg, oh_r, (((1,), (1,)), ((), ())))
+    # thin contraction onto [M, fe]: HIGHEST keeps weight grads exact
+    dwe_ref[:] += dot(dmsg.astype(cd) if cd != jnp.float32 else dmsg, eT, (((1,), (1,)), ((), ())))
 
     # mirror messages: for e = (r, c), dmsg[mirror] = g[c] * relu'(xr[c] +
     # xc[r] + ew) — scattered by r, which gives d xc (see module docstring)
     src_m_parts, gm_parts = [], []
     for k in range(K_SUB):
-        src_m_parts.append(dot(xr_col_refs[k][:].astype(cd), oh_cs[k], (((1,), (0,)), ((), ()))))
-        gm_parts.append(dot(g_col_refs[k][:].astype(cd), oh_cs[k], (((1,), (0,)), ((), ()))))
-    pre_m = dot(xc_row_ref[:].astype(cd), oh_r, (((1,), (0,)), ((), ()))) + jnp.concatenate(src_m_parts, axis=1) + ew
+        src_m_parts.append(gdot(xr_col_refs[k][:], oh_cs[k], (((1,), (0,)), ((), ()))))
+        gm_parts.append(gdot(g_col_refs[k][:], oh_cs[k], (((1,), (0,)), ((), ()))))
+    pre_m = gdot(xc_row_ref[:], oh_r, (((1,), (0,)), ((), ()))) + jnp.concatenate(src_m_parts, axis=1) + ew
     dmsg_m = jnp.concatenate(gm_parts, axis=1) * (pre_m > 0.0).astype(jnp.float32)
-    dxc_ref[:] += dot(dmsg_m.astype(cd), oh_r, (((1,), (1,)), ((), ())))
+    dxc_ref[:] += gdot(dmsg_m, oh_r, (((1,), (1,)), ((), ())))
 
 
 def _common_specs(tile, m_pad, fe_pad):

@@ -146,6 +146,26 @@ def tiled_graph_mean_pool(
     return sums / jnp.maximum(counts, 1.0)[:, None]
 
 
+def tiled_graph_mean_pool_rows(
+    x: jnp.ndarray,  # f32 [NT*B, F] node features, padded rows 0
+    node_graph: jnp.ndarray,  # i32 [NT*B]; padded >= num_graphs
+    node_mask: jnp.ndarray,  # bool [NT*B]
+    num_graphs: int,
+    block: int,
+) -> jnp.ndarray:
+    """Row-major variant of :func:`tiled_graph_mean_pool` (same tile-aligned
+    contract; the blocked-edge layout uses 256-node tiles)."""
+    vpad, f = x.shape
+    nt = vpad // block
+    tile_sums = x.reshape(nt, block, f).sum(axis=1)  # [NT, F]
+    gid = jnp.where(node_mask, node_graph, num_graphs).reshape(nt, block)
+    tile_graph = jnp.min(gid, axis=1)
+    tile_counts = node_mask.reshape(nt, block).sum(axis=1, dtype=jnp.float32)
+    sums = segment_sum(tile_sums, tile_graph, num_graphs)
+    counts = segment_sum(tile_counts, tile_graph, num_graphs)
+    return sums / jnp.maximum(counts, 1.0)[:, None]
+
+
 # ----------------------------------------------------------------------
 # Block-dense pooling (see ops/batch.py:DenseGraphBatch)
 # ----------------------------------------------------------------------
