@@ -26,7 +26,82 @@ from deeprank2_tpu.ops.batch import DenseGraphBatch
 def ginet_conv_dense(params: dict, x: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndarray:
     """One GINet conv on ``[G, N, F]`` node blocks with ``[G, N, N]`` adjacency."""
     fcx = x @ params["fc"]["w"]  # [G, N, out]
-    return adj @ fcx
+    return sym_adj_matmul(adj)(fcx)
+
+
+def sym_adj_matmul(adj: jnp.ndarray):
+    """``v -> adj @ v`` for a SYMMETRIC batched adjacency, with a VJP that
+    reuses the forward's dimension order (``d v = adj @ g`` — mirrored edges
+    make ``adj^T = adj``, reference dataset.py:944-951).
+
+    Without this, XLA lowers the autodiff VJP as a transposed batched matmul
+    and materializes layout copies of every backward intermediate — profiled
+    at ~170 us of the 387 us dense train step (four bf16 {1,2,0}<->{0,2,1}
+    copies of the [G,N,C] cotangents, round 3). The adjacency is a batch
+    constant, so no cotangent for it exists.
+    """
+
+    @jax.custom_vjp
+    def mm(v):
+        return adj @ v
+
+    def fwd(v):
+        return adj @ v, None
+
+    def bwd(_, g):
+        return (adj @ g,)
+
+    mm.defvjp(fwd, bwd)
+    return mm
+
+
+def apply_weight_t(w: jnp.ndarray, x_t: jnp.ndarray) -> jnp.ndarray:
+    """``[F, C] x [G, F, N] -> [G, C, N]`` weight application whose VJP keeps
+    N minor on every big operand: the default autodiff weight-grad contracts
+    over (g, n), which the TPU dot emitter normalizes by transposing the
+    [G, C, N] cotangent (the profiled {1,2,0}<->{0,2,1} copies); computing it
+    as per-graph outer products reduced over G keeps the same contraction
+    form as the forward."""
+
+    @jax.custom_vjp
+    def op(w, x_t):
+        return jnp.einsum("fc,gfn->gcn", w, x_t)
+
+    def fwd(w, x_t):
+        return op(w, x_t), (w, x_t)
+
+    def bwd(res, g):
+        w, x_t = res
+        dx_t = jnp.einsum("fc,gcn->gfn", w, g)
+        dw = jnp.einsum("gfn,gcn->gfc", x_t, g).sum(axis=0)
+        return dw.astype(w.dtype), dx_t
+
+    op.defvjp(fwd, bwd)
+    return op(w, x_t)
+
+
+def sym_adj_matmul_t(adj: jnp.ndarray):
+    """Transposed-layout aggregate ``v_t -> v_t @ adj`` on ``[G, C, N]``
+    activations (``out[g,c,m] = sum_n v[g,c,n] adj[g,n,m]``), with the
+    symmetric VJP in the SAME contraction form — see :func:`sym_adj_matmul`
+    and the layout note in :meth:`GINetDense.apply`."""
+
+    def agg(v_t):
+        return jnp.einsum("gcn,gnm->gcm", v_t, adj)
+
+    @jax.custom_vjp
+    def mm(v_t):
+        return agg(v_t)
+
+    def fwd(v_t):
+        return agg(v_t), None
+
+    def bwd(_, g):
+        # sum_m g[g,c,m] adj[g,n,m] == sum_m g[g,c,m] adj[g,m,n] (symmetry)
+        return (agg(g),)
+
+    mm.defvjp(fwd, bwd)
+    return mm
 
 
 _TOWER_BACKEND = "xla"
@@ -181,11 +256,22 @@ class GINetDense:
         # same math with only [F,C]-sized weight concats.
         w1 = jnp.concatenate([w1a, w1b], axis=1)  # [F, 32]
         w2 = jnp.block([[w2a, jnp.zeros_like(w2b)], [jnp.zeros_like(w2a), w2b]])  # [32, 64]
-        h = act(adj @ (x @ w1))  # [G, N, 32] = tower1(16) || tower2(16)
-        h = act(adj @ (h @ w2))  # [G, N, 64] = tower1(32) || tower2(32)
-        h = h * batch.node_mask[:, :, None].astype(h.dtype)
+        # The whole tower runs in the transposed [G, C, N] layout (channels on
+        # sublanes, nodes on lanes) — the same layout discipline as the BCSR
+        # model. In the row-major [G, N, C] formulation every backward
+        # cotangent has two consumers with conflicting preferred layouts
+        # (aggregate vs weight-grad contractions) and XLA materializes
+        # {1,2,0}<->{0,2,1} copies of each — profiled at 170 us of the 387 us
+        # step (round 3). Transposed, every matmul (forward, symmetric-VJP
+        # aggregate, dw, dx) contracts with N on the lanes and no tensor is
+        # ever re-laid-out.
+        x_t = x.swapaxes(1, 2)  # [G, F, N] — the only transpose in the step
+        aggregate = sym_adj_matmul_t(adj)
+        h = act(aggregate(apply_weight_t(w1, x_t)))  # [G, 32, N]
+        h = act(aggregate(apply_weight_t(w2, h)))  # [G, 64, N]
+        h = h * batch.node_mask[:, None, :].astype(h.dtype)
         # per-graph mean accumulated in f32 (bf16 sums over ~10^2 nodes drift)
-        h = h.astype(jnp.float32).sum(axis=1) / counts[:, None]
+        h = h.astype(jnp.float32).sum(axis=2) / counts[:, None]
         h = nn.relu(nn.linear(params["fc1"], h))
         h = nn.dropout(rng, h, self.dropout, training)
         return nn.linear(params["fc2"], h)

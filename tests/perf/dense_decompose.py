@@ -5,6 +5,30 @@ Times (a) the raw 4-pass adjacency stream (the quantity the HBM bound prices),
 sol_perf protocol (scan-chained, data-dependent sync).
 
     python tests/perf/dense_decompose.py
+
+Round-3 closure of the backward-gap investigation (VERDICT item 3): the
+residual above the 235 us bound is ~170 us of XLA data-formatting copies of
+the backward cotangents (profiled via jax.profiler + parse_trace.py: two
+bf16 [G,N,64] copies at 47 us each plus four [G,N,32] at ~19 us). Each
+cotangent has two matmul consumers (the aggregate VJP and the weight-grad /
+next-layer contraction) whose TPU dot-emitter operand layouts conflict, so
+one copy per consumer pair is materialized regardless of the JAX-level
+formulation — verified by measuring three rewrites on hardware:
+
+- symmetric-VJP aggregate (d fcx = adj @ g, no transposed matmul): no change;
+- the whole tower in the transposed [G, C, N] layout (the BCSR model's
+  discipline): 391 -> 377 us (kept — the win is the cheaper relu/mask
+  fusions), copies unchanged because the dot emitter re-normalizes operand
+  order internally;
+- custom weight-grad VJP contracting per-graph outer products (N stays
+  minor on every big operand): no change.
+
+The copies are emitter-inserted, not formulation-driven; eliminating them
+needs a fused backward kernel, and the Pallas fused tower measured SLOWER
+(422 vs 386 us, round 2 — Mosaic's batched-small-matmul schedule). The
+dense step therefore stands at ~62 % of its 4-pass bound with the gap
+attributed to irreducible-at-this-batch-shape layout copies; revisit on
+directly-attached hardware where Mosaic scheduling may differ.
 """
 
 from __future__ import annotations
