@@ -86,10 +86,36 @@ def regress_metrics(pred: np.ndarray, target: np.ndarray) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _hash01(key: str) -> float:
+    """Deterministic pseudo-uniform in [0, 1) from a string key (no RNG state
+    — both sides of the gate must see identical labels on any machine)."""
+    import hashlib
+
+    return int(hashlib.sha256(key.encode()).hexdigest()[:8], 16) / 0x100000000
+
+
+# PPI-capable complexes in the reference test corpus beyond the 1ATN/3C8P
+# referenced cases: (pdb dir, file, chains). They have no bound reference to
+# score against, so they carry deterministic parity-only labels (the gate
+# compares the two implementations on identical inputs; label semantics do
+# not matter for that, only that the metrics de-saturate).
+_EXTRA_COMPLEXES = [
+    ("1A0Z", "1A0Z.pdb", ["A", "B"]),
+    ("1A6B", "1A6B.pdb", ["A", "B"]),
+    ("1ak4", "1ak4.pdb", ["C", "D"]),
+    ("2g98", "2g98.pdb", ["A", "B"]),
+    ("3MRC", "3MRC.pdb", ["M", "P"]),
+    ("9api", "9api.pdb", ["A", "B"]),
+]
+
+
 def assemble_ppi_queries(data_dir: Path, resolution: str):
-    """PPI queries: 1ATN decoys (+3C8P bound complex) scored against their
-    bound references — real dockq/binary/irmsd targets via our own
-    StructureSimilarity (tools/target.py, no pdb2sql)."""
+    """PPI queries: every 1ATN decoy (+3C8P bound complex) scored against its
+    bound reference — real dockq/binary/irmsd targets via our own
+    StructureSimilarity (tools/target.py, no pdb2sql) — plus every other
+    multi-chain complex in the corpus with deterministic parity-only labels
+    (round-2 directive #4: enough entries that accuracy/AUC cannot saturate).
+    """
     from deeprank2_tpu.query import ProteinProteinInterfaceQuery
     from deeprank2_tpu.tools.target import compute_ppi_scores
 
@@ -108,18 +134,45 @@ def assemble_ppi_queries(data_dir: Path, resolution: str):
                 targets={k: scores[k] for k in ("binary", "dockq", "irmsd")},
             )
         )
+    for name, fname, chains in _EXTRA_COMPLEXES:
+        pdb = data_dir / "pdb" / name / fname
+        if not pdb.exists():
+            continue
+        u = _hash01(f"ppi:{name}")
+        queries.append(
+            ProteinProteinInterfaceQuery(
+                pdb_path=str(pdb),
+                resolution=resolution,
+                chain_ids=chains,
+                targets={"binary": int(u < 0.5), "dockq": round(0.1 + 0.8 * u, 4), "irmsd": round(12.0 * _hash01(f"irmsd:{name}"), 4)},
+            )
+        )
     return queries
 
 
-def assemble_srv_queries(data_dir: Path, num_variants: int = 12):
-    """SRV queries on 101M: alternating binary labels + a smooth synthetic
-    continuous target (depth along the chain) for the regression config."""
-    from deeprank2_tpu.molstruct.aminoacid import alanine, phenylalanine
+def assemble_srv_queries(data_dir: Path, num_variants: int = 40):
+    """SRV queries on 101M: varied residues x variant amino acids, with
+    deterministic pseudo-random binary labels (unlearnable structure, so
+    train/held-out accuracy cannot saturate) and a smooth continuous target
+    (position along the chain) for the regression config."""
+    from deeprank2_tpu.molstruct.aminoacid import (
+        alanine,
+        aspartate,
+        glycine,
+        leucine,
+        lysine,
+        phenylalanine,
+        serine,
+        tryptophan,
+    )
     from deeprank2_tpu.query import SingleResidueVariantQuery
 
-    residues = [27, 25, 20, 64, 89, 101, 118, 136, 17, 42, 75, 110][:num_variants]
+    residues = [27, 25, 20, 64, 89, 101, 118, 136, 17, 42, 75, 110, 31, 48, 56, 70, 83, 95, 124, 140]
+    variants = [phenylalanine, tryptophan, aspartate, lysine, serine, leucine, glycine]
     queries = []
-    for i, res in enumerate(residues):
+    for i in range(num_variants):
+        res = residues[i % len(residues)]
+        var = variants[(i // len(residues)) % len(variants)]
         queries.append(
             SingleResidueVariantQuery(
                 pdb_path=str(data_dir / "pdb" / "101M" / "101M.pdb"),
@@ -128,9 +181,9 @@ def assemble_srv_queries(data_dir: Path, num_variants: int = 12):
                 variant_residue_number=res,
                 insertion_code=None,
                 wildtype_amino_acid=alanine,
-                variant_amino_acid=phenylalanine,
+                variant_amino_acid=var,
                 pssm_paths={"A": str(data_dir / "pssm" / "101M" / "101M.A.pdb.pssm")},
-                targets={"binary": i % 2, "irmsd": res / 50.0},
+                targets={"binary": int(_hash01(f"srv:{res}:{var.three_letter_code}") < 0.5), "irmsd": res / 50.0},
             )
         )
     return queries
@@ -467,6 +520,127 @@ def _outputs_to_metrics(task: str, outputs: np.ndarray, y: np.ndarray) -> dict:
 CONFIG_NAMES = ("vanilla_srv_regress", "ginet_ppi_classif", "fout_atom_classif", "sgat_atom_classif", "cnn_grid_classif", "ginet_edgepart_ba")
 
 
+def _make_chunks(entries: list[dict], batch_size: int, grid: bool, clustered: bool) -> list[dict]:
+    chunks_entries = [entries[i : i + batch_size] for i in range(0, len(entries), batch_size)]
+    if grid:
+        return [
+            {"x": np.stack([e["x"] for e in ch]), "y": np.asarray([e["y"] for e in ch], np.float64), "num_graphs": len(ch)}
+            for ch in chunks_entries
+        ]
+    return [_compact_batch(ch, need_clusters=clustered) for ch in chunks_entries]
+
+
+def _run_fold(
+    run_dir: Path,
+    hdf5_path: str,
+    *,
+    model_cls,
+    mirror_kind: str,
+    task: str,
+    target: str,
+    epochs: int,
+    batch_size: int,
+    clustered: bool,
+    grid: bool,
+    ds_kwargs: dict,
+    train_names: list[str] | None,
+    val_names: list[str] | None,
+) -> dict:
+    """One train (+optional held-out) run: real Trainer vs the torch mirror
+    on identical batches; per-epoch training loss and held-out metric
+    trajectories for both sides."""
+    import jax
+
+    from deeprank2_tpu.dataset import GraphDataset, GridDataset
+    from deeprank2_tpu.trainer import Trainer
+    from deeprank2_tpu.utils.exporters import HDF5OutputExporter
+
+    run_dir.mkdir(parents=True, exist_ok=True)
+    ds_cls = GridDataset if grid else GraphDataset
+    kwargs = dict(ds_kwargs)
+    if clustered and not grid:
+        kwargs["clustering_method"] = "mcl"
+    if train_names is not None:
+        kwargs["subset"] = train_names
+    ds_train = ds_cls(hdf5_path=hdf5_path, target=target, task=task, **kwargs)
+    validate = val_names is not None
+    if validate:
+        val_kwargs = {"clustering_method": "mcl"} if clustered and not grid else {}
+        ds_val = ds_cls(hdf5_path=hdf5_path, train_source=ds_train, subset=val_names, **val_kwargs)
+    elif clustered and not grid:
+        # an explicit val set keeps the Trainer from splitting the train
+        # set (clustered path auto-splits otherwise) — determinism first
+        ds_val = ds_cls(hdf5_path=hdf5_path, train_source=ds_train)
+    else:
+        ds_val = None
+
+    exporter = HDF5OutputExporter(str(run_dir))
+    trainer = Trainer(model_cls, dataset_train=ds_train, dataset_val=ds_val, output_exporters=[exporter], seed=7)
+
+    # mirror shares the freshly initialized parameters and the exact chunks
+    entries = [ds_train.get(i) for i in range(len(ds_train))]
+    chunks = _make_chunks(entries, batch_size, grid, clustered)
+    val_chunks = None
+    if validate:
+        val_entries = [ds_val.get(i) for i in range(len(ds_val))]
+        val_chunks = _make_chunks(val_entries, batch_size, grid, clustered)
+    mirror = TorchMirror(mirror_kind, jax.tree.map(np.asarray, trainer.params), task)
+
+    trainer.train(nepoch=epochs, batch_size=batch_size, shuffle=False, validate=validate, best_model=False, filename=None)
+
+    # ---- JAX trajectories from the exporter (one HDF5 group holds every
+    # phase, reference layout; the phase column separates them) ----
+    all_df = exporter.read("training")
+    df = all_df[(all_df["phase"] == "training") & (all_df["epoch"] > 0)]
+    jax_losses = [float(df[df["epoch"] == e]["loss"].iloc[0]) for e in range(1, epochs + 1)]
+    last = df[df["epoch"] == epochs]
+    outputs = np.array([np.atleast_1d(o) for o in last["output"]])
+    y = last["target"].to_numpy()
+    jax_metrics = _outputs_to_metrics(task, np.log(outputs) if task == "classif" else outputs, y)
+    # (exporter stores softmax probs for classif; log() restores logit order —
+    # metrics only need ranking/argmax, both invariant)
+
+    jax_val_traj, jax_val_out, val_y = [], None, None
+    if validate:
+        vdf = all_df[(all_df["phase"] == "validation") & (all_df["epoch"] > 0)]
+        for e in range(1, epochs + 1):
+            rows = vdf[vdf["epoch"] == e]
+            vo = np.array([np.atleast_1d(o) for o in rows["output"]])
+            vy = rows["target"].to_numpy()
+            jax_val_traj.append(_outputs_to_metrics(task, np.log(vo) if task == "classif" else vo, vy))
+        # final-epoch held-out logits for pooled CV metrics
+        jax_val_out = np.log(vo) if task == "classif" else vo
+        val_y = vy
+
+    # ---- mirror trajectories (train epoch, then held-out eval — the same
+    # order the Trainer runs) ----
+    mirror_losses, mirror_val_traj = [], []
+    mirror_out = mirror_val_out = None
+    for _ in range(epochs):
+        loss, mirror_out = mirror.train_pass(chunks)
+        mirror_losses.append(loss)
+        if validate:
+            _, mirror_val_out = mirror.eval_pass(val_chunks)
+            vy_m = np.concatenate([c["y"] for c in val_chunks])
+            mirror_val_traj.append(_outputs_to_metrics(task, mirror_val_out, vy_m))
+    y_all = np.concatenate([c["y"] for c in chunks])
+    mirror_metrics = _outputs_to_metrics(task, mirror_out, y_all)
+
+    return {
+        "entries": len(entries),
+        "loss_jax": jax_losses,
+        "loss_torch": mirror_losses,
+        "max_loss_delta": float(max(abs(a - b) for a, b in zip(jax_losses, mirror_losses))),
+        "metrics_jax": jax_metrics,
+        "metrics_torch": mirror_metrics,
+        "val_traj_jax": jax_val_traj,
+        "val_traj_torch": mirror_val_traj,
+        "val_out_jax": jax_val_out,
+        "val_out_torch": mirror_val_out,
+        "val_y": val_y,
+    }
+
+
 def run_trainer_config(
     name: str,
     hdf5_path: str,
@@ -481,77 +655,75 @@ def run_trainer_config(
     clustered: bool,
     dataset_kwargs: dict | None = None,
     grid: bool = False,
+    folds: int = 0,
 ) -> dict:
     """Train via the real Trainer (shuffle off) and the torch mirror on
-    identical batches; return the trajectory/metric comparison."""
-    import jax
+    identical batches; return the trajectory/metric comparison.
 
+    ``folds >= 2`` runs k-fold cross-validation (round-2 directive #4):
+    every fold's held-out metric TRAJECTORY is recorded on both sides, and
+    the headline metrics pool each entry's final-epoch prediction from the
+    fold that held it out — cross-validated numbers that cannot saturate
+    the way tiny train-set metrics do.
+    """
     from deeprank2_tpu.dataset import GraphDataset, GridDataset
-    from deeprank2_tpu.trainer import Trainer
-    from deeprank2_tpu.utils.exporters import HDF5OutputExporter
 
-    run_dir = out_dir / name
-    run_dir.mkdir(parents=True, exist_ok=True)
     ds_kwargs = dict(dataset_kwargs or {})
-    ds_val = None
-    if grid:
-        ds_train = GridDataset(hdf5_path=hdf5_path, target=target, task=task, **ds_kwargs)
-    else:
-        if clustered:
-            ds_kwargs["clustering_method"] = "mcl"
-        ds_train = GraphDataset(hdf5_path=hdf5_path, target=target, task=task, **ds_kwargs)
-        if clustered:
-            # an explicit val set keeps the Trainer from splitting the train
-            # set (clustered path auto-splits otherwise) — determinism first
-            ds_val = GraphDataset(hdf5_path=hdf5_path, train_source=ds_train)
+    common = dict(
+        model_cls=model_cls,
+        mirror_kind=mirror_kind,
+        task=task,
+        target=target,
+        epochs=epochs,
+        batch_size=batch_size,
+        clustered=clustered,
+        grid=grid,
+        ds_kwargs=ds_kwargs,
+    )
+    if folds < 2:  # noqa: PLR2004
+        r = _run_fold(out_dir / name, hdf5_path, train_names=None, val_names=None, **common)
+        return {"config": name, "task": task, "epochs": epochs, **{k: v for k, v in r.items() if not k.startswith("val_")}}
 
-    exporter = HDF5OutputExporter(str(run_dir))
-    trainer = Trainer(model_cls, dataset_train=ds_train, dataset_val=ds_val, output_exporters=[exporter], seed=7)
+    probe_cls = GridDataset if grid else GraphDataset
+    probe_kwargs = dict(ds_kwargs)
+    if clustered and not grid:
+        probe_kwargs["clustering_method"] = "mcl"
+    probe = probe_cls(hdf5_path=hdf5_path, target=target, task=task, **probe_kwargs)
+    names = [probe.get(i)["entry_name"] for i in range(len(probe))]
 
-    # mirror shares the freshly initialized parameters and the exact chunks
-    entries = [ds_train.get(i) for i in range(len(ds_train))]
-    chunks_entries = [entries[i : i + batch_size] for i in range(0, len(entries), batch_size)]
-    if grid:
-        chunks = [
-            {"x": np.stack([e["x"] for e in ch]), "y": np.asarray([e["y"] for e in ch], np.float64), "num_graphs": len(ch)}
-            for ch in chunks_entries
-        ]
-    else:
-        chunks = [_compact_batch(ch, need_clusters=clustered) for ch in chunks_entries]
-    mirror = TorchMirror(mirror_kind, jax.tree.map(np.asarray, trainer.params), task)
+    fold_reports = []
+    pooled = {"jax": [], "torch": [], "y": []}
+    for f in range(folds):
+        val_names = names[f::folds]
+        train_names = [n for n in names if n not in val_names]
+        r = _run_fold(out_dir / name / f"fold{f}", hdf5_path, train_names=train_names, val_names=val_names, **common)
+        fold_reports.append(r)
+        pooled["jax"].append(r["val_out_jax"])
+        pooled["torch"].append(r["val_out_torch"])
+        pooled["y"].append(r["val_y"])
 
-    trainer.train(nepoch=epochs, batch_size=batch_size, shuffle=False, validate=False, best_model=False, filename=None)
-
-    # ---- JAX trajectories from the exporter ----
-    df = exporter.read("training")
-    df = df[df["epoch"] > 0]
-    jax_losses = [float(df[df["epoch"] == e]["loss"].iloc[0]) for e in range(1, epochs + 1)]
-    last = df[df["epoch"] == epochs]
-    outputs = np.array([np.atleast_1d(o) for o in last["output"]])
-    y = last["target"].to_numpy()
-    jax_metrics = _outputs_to_metrics(task, np.log(outputs) if task == "classif" else outputs, y)
-    # (exporter stores softmax probs for classif; log() restores logit order —
-    # metrics only need ranking/argmax, both invariant)
-
-    # ---- mirror trajectories ----
-    mirror_losses = []
-    mirror_out = None
-    for _ in range(epochs):
-        loss, mirror_out = mirror.train_pass(chunks)
-        mirror_losses.append(loss)
-    y_all = np.concatenate([c["y"] for c in chunks])
-    mirror_metrics = _outputs_to_metrics(task, mirror_out, y_all)
-
+    cv_jax = _outputs_to_metrics(task, np.concatenate(pooled["jax"]), np.concatenate(pooled["y"]))
+    cv_torch = _outputs_to_metrics(task, np.concatenate(pooled["torch"]), np.concatenate(pooled["y"]))
+    max_metric_delta = 0.0
+    for r in fold_reports:
+        for mj, mt in zip(r["val_traj_jax"], r["val_traj_torch"]):
+            for k in mj:
+                if np.isfinite(mj[k]) and np.isfinite(mt[k]):
+                    max_metric_delta = max(max_metric_delta, abs(mj[k] - mt[k]))
     return {
         "config": name,
         "task": task,
-        "entries": len(entries),
+        "entries": len(names),
         "epochs": epochs,
-        "loss_jax": jax_losses,
-        "loss_torch": mirror_losses,
-        "max_loss_delta": float(max(abs(a - b) for a, b in zip(jax_losses, mirror_losses))),
-        "metrics_jax": jax_metrics,
-        "metrics_torch": mirror_metrics,
+        "folds": folds,
+        "max_loss_delta": float(max(r["max_loss_delta"] for r in fold_reports)),
+        "max_val_metric_delta": float(max_metric_delta),
+        "metrics_jax": cv_jax,
+        "metrics_torch": cv_torch,
+        "val_traj_jax": [r["val_traj_jax"] for r in fold_reports],
+        "val_traj_torch": [r["val_traj_torch"] for r in fold_reports],
+        "loss_jax": [r["loss_jax"] for r in fold_reports],
+        "loss_torch": [r["loss_torch"] for r in fold_reports],
     }
 
 
@@ -617,7 +789,7 @@ def run_edgepart_config(hdf5_path: str, out_dir: Path, *, epochs: int, dataset_k
     }
 
 
-def run_all(data_dir: Path, out_dir: Path, configs: list[str], epochs: int) -> list[dict]:
+def run_all(data_dir: Path, out_dir: Path, configs: list[str], epochs: int, folds: int = 0) -> list[dict]:
     from deeprank2_tpu.neuralnets.cnn.model3d import CnnClassification
     from deeprank2_tpu.neuralnets.gnn.foutnet import FoutNet
     from deeprank2_tpu.neuralnets.gnn.ginet import GINet as GINetClustered
@@ -643,7 +815,7 @@ def run_all(data_dir: Path, out_dir: Path, configs: list[str], epochs: int) -> l
             run_trainer_config(
                 "vanilla_srv_regress", corpus["srv_residue"], out_dir,
                 model_cls=VanillaNetwork, mirror_kind="vanilla", task="regress", target="irmsd",
-                epochs=epochs, batch_size=4, clustered=False,
+                epochs=epochs, batch_size=4, clustered=False, folds=folds,
                 dataset_kwargs={"node_features": srv_feats, "features_transform": std(srv_feats)},
             )
         )
@@ -652,7 +824,7 @@ def run_all(data_dir: Path, out_dir: Path, configs: list[str], epochs: int) -> l
             run_trainer_config(
                 "ginet_ppi_classif", corpus["ppi_residue"], out_dir,
                 model_cls=GINetNoDropout, mirror_kind="ginet", task="classif", target="binary",
-                epochs=epochs, batch_size=3, clustered=True,
+                epochs=epochs, batch_size=3, clustered=True, folds=folds,
                 dataset_kwargs={"node_features": ppi_feats, "features_transform": std(ppi_feats)},
             )
         )
@@ -661,7 +833,7 @@ def run_all(data_dir: Path, out_dir: Path, configs: list[str], epochs: int) -> l
             run_trainer_config(
                 "fout_atom_classif", corpus["ppi_atom"], out_dir,
                 model_cls=FoutNet, mirror_kind="fout", task="classif", target="binary",
-                epochs=epochs, batch_size=3, clustered=True,
+                epochs=epochs, batch_size=3, clustered=True, folds=folds,
                 dataset_kwargs={"node_features": atom_feats, "features_transform": std(atom_feats)},
             )
         )
@@ -670,7 +842,7 @@ def run_all(data_dir: Path, out_dir: Path, configs: list[str], epochs: int) -> l
             run_trainer_config(
                 "sgat_atom_classif", corpus["ppi_atom"], out_dir,
                 model_cls=SGAT, mirror_kind="sgat", task="classif", target="binary",
-                epochs=epochs, batch_size=3, clustered=True,
+                epochs=epochs, batch_size=3, clustered=True, folds=folds,
                 dataset_kwargs={"node_features": atom_feats, "features_transform": std(atom_feats), "edge_features": ["distance"]},
             )
         )
@@ -679,7 +851,7 @@ def run_all(data_dir: Path, out_dir: Path, configs: list[str], epochs: int) -> l
             run_trainer_config(
                 "cnn_grid_classif", corpus["ppi_grid"], out_dir,
                 model_cls=CnnClassification, mirror_kind="cnn", task="classif", target="binary",
-                epochs=epochs, batch_size=3, clustered=False, grid=True,
+                epochs=epochs, batch_size=3, clustered=False, grid=True, folds=folds,
             )
         )
     if "ginet_edgepart_ba" in configs:
@@ -694,14 +866,15 @@ def run_all(data_dir: Path, out_dir: Path, configs: list[str], epochs: int) -> l
 
 def format_table(reports: list[dict]) -> str:
     lines = [
-        "| config | n | epochs | max |Δloss| | metrics (ours) | metrics (torch mirror) |",
-        "|---|---|---|---|---|---|",
+        "| config | n | folds | epochs | max |Δloss| | max |Δval-metric| | CV metrics (ours) | CV metrics (torch mirror) |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in reports:
         fmt = lambda m: ", ".join(f"{k}={v:.4f}" for k, v in m.items())  # noqa: E731
+        dv = f"{r['max_val_metric_delta']:.2e}" if "max_val_metric_delta" in r else "-"
         lines.append(
-            f"| {r['config']} | {r['entries']} | {r['epochs']} | {r['max_loss_delta']:.2e} "
-            f"| {fmt(r['metrics_jax'])} | {fmt(r['metrics_torch'])} |"
+            f"| {r['config']} | {r['entries']} | {r.get('folds', '-')} | {r['epochs']} | {r['max_loss_delta']:.2e} "
+            f"| {dv} | {fmt(r['metrics_jax'])} | {fmt(r['metrics_torch'])} |"
         )
     return "\n".join(lines)
 
@@ -711,7 +884,8 @@ def main() -> None:
     parser.add_argument("--data", default="tests/data", help="reference-layout data dir (pdb/, pssm/, ref/)")
     parser.add_argument("--out", default="/tmp/deeprank2_tpu_parity", help="work/output dir")
     parser.add_argument("--configs", nargs="*", default=list(CONFIG_NAMES))
-    parser.add_argument("--epochs", type=int, default=5)
+    parser.add_argument("--epochs", type=int, default=20)
+    parser.add_argument("--folds", type=int, default=3, help="k-fold CV (0/1 = single train run, round-2 behavior)")
     parser.add_argument("--platform", default=None, help='e.g. "cpu" for exact-f32 parity runs')
     args = parser.parse_args()
 
@@ -723,7 +897,7 @@ def main() -> None:
     # passes, or the torch comparison drifts by ~1e-3/step
     jax.config.update("jax_default_matmul_precision", "highest")
 
-    reports = run_all(Path(args.data), Path(args.out), args.configs, args.epochs)
+    reports = run_all(Path(args.data), Path(args.out), args.configs, args.epochs, args.folds)
     out_json = Path(args.out) / "parity_report.json"
     out_json.write_text(json.dumps(reports, indent=2))
     print(format_table(reports))
