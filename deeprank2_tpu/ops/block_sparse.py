@@ -440,7 +440,7 @@ def _spmm_impl(structure: BlockSparseStructure, x: jnp.ndarray, precision, compu
         # bf16 operands run single-pass; HIGHEST is an f32-only request and
         # Mosaic rejects the combination ("Bad lhs type")
         precision = jax.lax.Precision.DEFAULT
-    sublane = 16 if cd.itemsize == 2 else 8
+    sublane = 16  # operands ride the MXU as bf16 in both paths (hi+lo pair for f32)
     feat = x.shape[0] if transposed_io else x.shape[1]
     fw = feat + (-feat) % sublane
     chunk_tiles = min(CHUNK_TILES, structure.num_tiles)
@@ -489,21 +489,14 @@ def _kernel_stream(
     batch_chunk_ref,
     block_col_ref,
     blk_ref,
-    xt_hbm,
-    out_hbm,
-    xchunk,
-    xcat_buf,
-    acc,
-    runct,
-    sem_x,
-    sem_out,
-    *,
+    *rest,
     block,
     kbatch,
     chunk_tiles,
     precision,
     compute_dtype,
     num_subs,
+    split,
 ):
     """One grid step = SUPER sub-batches of KBATCH blocks each. The output
     tile of a (chunk, row-tile) run accumulates in a VMEM scratch and is
@@ -516,7 +509,21 @@ def _kernel_stream(
     SpMM on v5e (round-3 sweep: time was invariant to both stream bytes and
     sub-batch count, leaving flush-wait latency as the residual).
     ``runct[0]`` counts runs started so far; ``runct[1]`` holds the current
-    run's parity."""
+    run's parity.
+
+    ``split=True`` is the near-f32 path with the bf16 hi+lo decomposition of
+    ``x`` done OUTSIDE the kernel (two bf16 HBM operands and chunk/gather
+    buffer pairs): the in-kernel split cost a VPU pass over every gathered
+    sub-batch serialized against the MXU — measured round 3, the bf16
+    single-pass variant ran at 96 % of the f32 bound while f32 sat at 82 %,
+    so the f32 residual was compute serialization, not bytes (hi+lo bf16
+    streams the same bytes as f32)."""
+    if split:
+        x_hbms, xchunks, xcats = rest[0:2], rest[3:5], ()
+        out_hbm, acc, runct, sem_x, sem_out = rest[2], rest[5], rest[6], rest[7], rest[8]
+    else:
+        x_hbms, xchunks, xcats = rest[0:1], rest[2:3], rest[3:4]
+        out_hbm, acc, runct, sem_x, sem_out = rest[1], rest[4], rest[5], rest[6], rest[7]
     bi = pl.program_id(0)
 
     def flush_cp(sub, parity):
@@ -544,13 +551,18 @@ def _kernel_stream(
         @pl.when(chunk_changed)
         def _():
             c = batch_chunk_ref[sub]
-            cp = pltpu.make_async_copy(
-                xt_hbm.at[:, pl.ds(pl.multiple_of(c * chunk_tiles * block, block), chunk_tiles * block)],
-                xchunk,
-                sem_x,
-            )
-            cp.start()
-            cp.wait()
+            cps = [
+                pltpu.make_async_copy(
+                    hbm.at[:, pl.ds(pl.multiple_of(c * chunk_tiles * block, block), chunk_tiles * block)],
+                    chunk_buf,
+                    sem_x.at[i],
+                )
+                for i, (hbm, chunk_buf) in enumerate(zip(x_hbms, xchunks))
+            ]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
 
         @pl.when(run_changed)
         def _():
@@ -568,35 +580,35 @@ def _kernel_stream(
 
         parity = runct[1]
         base = batch_chunk_ref[sub] * chunk_tiles
-        # unrolled: kbatch is static (a lax.fori_loop variant compiles even
-        # slower in Mosaic than the SUPER*KBATCH-slice unroll)
-        for kk in range(kbatch):
-            local = block_col_ref[sub * kbatch + kk] - base
-            xcat_buf[:, kk * block : (kk + 1) * block] = xchunk[:, pl.ds(pl.multiple_of(local * block, block), block)]
-
+        dot = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         # int8 -> compute dtype on the fly (blocks are exactly 0/1, so any
         # widening is lossless; Mosaic requires matching matmul operand dtypes)
-        if jnp.dtype(compute_dtype).itemsize == 4:
-            # f32 path: because the adjacency operand is EXACTLY representable
-            # in bf16, near-f32 results need only the x side split into bf16
-            # hi+lo — two single-pass MXU matmuls (f32 accumulation) instead
-            # of Mosaic's six-pass HIGHEST emulation (~3x faster, ~1e-5
-            # relative). The XLA fallback (bcsr_spmm_xla) keeps true HIGHEST
-            # and is the exactness oracle.
-            blk = blk_ref[k * kbatch : (k + 1) * kbatch].reshape(kbatch * block, block).astype(jnp.bfloat16)
-            xc = xcat_buf[:]
-            hi = xc.astype(jnp.bfloat16)
-            lo = (xc - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            dot = functools.partial(
-                jax.lax.dot_general,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc[parity] += dot(hi, blk) + dot(lo, blk)
+        if split:
+            # near-f32 path: hi + lo bf16 operand pair (pre-split in XLA),
+            # single-pass MXU matmuls with f32 accumulation — ~1e-5 relative
+            # vs Mosaic's six-pass HIGHEST emulation at ~3x the cost. The
+            # matmuls read the resident chunks directly at per-block dynamic
+            # offsets (no gather copies). The XLA fallback (bcsr_spmm_xla)
+            # keeps true HIGHEST and is the exactness oracle.
+            for kk in range(kbatch):  # unrolled: kbatch is static
+                local = block_col_ref[sub * kbatch + kk] - base
+                sl = pl.ds(pl.multiple_of(local * block, block), block)
+                blk_k = blk_ref[k * kbatch + kk].astype(jnp.bfloat16)
+                acc[parity] += dot(xchunks[0][:, sl], blk_k) + dot(xchunks[1][:, sl], blk_k)
         else:
+            # unrolled gather into one [fw, KBATCH*B] buffer, then a single
+            # wide contraction (a lax.fori_loop variant compiles even slower
+            # in Mosaic than the SUPER*KBATCH-slice unroll)
+            for kk in range(kbatch):
+                local = block_col_ref[sub * kbatch + kk] - base
+                xcats[0][:, kk * block : (kk + 1) * block] = xchunks[0][:, pl.ds(pl.multiple_of(local * block, block), block)]
             blk = blk_ref[k * kbatch : (k + 1) * kbatch].reshape(kbatch * block, block).astype(compute_dtype)
             acc[parity] += jax.lax.dot_general(
-                xcat_buf[:],
+                xcats[0][:],
                 blk,
                 (((1,), (0,)), ((), ())),
                 precision=precision,
@@ -636,37 +648,51 @@ def _bcsr_spmm_tpu(
     if num_row_tiles is None:
         num_row_tiles = num_tiles
     cd = jnp.dtype(compute_dtype)
+    split = cd.itemsize == 4
     feat = x.shape[0] if transposed_io else x.shape[1]
-    pad_f = (-feat) % (16 if cd.itemsize == 2 else 8)  # sublane quantum for the [F, N] layout
+    # operands ride the MXU as bf16 either way (hi+lo pair for the near-f32
+    # path), so the [F, N] layout always pads F to the bf16 sublane quantum
+    pad_f = (-feat) % 16
     if transposed_io:
-        x_t = (jnp.pad(x, ((0, pad_f), (0, 0))) if pad_f else x).astype(cd)
+        x_t = jnp.pad(x, ((0, pad_f), (0, 0))) if pad_f else x
     else:
         if pad_f:
             x = jnp.pad(x, ((0, 0), (0, pad_f)))
-        x_t = x.T.astype(cd)  # [F, N]: features on sublanes, nodes on lanes
+        x_t = x.T  # [F, N]: features on sublanes, nodes on lanes
     fw = feat + pad_f
     chunk_tiles = min(CHUNK_TILES, num_tiles) if num_chunks == 1 else CHUNK_TILES
     pad_n = num_chunks * chunk_tiles * block - x_t.shape[1]
     if pad_n:
         x_t = jnp.pad(x_t, ((0, 0), (0, pad_n)))
+    if split:
+        # bf16 hi+lo pre-split (same total bytes as f32; XLA fuses it into
+        # x_t's producer) — see _kernel_stream's split note
+        x_hi = x_t.astype(jnp.bfloat16)
+        x_lo = (x_t - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        x_operands = (x_hi, x_lo)
+    else:
+        x_operands = (x_t.astype(cd),)
 
     num_subs = blocks_t.shape[0] // KBATCH
+    buf_dtype = jnp.bfloat16 if split else cd
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_subs // SUPER,),
         in_specs=[
             # SUPER*KBATCH blocks per grid step, pipelined by Mosaic
             pl.BlockSpec((SUPER * KBATCH, block, block), lambda bi, *_: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),  # x^T; chunks DMA'd manually
+            # x^T (hi+lo pair when split); chunks DMA'd manually
+            *[pl.BlockSpec(memory_space=pltpu.HBM) for _ in x_operands],
         ],
         # per-chunk slabs written tile-by-tile with explicit DMA in-kernel
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((fw, chunk_tiles * block), cd),  # resident x^T chunk
-            pltpu.VMEM((fw, KBATCH * block), cd),  # gathered source tiles
+            *[pltpu.VMEM((fw, chunk_tiles * block), buf_dtype) for _ in x_operands],  # resident x^T chunks
+            # gather buffer (non-split only; split matmuls slice the chunks directly)
+            *([] if split else [pltpu.VMEM((fw, KBATCH * block), buf_dtype)]),
             pltpu.VMEM((2, fw, block), jnp.float32),  # run accumulators (parity double-buffer)
             pltpu.SMEM((2,), jnp.int32),  # [runs started, current parity]
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),  # chunk-stream semaphores
             pltpu.SemaphoreType.DMA((2,)),  # per-parity flush semaphores
         ],
     )
@@ -680,10 +706,11 @@ def _bcsr_spmm_tpu(
             precision=precision,
             compute_dtype=cd,
             num_subs=num_subs,
+            split=split,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_chunks, fw, num_row_tiles * block), jnp.float32),
-    )(batch_row, batch_chunk, block_col, blocks_t, x_t)
+    )(batch_row, batch_chunk, block_col, blocks_t, *x_operands)
 
     # collapse chunk slabs; never-visited slab tiles are uninitialized memory,
     # so select (not multiply) them away before summing
