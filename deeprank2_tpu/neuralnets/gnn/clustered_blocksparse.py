@@ -32,7 +32,7 @@ from deeprank2_tpu.neuralnets.gnn.ginet import GINet as GINetClusteredCOO
 from deeprank2_tpu.neuralnets.gnn.sgat import SGAT as SGATCOO
 from deeprank2_tpu.ops.batch import ClusteredBlockSparseBatch
 from deeprank2_tpu.ops.block_sparse import bcsr_spmm_t
-from deeprank2_tpu.ops.pooling import tiled_graph_mean_pool
+from deeprank2_tpu.ops.pooling import member_max_pool, tiled_graph_mean_pool
 from deeprank2_tpu.ops.segment import segment_max, segment_mean
 
 
@@ -44,12 +44,16 @@ def _lin_t(p: dict, x_t: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def _pool_max_t(h_t: jnp.ndarray, cluster: jnp.ndarray, capacity: int) -> jnp.ndarray:
-    """Per-cluster feature max, transposed IO: [F, V] -> [F, C].
+def _pool_max_t(h_t: jnp.ndarray, batch: "ClusteredBlockSparseBatch") -> jnp.ndarray:
+    """Depth-0 per-cluster feature max, transposed IO: [F, V] -> [F, C].
 
-    The scatter-max runs over V rows — the remaining XLA scatter in this
-    path (segment-sum pooling is tile-factorized away, ops/pooling.py)."""
-    return segment_max(h_t.T, cluster, capacity).T
+    Uses the collate's member matrix (scatter-free gathers + S-way reduce;
+    the scatter-max over V rows and its VJP twin cost 1.74 ms of a 4.0 ms
+    100k-node step, profiled round 3); falls back to scatter-max when the
+    collate declined to build the matrix (one pathological cluster)."""
+    if batch.members0.size:
+        return member_max_pool(h_t.T, batch.members0, batch.cluster0).T
+    return segment_max(h_t.T, batch.cluster0, batch.structure_p.padded_nodes).T
 
 
 class _ClusteredBlockSparseBase:
@@ -89,7 +93,10 @@ class _ClusteredBlockSparseBase:
         """Depth-1 max pool + per-graph mean (reference max_pool_x +
         scatter_mean, ginet.py:117-118)."""
         c1_cap = batch.c1_graph.shape[0]
-        hc = segment_max(h2_t.T, batch.cluster1, c1_cap)  # [C1, F]
+        if batch.members1.size:
+            hc = member_max_pool(h2_t.T, batch.members1, batch.cluster1)  # [C1, F]
+        else:
+            hc = segment_max(h2_t.T, batch.cluster1, c1_cap)
         return segment_mean(hc, batch.c1_graph, batch.num_graphs)
 
 
@@ -108,7 +115,7 @@ class GINetClusteredBlockSparse(_ClusteredBlockSparseBase):
         h_t = h_t * batch.node_mask[None, :]
 
         # depth-0 community pooling (max features; both towers share clusters)
-        hp_t = _pool_max_t(h_t, batch.cluster0, batch.structure_p.padded_nodes)
+        hp_t = _pool_max_t(h_t, batch)
         hp_t = hp_t * batch.pooled_node_mask[None, :]
 
         # layer 2 on the pooled graph
@@ -147,7 +154,7 @@ class FoutNetBlockSparse(_ClusteredBlockSparseBase):
         h_t = act(self._fout_t(params["conv1"], x_t, batch.structure, batch.deg))
         h_t = h_t * batch.node_mask[None, :]
 
-        hp_t = _pool_max_t(h_t, batch.cluster0, batch.structure_p.padded_nodes)
+        hp_t = _pool_max_t(h_t, batch)
         hp_t = hp_t * batch.pooled_node_mask[None, :]
 
         h2_t = act(self._fout_t(params["conv2"], hp_t, batch.structure_p, batch.deg_p))
@@ -178,7 +185,7 @@ class SGATBlockSparse(_ClusteredBlockSparseBase):
         h_t = act(self._sgat_t(params["conv1"], x_t, batch.structure, batch.deg, batch.wsum))
         h_t = h_t * batch.node_mask[None, :]
 
-        hp_t = _pool_max_t(h_t, batch.cluster0, batch.structure_p.padded_nodes)
+        hp_t = _pool_max_t(h_t, batch)
         hp_t = hp_t * batch.pooled_node_mask[None, :]
 
         h2_t = act(self._sgat_t(params["conv2"], hp_t, batch.structure_p, batch.deg_p, batch.wsum_p))

@@ -677,6 +677,12 @@ class ClusteredBlockSparseBatch:
     c1_graph: jax.Array  # i32 [C1] graph id per depth-1 slot; padded = G
     wsum: jax.Array  # f32 [NT*B] weighted row sums ([0] when unused)
     wsum_p: jax.Array  # f32 [NTp*B] pooled weighted row sums ([0] when unused)
+    # member matrices for scatter-free max pooling (ops/pooling.py:
+    # member_max_pool): node slots per pooled slot / pooled slots per depth-1
+    # slot, padded with the source capacity. Shape (0, 0) signals "use the
+    # scatter path" (a pathologically large cluster made the matrix blow up).
+    members0: jax.Array  # i32 [NTp*B, S0]
+    members1: jax.Array  # i32 [C1, S1]
     num_graphs: int = field(metadata={"static": True})
 
     @property
@@ -686,6 +692,32 @@ class ClusteredBlockSparseBatch:
     @property
     def num_pooled_nodes(self) -> int:
         return self.cluster1.shape[0]
+
+
+def _member_matrix(ids: np.ndarray, num_clusters: int, pad_value: int, pad_s=None) -> np.ndarray:
+    """Invert a cluster assignment into a [num_clusters, S] member matrix
+    (padded with ``pad_value``); S is the largest cluster size, optionally
+    bucketed by ``pad_s`` (int or callable). Returns shape (0, 0) when the
+    matrix would exceed 8x the element count (one huge cluster — the
+    scatter path is cheaper then)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    valid = ids < num_clusters
+    counts = np.bincount(ids[valid], minlength=num_clusters)
+    s = int(counts.max()) if counts.size else 0
+    s = max(s, 1)
+    if callable(pad_s):
+        s = pad_s(s)
+    elif pad_s is not None:
+        s = max(s, pad_s)
+    if num_clusters * s > 8 * max(len(ids), 1):
+        return np.zeros((0, 0), dtype=np.int32)
+    members = np.full((num_clusters, s), pad_value, dtype=np.int32)
+    order = np.argsort(ids[valid], kind="stable")
+    slots = np.nonzero(valid)[0][order]
+    sorted_ids = ids[valid][order]
+    rank = np.arange(len(slots)) - np.concatenate([[0], np.cumsum(counts)])[:-1][sorted_ids]
+    members[sorted_ids, rank] = slots
+    return members
 
 
 def collate_graphs_blocksparse_clustered(
@@ -699,6 +731,8 @@ def collate_graphs_blocksparse_clustered(
     pad_graphs: int | None = None,
     with_edge_weights: bool = False,
     weight_dtype: np.dtype | None = None,
+    pad_members0=None,
+    pad_members1=None,
 ) -> tuple[ClusteredBlockSparseBatch, list[str]]:
     """Collate entries (the :func:`collate_graphs` schema, ``cluster0``/
     ``cluster1`` required) into a :class:`ClusteredBlockSparseBatch`.
@@ -896,6 +930,9 @@ def collate_graphs_blocksparse_clustered(
             y[g] = entry["y"]
             y_mask[g] = True
 
+    members0 = _member_matrix(cluster0, pooled_cap, node_cap, pad_s=pad_members0)
+    members1 = _member_matrix(cluster1, c1_cap, pooled_cap, pad_s=pad_members1)
+
     return ClusteredBlockSparseBatch(
         x=np.concatenate(xs),
         pos=np.concatenate(poss),
@@ -914,6 +951,8 @@ def collate_graphs_blocksparse_clustered(
         c1_graph=c1_graph,
         wsum=wsum,
         wsum_p=wsum_p,
+        members0=members0,
+        members1=members1,
         num_graphs=num_graphs,
     ), names
 

@@ -446,6 +446,8 @@ class Trainer:
                     pad_c1=self._blocksparse_bucket("c1"),
                     pad_graphs=pad_graphs,
                     with_edge_weights=getattr(self.neuralnet, "clustered_blocksparse_edge_weights", False),
+                    pad_members0=self._blocksparse_bucket("members0_s"),
+                    pad_members1=self._blocksparse_bucket("members1_s"),
                 )
             elif blocksparse:
                 if not hasattr(self, "_bs_caps"):
