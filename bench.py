@@ -202,6 +202,31 @@ def blocked_result(num_nodes: int = 100_000) -> dict:
     return out
 
 
+def clustered_result(num_nodes: int = 100_000) -> dict:
+    """GINetClusteredBlockSparse (community-pooling fast path) train step —
+    full graph + depth-0-pooled graph both on BCSR, scatter-free member-max
+    pooling. The COO twin measured 4.6M edges/s on this graph
+    (tests/perf/clustered_bcsr_perf.py --coo)."""
+    import jax
+
+    from deeprank2_tpu.neuralnets.gnn.clustered_blocksparse import GINetClusteredBlockSparse
+    from deeprank2_tpu.ops.batch import collate_graphs_blocksparse_clustered
+    from tests.perf.clustered_bcsr_perf import clustered_entry
+
+    feat_dim, edge_dim = 38, 1
+    entry = clustered_entry(num_nodes, feat_dim, edge_dim)
+    real_edges = 2 * entry["edge_index"].shape[0]
+    batch, _ = collate_graphs_blocksparse_clustered([entry])
+    batch = jax.device_put(batch)
+
+    step_s = _measure(GINetClusteredBlockSparse(feat_dim, 2, edge_dim), batch, steps_per_call=50, calls=3)
+    return {
+        "num_nodes": num_nodes,
+        "edges_per_s": round(real_edges / step_s, 1),
+        "step_ms": round(step_s * 1e3, 3),
+    }
+
+
 def main() -> None:
     import os
     import sys
@@ -211,6 +236,7 @@ def main() -> None:
     dense = dense_result()
     bcsr = bcsr_result()
     blocked = blocked_result()
+    clustered = clustered_result()
     print(
         json.dumps(
             {
@@ -226,6 +252,7 @@ def main() -> None:
                 "dense": dense,
                 "bcsr": bcsr,
                 "blocked": blocked,
+                "clustered": clustered,
             }
         )
     )

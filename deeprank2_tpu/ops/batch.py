@@ -957,6 +957,117 @@ def collate_graphs_blocksparse_clustered(
     ), names
 
 
+def clustered_blocksparse_requirements(entries: list[dict], block: int = 128) -> dict:
+    """The capacities :func:`collate_graphs_blocksparse_clustered` would need
+    for these entries — the light pass (no feature copies, no block
+    materialization) used to equalize shard caps before sharded collation.
+    Mirrors the collate's per-entry cluster math exactly."""
+    from deeprank2_tpu.ops.block_sparse import locality_order, required_blocks
+
+    layout = blocksparse_layout(entries, block, features=False)
+    p_offset = 0
+    c1_total = 0
+    s0 = 1
+    s1 = 1
+    pooled_pairs = []
+    for g, entry in enumerate(entries):
+        order = layout["orders"][g]
+        c0 = np.asarray(entry["cluster0"], dtype=np.int64)
+        c1 = np.asarray(entry["cluster1"], dtype=np.int64)
+        n_c0 = int(c0.max()) + 1 if c0.size else 0
+        n_c1 = int(c1.max()) + 1 if c1.size else 0
+        pos = np.asarray(entry["pos"], dtype=np.float64)
+        psum = np.zeros((n_c0, 3))
+        np.add.at(psum, c0, pos)
+        counts = np.bincount(c0, minlength=n_c0).astype(np.float64)
+        if counts.size:
+            s0 = max(s0, int(counts.max()))
+        if c1.size:
+            s1 = max(s1, int(np.bincount(c1, minlength=n_c1).max()))
+        pmean = psum / np.maximum(counts, 1.0)[:, None]
+        p_order = locality_order(pmean) if n_c0 > block else np.arange(n_c0)
+        p_inv = np.empty(n_c0, dtype=np.int64)
+        p_inv[p_order] = np.arange(n_c0)
+        p_cap = max(-(-n_c0 // block) * block, block)
+        und = np.asarray(entry["edge_index"], dtype=np.int64).reshape(-1, 2)
+        pi = p_inv[c0[und[:, 0]]] if und.size else np.zeros(0, np.int64)
+        pj = p_inv[c0[und[:, 1]]] if und.size else np.zeros(0, np.int64)
+        keep = pi != pj
+        pi, pj = pi[keep], pj[keep]
+        lo, hi = np.minimum(pi, pj), np.maximum(pi, pj)
+        uniq = np.unique(lo * p_cap + hi)
+        pooled_pairs.append(np.stack([uniq // p_cap, uniq % p_cap], axis=1) + p_offset)
+        p_offset += p_cap
+        c1_total += n_c1
+    pooled_tiles = max(p_offset // block, 1)
+    p_pairs = np.concatenate(pooled_pairs) if pooled_pairs else np.zeros((0, 2), np.int64)
+    return {
+        "tiles": layout["num_tiles"],
+        "blocks": required_blocks(layout["pairs"], layout["num_tiles"] * block, block),
+        "pooled_tiles": pooled_tiles,
+        "pooled_blocks": required_blocks(p_pairs, pooled_tiles * block, block),
+        "c1": max(c1_total, 1),
+        "members0_s": s0,
+        "members1_s": s1,
+    }
+
+
+def collate_graphs_blocksparse_clustered_sharded(
+    entries: list[dict],
+    num_shards: int,
+    pad_graphs_per_shard: int,
+    block: int = 128,
+    with_edge_weights: bool = False,
+    weight_dtype: np.dtype | None = None,
+    pad_caps: dict | None = None,
+) -> tuple[ClusteredBlockSparseBatch, list[str]]:
+    """Collate into ``num_shards`` equally-shaped clustered block-sparse
+    sub-batches stacked on a leading device axis (shard_map data parallelism),
+    with the same greedy tile-balanced assignment as the block-sparse variant.
+    ``pad_caps`` maps the :func:`clustered_blocksparse_requirements` keys to
+    ints or ``required -> capacity`` callables (grow-only Trainer buckets)."""
+    if len(entries) > num_shards * pad_graphs_per_shard:
+        msg = f"{len(entries)} entries exceed {num_shards} shards x {pad_graphs_per_shard} graphs"
+        raise ValueError(msg)
+    template = entries[0]
+    tiles_of = [-(-e["x"].shape[0] // block) for e in entries]
+    order = sorted(range(len(entries)), key=lambda i: -tiles_of[i])
+    shards: list[list[dict]] = [[] for _ in range(num_shards)]
+    loads = [0] * num_shards
+    for i in order:
+        open_shards = [s for s in range(num_shards) if len(shards[s]) < pad_graphs_per_shard]
+        s = min(open_shards, key=lambda s: loads[s])
+        shards[s].append(entries[i])
+        loads[s] += tiles_of[i]
+    shards = [shard or [_dummy_entry(template)] for shard in shards]
+
+    reqs = [clustered_blocksparse_requirements(shard, block) for shard in shards]
+    caps = {k: max(r[k] for r in reqs) for k in reqs[0]}
+    for k, pad in (pad_caps or {}).items():
+        caps[k] = pad(caps[k]) if callable(pad) else max(caps[k], pad)
+
+    batches = []
+    names: list[str] = []
+    for shard in shards:
+        batch, shard_names = collate_graphs_blocksparse_clustered(
+            shard,
+            block=block,
+            pad_tiles=caps["tiles"],
+            pad_blocks=caps["blocks"],
+            pad_pooled_tiles=caps["pooled_tiles"],
+            pad_pooled_blocks=caps["pooled_blocks"],
+            pad_c1=caps["c1"],
+            pad_graphs=pad_graphs_per_shard,
+            with_edge_weights=with_edge_weights,
+            weight_dtype=weight_dtype,
+            pad_members0=caps["members0_s"],
+            pad_members1=caps["members1_s"],
+        )
+        batches.append(batch)
+        names.extend(shard_names)
+    return jax.tree.map(lambda *leaves: np.stack(leaves), *batches), names
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class BlockedEdgeBatch:

@@ -432,23 +432,36 @@ class Trainer:
             if clustered_bs:
                 if not hasattr(self, "_bs_caps"):
                     self._bs_caps = {}
+                weighted = getattr(self.neuralnet, "clustered_blocksparse_edge_weights", False)
                 if num_shards > 1:
-                    msg = "clustered block-sparse models do not support data_parallel sharding yet; use the COO or dense path for DP"
-                    raise ValueError(msg)
-                from deeprank2_tpu.ops.batch import collate_graphs_blocksparse_clustered
+                    from deeprank2_tpu.ops.batch import collate_graphs_blocksparse_clustered_sharded
 
-                batch, names = collate_graphs_blocksparse_clustered(
-                    entries,
-                    pad_tiles=self._blocksparse_bucket("tiles"),
-                    pad_blocks=self._blocksparse_bucket("blocks"),
-                    pad_pooled_tiles=self._blocksparse_bucket("pooled_tiles"),
-                    pad_pooled_blocks=self._blocksparse_bucket("pooled_blocks"),
-                    pad_c1=self._blocksparse_bucket("c1"),
-                    pad_graphs=pad_graphs,
-                    with_edge_weights=getattr(self.neuralnet, "clustered_blocksparse_edge_weights", False),
-                    pad_members0=self._blocksparse_bucket("members0_s"),
-                    pad_members1=self._blocksparse_bucket("members1_s"),
-                )
+                    per_shard = max(1, -(-pad_graphs // num_shards))  # ceil: floor overfills shards when batch_size % devices != 0
+                    batch, names = collate_graphs_blocksparse_clustered_sharded(
+                        entries,
+                        num_shards,
+                        per_shard,
+                        with_edge_weights=weighted,
+                        pad_caps={
+                            k: self._blocksparse_bucket(k)
+                            for k in ("tiles", "blocks", "pooled_tiles", "pooled_blocks", "c1", "members0_s", "members1_s")
+                        },
+                    )
+                else:
+                    from deeprank2_tpu.ops.batch import collate_graphs_blocksparse_clustered
+
+                    batch, names = collate_graphs_blocksparse_clustered(
+                        entries,
+                        pad_tiles=self._blocksparse_bucket("tiles"),
+                        pad_blocks=self._blocksparse_bucket("blocks"),
+                        pad_pooled_tiles=self._blocksparse_bucket("pooled_tiles"),
+                        pad_pooled_blocks=self._blocksparse_bucket("pooled_blocks"),
+                        pad_c1=self._blocksparse_bucket("c1"),
+                        pad_graphs=pad_graphs,
+                        with_edge_weights=weighted,
+                        pad_members0=self._blocksparse_bucket("members0_s"),
+                        pad_members1=self._blocksparse_bucket("members1_s"),
+                    )
             elif blocksparse:
                 if not hasattr(self, "_bs_caps"):
                     self._bs_caps = {}

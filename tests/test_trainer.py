@@ -112,6 +112,10 @@ def test_clustered_blocksparse_models(srv_hdf5, tmp_path) -> None:
     ds_sgat = GraphDataset(hdf5_path=srv_hdf5, target="binary", clustering_method="mcl", edge_features=["distance"])
     _train(SGATBlockSparse, ds_sgat, tmp_path)
 
+    # data-parallel variant (sharded clustered collation over the mesh)
+    trainer_dp = Trainer(GINetClusteredBlockSparse, dataset_train=ds, output_exporters=[], data_parallel=True)
+    trainer_dp.train(nepoch=1, batch_size=4, filename=None, best_model=False)
+
 
 def test_foutnet(srv_hdf5, tmp_path) -> None:
     ds = GraphDataset(hdf5_path=srv_hdf5, target="binary", clustering_method="mcl")
