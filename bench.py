@@ -77,7 +77,7 @@ def _measure(model, batch, steps_per_call, calls):
     float(loss)
 
     best_dt = float("inf")
-    for _ in range(2):
+    for _ in range(3):  # best of three windows: tunnel dispatch jitter is ~4 %
         t0 = time.perf_counter()
         for _ in range(calls):
             carry, loss = train_chunk(carry, batch)

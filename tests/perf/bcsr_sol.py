@@ -132,7 +132,7 @@ def main() -> None:
         best_dt = min(best_dt, time.perf_counter() - t0)
     step_s = best_dt / (steps_per_call * calls)
 
-    bound = bcsr_bound_bytes(batch.structure, (32, 64))
+    bound = bcsr_bound_bytes(batch.structure, (32, 64), compute_itemsize=2 if compute_dtype is not None else 4)
     device = jax.devices()[0]
     peak = PEAK_HBM_GBPS.get(getattr(device, "device_kind", ""), DEFAULT_PEAK_GBPS)
     sol_s = bound["bound_bytes"] / (peak * 1e9)
