@@ -157,6 +157,51 @@ def test_clustered_collate_bookkeeping() -> None:
     np.testing.assert_array_equal(c1g[c1[pm]], pg[pm])
 
 
+def test_requirements_match_collate() -> None:
+    """clustered_blocksparse_requirements mirrors the collate's cluster math
+    by re-implementation (no shared pass) — this pins them together so the
+    sharded collation's shared caps can never under-provision a shard."""
+    from deeprank2_tpu.ops.batch import clustered_blocksparse_requirements
+
+    entries = _clustered_entries(num_graphs=3)
+    req = clustered_blocksparse_requirements(entries)
+    batch, _ = collate_graphs_blocksparse_clustered(entries)
+
+    assert req["tiles"] * 128 == batch.x.shape[0]
+    assert req["blocks"] <= batch.structure.num_blocks  # collate rounds to the grid-step quantum
+    assert batch.structure.num_blocks - req["blocks"] < 128
+    assert req["pooled_tiles"] * 128 == batch.structure_p.padded_nodes
+    assert req["pooled_blocks"] <= batch.structure_p.num_blocks
+    assert batch.structure_p.num_blocks - req["pooled_blocks"] < 128
+    assert req["c1"] == batch.c1_graph.shape[0]
+    assert req["members0_s"] == batch.members0.shape[1]
+    assert req["members1_s"] == batch.members1.shape[1]
+
+
+def test_member_matrix_fallback_scatter_parity() -> None:
+    """One pathological cluster (most nodes in a single cluster) makes the
+    collate decline the member matrix; the models must fall back to the
+    scatter path and still match the COO oracle."""
+    entries = _clustered_entries(num_graphs=2, sizes=(150, 90))
+    # collapse entry 0 into two clusters: a giant one + a singleton
+    v0 = entries[0]["x"].shape[0]
+    c0 = np.zeros(v0, dtype=np.int32)
+    c0[-1] = 1
+    entries[0]["cluster0"] = c0
+    entries[0]["cluster1"] = np.zeros(2, dtype=np.int32)
+
+    bs_batch, _ = collate_graphs_blocksparse_clustered(entries, pad_graphs=2, weight_dtype=np.float32)
+    assert bs_batch.members0.size == 0  # fallback engaged
+
+    model_bs = GINetClusteredBlockSparse(13, 2, 1)
+    model_coo = GINet(13, 2, 1)
+    params = model_bs.init(jax.random.PRNGKey(1))
+    coo_batch, _ = collate_graphs(entries, pad_graphs=2)
+    want = np.asarray(model_coo.apply(params, coo_batch, training=False))
+    got = np.asarray(model_bs.apply(params, bs_batch, training=False))
+    np.testing.assert_allclose(got[:2], want[:2], rtol=1e-4, atol=1e-4)
+
+
 def test_weighted_structure_row_sums() -> None:
     """Weighted BCSR: A_w @ 1 recovers the precomputed row sums (bf16 tol)."""
     from deeprank2_tpu.ops.block_sparse import bcsr_spmm_xla
