@@ -517,7 +517,7 @@ def _outputs_to_metrics(task: str, outputs: np.ndarray, y: np.ndarray) -> dict:
 # Config runners
 # ---------------------------------------------------------------------------
 
-CONFIG_NAMES = ("vanilla_srv_regress", "ginet_ppi_classif", "fout_atom_classif", "sgat_atom_classif", "cnn_grid_classif", "ginet_edgepart_ba")
+CONFIG_NAMES = ("vanilla_srv_regress", "ginet_ppi_classif", "ginet_clustered_bcsr_classif", "fout_atom_classif", "sgat_atom_classif", "cnn_grid_classif", "ginet_edgepart_ba")
 
 
 def _make_chunks(entries: list[dict], batch_size: int, grid: bool, clustered: bool) -> list[dict]:
@@ -803,6 +803,17 @@ def run_all(data_dir: Path, out_dir: Path, configs: list[str], epochs: int, fold
 
     GINetNoDropout.__name__ = "GINet"
 
+    from deeprank2_tpu.neuralnets.gnn.clustered_blocksparse import GINetClusteredBlockSparse
+
+    class GINetBSNoDropout(GINetClusteredBlockSparse):
+        """The clustered block-sparse FAST PATH under the same parity gate:
+        trains through the Trainer's clustered-BCSR collation against the
+        torch mirror of the reference math (dropout off for determinism)."""
+
+        dropout = 0.0
+
+    GINetBSNoDropout.__name__ = "GINetClusteredBlockSparse"
+
     corpus = featurize_corpus(data_dir, out_dir / "corpus")
     reports = []
     std = lambda feats: {f: {"standardize": True} for f in feats}  # noqa: E731
@@ -824,6 +835,15 @@ def run_all(data_dir: Path, out_dir: Path, configs: list[str], epochs: int, fold
             run_trainer_config(
                 "ginet_ppi_classif", corpus["ppi_residue"], out_dir,
                 model_cls=GINetNoDropout, mirror_kind="ginet", task="classif", target="binary",
+                epochs=epochs, batch_size=3, clustered=True, folds=folds,
+                dataset_kwargs={"node_features": ppi_feats, "features_transform": std(ppi_feats)},
+            )
+        )
+    if "ginet_clustered_bcsr_classif" in configs:
+        reports.append(
+            run_trainer_config(
+                "ginet_clustered_bcsr_classif", corpus["ppi_residue"], out_dir,
+                model_cls=GINetBSNoDropout, mirror_kind="ginet", task="classif", target="binary",
                 epochs=epochs, batch_size=3, clustered=True, folds=folds,
                 dataset_kwargs={"node_features": ppi_feats, "features_transform": std(ppi_feats)},
             )
