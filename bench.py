@@ -189,7 +189,11 @@ def blocked_result(num_nodes: int = 100_000) -> dict:
     peak = PEAK_HBM_GBPS.get(getattr(device, "device_kind", ""), DEFAULT_PEAK_GBPS)
     sol_s = bound["bound_bytes"] / (peak * 1e9)
 
-    out = {"num_nodes": num_nodes}
+    # NOTE: unlike bcsr_result (which prices a tighter compute_itemsize=2
+    # bound for its bf16 row), both variants here are scored against the one
+    # f32-byte layout bound — the bf16 %SoL is conservative by the f32/bf16
+    # tile-byte ratio and is not comparable with the bcsr bf16 %SoL.
+    out = {"num_nodes": num_nodes, "bound_note": "f32-byte bound for both variants"}
     for label, cd in (("bf16", jnp.bfloat16), ("f32", None)):
         model = VanillaNetworkBlocked(feat_dim, 2, edge_dim, compute_dtype=cd)
         step_s = _measure(model, batch, steps_per_call=20, calls=3)

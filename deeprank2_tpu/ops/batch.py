@@ -778,6 +778,13 @@ def collate_graphs_blocksparse_clustered(
             msg = f"cluster0 has {c0.shape[0]} entries for {v} nodes"
             raise ValueError(msg)
         n_c0 = int(c0.max()) + 1 if c0.size else 0
+        # cluster1 maps depth-0 cluster id -> depth-1 cluster id, so it must
+        # have exactly one entry per depth-0 cluster. A short array would
+        # raise an opaque IndexError at c1[p_order]; a long one would mark
+        # phantom depth-1 slots live (silent wrong per-graph means).
+        if c1.shape[0] != n_c0:
+            msg = f"cluster1 has {c1.shape[0]} entries for {n_c0} depth-0 clusters"
+            raise ValueError(msg)
         n_c1 = int(c1.max()) + 1 if c1.size else 0
 
         # pooled locality order from cluster mean positions
@@ -975,6 +982,9 @@ def clustered_blocksparse_requirements(entries: list[dict], block: int = 128) ->
         c0 = np.asarray(entry["cluster0"], dtype=np.int64)
         c1 = np.asarray(entry["cluster1"], dtype=np.int64)
         n_c0 = int(c0.max()) + 1 if c0.size else 0
+        if c1.shape[0] != n_c0:
+            msg = f"cluster1 has {c1.shape[0]} entries for {n_c0} depth-0 clusters"
+            raise ValueError(msg)
         n_c1 = int(c1.max()) + 1 if c1.size else 0
         pos = np.asarray(entry["pos"], dtype=np.float64)
         psum = np.zeros((n_c0, 3))

@@ -132,18 +132,21 @@ def member_max_pool(
         mt = members.T  # [S, C]
         safe = jnp.clip(mt, 0, v - 1)
         valid = (mt < v)[..., None]
-        return jnp.where(valid, h[safe], 0.0)  # [S, C, F]
+        return jnp.where(valid, h[safe], 0.0), valid  # [S, C, F], [S, C, 1]
 
     @jax.custom_vjp
     def pool(h):
-        return _gathered(h).max(axis=0)
+        return _gathered(h)[0].max(axis=0)
 
     def fwd(h):
-        gathered = _gathered(h)
+        gathered, valid = _gathered(h)
         pooled = gathered.max(axis=0)
         # tie counts per (cluster, feature), computed while the gather is hot
-        # (recomputing it in bwd cost a second [C,S,F] pass, profiled)
-        ties = (gathered == pooled[None, :, :]).sum(axis=0).astype(h.dtype)
+        # (recomputing it in bwd cost a second [C,S,F] pass, profiled).
+        # Padded member slots are excluded: their fill value 0.0 compares
+        # equal to a zero max, which would over-divide the cotangent by S —
+        # with the mask, the zero-max gradient matches the scatter-max VJP.
+        ties = ((gathered == pooled[None, :, :]) & valid).sum(axis=0).astype(h.dtype)
         return pooled, (h, pooled, ties)
 
     def bwd(res, g):
