@@ -259,6 +259,12 @@ class DenseGraphBatch:
     # cluster1 is indexed by depth-0 cluster id. Empty [G, 0] when absent.
     cluster0: jax.Array = None  # type: ignore[assignment]
     cluster1: jax.Array = None  # type: ignore[assignment]
+    # graph-diagonal fast-path operands (ops/diag_spmm.py): the same adjacency
+    # stored int8 (entries are exactly 0/1; half the bf16 stream bytes), and
+    # node features flat + transposed ([F, G*N], features on sublanes) so the
+    # whole tower runs 2-D with no batched matmuls. None when not collated.
+    adj_i8: jax.Array = None  # type: ignore[assignment]
+    x_t: jax.Array = None  # type: ignore[assignment]
 
     @property
     def num_graphs(self) -> int:
@@ -326,7 +332,17 @@ def collate_graphs_dense(
             y_mask[g] = True
 
     return DenseGraphBatch(
-        x=x, adj=adj, pos=pos, node_mask=node_mask, y=y, y_mask=y_mask, adj_w=adj_w, cluster0=cluster0, cluster1=cluster1
+        x=x,
+        adj=adj,
+        pos=pos,
+        node_mask=node_mask,
+        y=y,
+        y_mask=y_mask,
+        adj_w=adj_w,
+        cluster0=cluster0,
+        cluster1=cluster1,
+        adj_i8=adj.astype(np.int8),
+        x_t=np.ascontiguousarray(x.reshape(num_graphs * cap_n, feat_dim).T),
     ), names
 
 

@@ -666,9 +666,14 @@ def _bcsr_spmm_tpu(
         x_t = jnp.pad(x_t, ((0, 0), (0, pad_n)))
     if split:
         # bf16 hi+lo pre-split (same total bytes as f32; XLA fuses it into
-        # x_t's producer) — see _kernel_stream's split note
-        x_hi = x_t.astype(jnp.bfloat16)
-        x_lo = (x_t - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # x_t's producer) — see _kernel_stream's split note. The rounded
+        # value MUST come from lax.reduce_precision: the naive
+        # ``x - f32(bf16(x))`` residual is folded to zero under jit by XLA's
+        # excess-precision convert-pair elision, silently degrading this
+        # path to a single bf16 pass (caught on v5e, round 4).
+        x_hi_f32 = jax.lax.reduce_precision(x_t, exponent_bits=8, mantissa_bits=7)
+        x_hi = x_hi_f32.astype(jnp.bfloat16)
+        x_lo = (x_t - x_hi_f32).astype(jnp.bfloat16)
         x_operands = (x_hi, x_lo)
     else:
         x_operands = (x_t.astype(cd),)

@@ -1,0 +1,322 @@
+"""Graph-diagonal SpMM — the dense-batch aggregation as a Pallas kernel.
+
+A collated :class:`~deeprank2_tpu.ops.batch.DenseGraphBatch` is a
+block-diagonal adjacency: graph ``g`` owns rows/cols ``[g*N, (g+1)*N)`` of the
+batch graph and no edges cross graphs. The batched-matmul formulation
+(``[G,N,N] @ [G,N,C]``, ginet_dense.py) leaves ~35 % of the train step in
+XLA dot-emitter layout copies of the backward cotangents (every batched
+cotangent has two matmul consumers with conflicting operand layouts —
+profiled round 3, three formulation rewrites measured as no-ops). This module
+removes the batch dimension instead: activations live flat and transposed
+(``[F, G*N]``, features on sublanes — the BCSR model's discipline, where the
+same GINet math measures >90 % of its roofline), every XLA-side contraction
+is 2-D, and the per-graph aggregation runs in a kernel that streams the
+adjacency as int8 (entries are exactly 0/1 — half the bytes of the bf16
+batched path, and the adjacency stream is the step's dominant traffic).
+
+Kernel shape: grid over groups of ``GS`` graphs; each step receives the
+group's adjacency blocks ``[GS, N, N]`` (int8) and activation slab
+``[F, GS, N]`` and emits the aggregated slab — each output tile depends only
+on the same-graph input tile, so there is no chunking, no run bookkeeping,
+and no scatter: Mosaic's input pipeline streams everything.
+
+Precision follows ops/block_sparse.py: ``compute_dtype=bfloat16`` is the
+single-pass MXU path; the default near-f32 path splits ``x`` into a bf16
+hi+lo pair OUTSIDE the kernel (same bytes as f32, ~1e-5 relative error
+against the exactly-representable 0/1 adjacency; XLA fuses the split into the
+producer) and contracts each block twice. True-f32 oracles use the XLA
+fallback (:func:`diag_spmm_t_xla`).
+
+Adjacency symmetry (edges are mirrored, reference dataset.py:944-951) makes
+``A^T = A`` per graph, so every VJP is the same kernel applied to the
+cotangent.
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deeprank2_tpu.ops.segment import effective_platform
+
+# graphs per grid step (sweepable like the DR2_BCSR_* knobs)
+GS = int(_os.environ.get("DR2_DIAG_GS", "16"))
+
+
+def _hi_lo_split(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """f32 -> (hi, lo) bf16 pair with ``hi + lo ~= x`` to ~1e-5 relative.
+
+    The rounded value is taken via ``lax.reduce_precision`` — the naive
+    ``x - f32(bf16(x))`` formulation is folded to ZERO under jit by XLA's
+    excess-precision simplification (convert-pair elision), which silently
+    degrades the near-f32 path to a single bf16 pass (caught on v5e,
+    round 4)."""
+    hi_f32 = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+    return hi_f32.astype(jnp.bfloat16), (x - hi_f32).astype(jnp.bfloat16)
+
+
+def supports(num_graphs: int, nodes: int) -> bool:
+    """Whether the TPU kernel covers this batch shape (else XLA fallback)."""
+    return (
+        effective_platform() == "tpu"
+        and num_graphs % GS == 0
+        and nodes % 8 == 0
+        and nodes <= 2048  # one [GS, N, N] adjacency group must fit VMEM
+    )
+
+
+def diag_spmm_t_xla(adj: jnp.ndarray, x_t: jnp.ndarray, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Reference/fallback ``[F, G*N] -> [F, G*N]`` aggregation: per-graph
+    ``x_t_g @ A_g`` (``A`` symmetric). Used on CPU and as the kernel oracle."""
+    g, n, _ = adj.shape
+    f = x_t.shape[0]
+    x3 = x_t.reshape(f, g, n)
+    out3 = jnp.einsum("fgj,gij->fgi", x3, adj.astype(x_t.dtype), precision=precision)
+    return out3.reshape(f, g * n)
+
+
+def _diag_kernel(adj_ref, *rest, gs, n, relu, split, pool):
+    nx = 2 if split else 1
+    xs = rest[:nx]
+    mask_ref = rest[nx] if relu else None
+    out_ref = rest[nx + (1 if relu else 0)]
+    pool_ref = rest[-1] if pool else None
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # x/out ride as true 2-D [fw, GS*N] blocks (features on sublanes, the
+    # group's nodes on lanes) — the [fw, GS, N] 3-D form puts fw on the
+    # OUTER (untiled) axis, so every per-graph slice was a full cross-tile
+    # relayout (measured 947 us vs 363 us XLA, round 4). Lane slices at
+    # k*N offsets are merely (possibly) lane-rotates.
+    sums = []
+    for k in range(gs):  # unrolled: gs is static
+        a = adj_ref[k].astype(jnp.bfloat16)
+        sl = pl.ds(k * n, n)
+        acc = dot(xs[0][:, sl], a)
+        if split:
+            acc = acc + dot(xs[1][:, sl], a)
+        if relu:
+            acc = jnp.maximum(acc, 0.0) * mask_ref[:, sl]
+        out_ref[:, sl] = acc
+        if pool:
+            sums.append(jnp.sum(acc, axis=1, keepdims=True))
+    if pool:
+        # per-graph lane sums, one [1, fw, GS] block store per grid step
+        # (a flat [fw, G] output would need 16-lane dynamic store offsets,
+        # which Mosaic rejects — lane offsets must be 128-provable)
+        pool_ref[0] = jnp.concatenate(sums, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "compute_dtype", "pool"))
+def _diag_spmm_tpu(adj_i8, x_t, mask, *, relu, compute_dtype="float32", pool=False):
+    g, n, _ = adj_i8.shape
+    feat = x_t.shape[0]
+    cd = jnp.dtype(compute_dtype)
+    split = cd.itemsize == 4
+    pad_f = (-feat) % 16  # operands ride the MXU as bf16 either way
+    if pad_f:
+        x_t = jnp.pad(x_t, ((0, pad_f), (0, 0)))
+    fw = feat + pad_f
+    if split:
+        x_ops = _hi_lo_split(x_t)
+    else:
+        x_ops = (x_t.astype(jnp.bfloat16),)
+
+    gn = GS * n
+    in_specs = [
+        pl.BlockSpec((GS, n, n), lambda i: (i, 0, 0)),
+        *[pl.BlockSpec((fw, gn), lambda i: (0, i)) for _ in x_ops],
+    ]
+    operands = [adj_i8, *x_ops]
+    if relu:
+        in_specs.append(pl.BlockSpec((1, gn), lambda i: (0, i)))
+        operands.append(mask.astype(jnp.float32).reshape(1, g * n))
+
+    out_specs = pl.BlockSpec((fw, gn), lambda i: (0, i))
+    out_shape = jax.ShapeDtypeStruct((fw, g * n), jnp.float32)
+    if pool:
+        out_specs = [out_specs, pl.BlockSpec((1, fw, GS), lambda i: (i, 0, 0))]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((g // GS, fw, GS), jnp.float32)]
+
+    out = pl.pallas_call(
+        functools.partial(_diag_kernel, gs=GS, n=n, relu=relu, split=split, pool=pool),
+        grid=(g // GS,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(*operands)
+    if pool:
+        # [steps, fw, GS] -> [fw, G] (tiny: fw x G f32)
+        pooled = out[1].transpose(1, 0, 2).reshape(fw, g)
+        return out[0][:feat], pooled[:feat]
+    return out[:feat]
+
+
+def _agg(adj_i8, x_t, compute_dtype):
+    """Plain aggregation dispatch (no epilogue)."""
+    g, n, _ = adj_i8.shape
+    if supports(g, n):
+        cd = "float32" if compute_dtype is None else jnp.dtype(compute_dtype).name
+        return _diag_spmm_tpu(adj_i8, x_t, None, relu=False, compute_dtype=cd)
+    return diag_spmm_t_xla(adj_i8, x_t.astype(compute_dtype) if compute_dtype is not None else x_t).astype(jnp.float32)
+
+
+def diag_spmm_t(adj_i8: jnp.ndarray, x_t: jnp.ndarray, compute_dtype: jnp.dtype | None = None) -> jnp.ndarray:
+    """``[F, G*N] -> [F, G*N]`` symmetric per-graph aggregation,
+    differentiable w.r.t. ``x_t`` (VJP = same SpMM on the cotangent)."""
+
+    @jax.custom_vjp
+    def spmm(x_t):
+        return _agg(adj_i8, x_t, compute_dtype)
+
+    def fwd(x_t):
+        return spmm(x_t), None
+
+    def bwd(_, g):
+        return (_agg(adj_i8, g, compute_dtype),)
+
+    spmm.defvjp(fwd, bwd)
+    return spmm(x_t)
+
+
+def diag_layer_t(
+    adj_i8: jnp.ndarray,
+    node_mask: jnp.ndarray,  # [G, N] bool/float; masked cols zeroed
+    fcx_t: jnp.ndarray,  # [F, G*N]
+    compute_dtype: jnp.dtype | None = None,
+) -> jnp.ndarray:
+    """``relu(mask ⊙ (fcx_t @ A))`` with the relu+mask fused into the kernel
+    epilogue — saves one full ``[C, G*N]`` f32 read+write per layer vs doing
+    them as a separate XLA pass. VJP: ``d fcx = A @ (g ⊙ [h > 0])`` (the
+    output is its own relu mask, and masked columns are 0 so they also drop;
+    ``relu'(0) = 0`` matches jax.nn.relu's VJP)."""
+    g, n, _ = adj_i8.shape
+
+    @jax.custom_vjp
+    def layer(fcx_t):
+        if supports(g, n):
+            cd = "float32" if compute_dtype is None else jnp.dtype(compute_dtype).name
+            return _diag_spmm_tpu(adj_i8, fcx_t, node_mask, relu=True, compute_dtype=cd)
+        h = _agg(adj_i8, fcx_t, compute_dtype)
+        return jnp.maximum(h, 0.0) * node_mask.astype(h.dtype).reshape(1, g * n)
+
+    def fwd(fcx_t):
+        h = layer(fcx_t)
+        return h, h
+
+    def bwd(h, gct):
+        u = gct * (h > 0).astype(gct.dtype)
+        return (_agg(adj_i8, u, compute_dtype),)
+
+    layer.defvjp(fwd, bwd)
+    return layer(fcx_t)
+
+
+def _pool_bwd_kernel(adj_ref, h_ref, gp_ref, out_ref, *, gs, n, split):
+    """``d fcx = A @ ((h > 0) ⊙ broadcast(g_pool))`` fused: the per-graph
+    cotangent is one COLUMN of g_pool lane-broadcast over the graph's nodes,
+    so the XLA-side broadcast/reshape passes over [C, G*N] (~55 us/step,
+    profiled round 4) disappear; the near-f32 hi/lo split happens in-kernel
+    (Mosaic does not elide it — unlike XLA HLO, see _hi_lo_split)."""
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    for k in range(gs):  # unrolled: gs is static
+        a = adj_ref[k].astype(jnp.bfloat16)
+        sl = pl.ds(k * n, n)
+        h = h_ref[:, sl]
+        gcol = gp_ref[0][:, k : k + 1]  # [fw, 1] — static slice of the [fw, GS] block
+        u = jnp.where(h > 0, jnp.broadcast_to(gcol, h.shape), 0.0)
+        if split:
+            u_hi = u.astype(jnp.bfloat16)
+            u_lo = (u - u_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = dot(u_hi, a) + dot(u_lo, a)
+        else:
+            acc = dot(u.astype(jnp.bfloat16), a)
+        out_ref[:, sl] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def _diag_pool_bwd_tpu(adj_i8, h, g_pool, *, compute_dtype="float32"):
+    g, n, _ = adj_i8.shape
+    feat = h.shape[0]
+    split = jnp.dtype(compute_dtype).itemsize == 4
+    pad_f = (-feat) % 16
+    if pad_f:
+        h = jnp.pad(h, ((0, pad_f), (0, 0)))
+        g_pool = jnp.pad(g_pool, ((0, pad_f), (0, 0)))
+    fw = feat + pad_f
+    gn = GS * n
+    # [fw, G] -> [steps, fw, GS] so each grid step gets its graphs' columns
+    # as a small block (tiny transpose; flat [fw, G] blocks would need
+    # 16-lane dynamic read offsets, which Mosaic rejects)
+    gp3 = g_pool.astype(jnp.float32).reshape(fw, g // GS, GS).transpose(1, 0, 2)
+    out = pl.pallas_call(
+        functools.partial(_pool_bwd_kernel, gs=GS, n=n, split=split),
+        grid=(g // GS,),
+        in_specs=[
+            pl.BlockSpec((GS, n, n), lambda i: (i, 0, 0)),
+            pl.BlockSpec((fw, gn), lambda i: (0, i)),
+            pl.BlockSpec((1, fw, GS), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((fw, gn), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((fw, g * n), jnp.float32),
+    )(adj_i8, h, gp3)
+    return out[:feat]
+
+
+def diag_layer_pool_t(
+    adj_i8: jnp.ndarray,
+    node_mask: jnp.ndarray,  # [G, N]
+    fcx_t: jnp.ndarray,  # [F, G*N]
+    compute_dtype: jnp.dtype | None = None,
+) -> jnp.ndarray:
+    """Final conv layer + per-graph SUM pooling in one kernel pass:
+    returns ``pooled[c, g] = Σ_v relu(mask ⊙ (fcx_t @ A))[c, v in graph g]``
+    (``[F, G]`` — divide by node counts outside for the mean). The flat
+    ``[C, G*N] -> [C, G, N] -> reduce`` XLA formulation materialized two
+    layout-changing reshapes plus a broadcast and reduce (~106 us of the
+    437 us step, profiled round 4); here the forward sums each graph's
+    output block over lanes while it is still in VMEM, and the backward
+    (:func:`_pool_bwd_kernel`) broadcasts the tiny ``[C, G]`` cotangent
+    in-kernel."""
+    g, n, _ = adj_i8.shape
+
+    @jax.custom_vjp
+    def layer(fcx_t):
+        if supports(g, n):
+            cd = "float32" if compute_dtype is None else jnp.dtype(compute_dtype).name
+            _, pooled = _diag_spmm_tpu(adj_i8, fcx_t, node_mask, relu=True, compute_dtype=cd, pool=True)
+            return pooled
+        h = _agg(adj_i8, fcx_t, compute_dtype)
+        h = jnp.maximum(h, 0.0) * node_mask.astype(h.dtype).reshape(1, g * n)
+        return h.reshape(h.shape[0], g, n).sum(axis=2)
+
+    def fwd(fcx_t):
+        if supports(g, n):
+            cd = "float32" if compute_dtype is None else jnp.dtype(compute_dtype).name
+            h, pooled = _diag_spmm_tpu(adj_i8, fcx_t, node_mask, relu=True, compute_dtype=cd, pool=True)
+            return pooled, h
+        h = _agg(adj_i8, fcx_t, compute_dtype)
+        h = jnp.maximum(h, 0.0) * node_mask.astype(h.dtype).reshape(1, g * n)
+        return h.reshape(h.shape[0], g, n).sum(axis=2), h
+
+    def bwd(h, g_pool):
+        if supports(g, n):
+            cd = "float32" if compute_dtype is None else jnp.dtype(compute_dtype).name
+            return (_diag_pool_bwd_tpu(adj_i8, h, g_pool, compute_dtype=cd),)
+        u = jnp.repeat(g_pool, n, axis=1) * (h > 0).astype(g_pool.dtype)
+        return (_agg(adj_i8, u, compute_dtype),)
+
+    layer.defvjp(fwd, bwd)
+    return layer(fcx_t)
