@@ -299,6 +299,11 @@ class GINetDense:
         # weight-side tower fusion, as in apply(): [F,32] concat + [32,64] blockdiag
         w1 = jnp.concatenate([w1a, w1b], axis=1)
         w2 = jnp.block([[w2a, jnp.zeros_like(w2b)], [jnp.zeros_like(w2a), w2b]])
+        # NOTE: a fully-fused tower (one fwd + one bwd kernel, adjacency read
+        # once per direction — ops/diag_spmm.py:tower_pooled) measured 603 us
+        # vs this formulation's 311 us on v5e: the per-graph dependency chain
+        # of small dots with in-kernel VPU splits serializes against the MXU,
+        # the same failure mode as round 2's batched pallas tower.
         h = diag_layer_t(batch.adj_i8, batch.node_mask, w1.T @ x_t, cd)  # [32, V]
         # final layer + per-graph sum pooling fused in one kernel pass
         pooled = diag_layer_pool_t(batch.adj_i8, batch.node_mask, w2.T @ h.astype(w2.dtype), cd)  # [64, G]

@@ -107,6 +107,9 @@ def _diag_kernel(adj_ref, *rest, gs, n, relu, split, pool):
             acc = jnp.maximum(acc, 0.0) * mask_ref[:, sl]
         out_ref[:, sl] = acc
         if pool:
+            # (an int8 SIGN store here would quarter these bytes, but the
+            # f32->int8 repack relayouts cost far more than the bandwidth:
+            # 1039 us vs 347 us step, measured round 4)
             sums.append(jnp.sum(acc, axis=1, keepdims=True))
     if pool:
         # per-graph lane sums, one [1, fw, GS] block store per grid step
@@ -320,3 +323,235 @@ def diag_layer_pool_t(
 
     layer.defvjp(fwd, bwd)
     return layer(fcx_t)
+
+
+# ---------------------------------------------------------------------------
+# Fused GINet tower: both conv layers + pooling in ONE forward kernel and ONE
+# backward kernel per train step. The adjacency is read once per direction
+# (the separate-layer formulation reads it twice), weight applications and
+# relu/mask epilogues never round-trip HBM, and only the backward's actual
+# needs are materialized: h1 (values, for dw2 and the relu VJP) and the SIGN
+# of h2 (int8 — h2's values are never used again, so storing f32 h2 would
+# waste a 21 MB write + read at bench shape).
+
+
+def _split16(v):
+    """In-kernel bf16 hi/lo split (Mosaic keeps it — see _hi_lo_split)."""
+    hi = v.astype(jnp.bfloat16)
+    return hi, (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _tower_fwd_kernel(adj_ref, xhi_ref, xlo_ref, mask_ref, w1_ref, w2_ref, h1_ref, sign_ref, pool_ref, *, gs, n, split):
+    adot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    wdot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    sums = []
+    for k in range(gs):  # unrolled: gs is static
+        a = adj_ref[k].astype(jnp.bfloat16)
+        sl = pl.ds(k * n, n)
+        m = mask_ref[:, sl]
+        # layer 1: weights ride single-pass bf16 (the XLA default-precision
+        # equivalent); x keeps its hi/lo pair
+        fcx1 = wdot(w1_ref[...], xhi_ref[:, sl])
+        if split:
+            fcx1 = fcx1 + wdot(w1_ref[...], xlo_ref[:, sl])
+        if split:
+            f1h, f1l = _split16(fcx1)
+            h1 = adot(f1h, a) + adot(f1l, a)
+        else:
+            h1 = adot(fcx1.astype(jnp.bfloat16), a)
+        h1 = jnp.maximum(h1, 0.0) * m
+        h1_ref[:, sl] = h1
+        # layer 2
+        if split:
+            h1h, h1l = _split16(h1)
+            fcx2 = wdot(w2_ref[...], h1h) + wdot(w2_ref[...], h1l)
+            f2h, f2l = _split16(fcx2)
+            h2 = adot(f2h, a) + adot(f2l, a)
+        else:
+            fcx2 = wdot(w2_ref[...], h1.astype(jnp.bfloat16))
+            h2 = adot(fcx2.astype(jnp.bfloat16), a)
+        h2 = jnp.maximum(h2, 0.0) * m
+        sign_ref[:, sl] = (h2 > 0.0).astype(jnp.int8)
+        sums.append(jnp.sum(h2, axis=1, keepdims=True))
+    pool_ref[0] = jnp.concatenate(sums, axis=1)
+
+
+def _tower_bwd_kernel(adj_ref, gp_ref, sign_ref, h1_ref, w2_ref, t2_ref, t1_ref, *, gs, n, split):
+    adot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    for k in range(gs):  # unrolled: gs is static
+        a = adj_ref[k].astype(jnp.bfloat16)
+        sl = pl.ds(k * n, n)
+        gcol = gp_ref[0][:, k : k + 1]  # [C2, 1]
+        # sign is exactly 0/1 int8, so mask by multiply (an i1 select on an
+        # int8-derived mask hits a Mosaic relayout limitation here)
+        u2 = sign_ref[:, sl].astype(jnp.float32) * jnp.broadcast_to(gcol, (gp_ref.shape[1], n))
+        if split:
+            u2h, u2l = _split16(u2)
+            t2 = adot(u2h, a) + adot(u2l, a)
+        else:
+            t2 = adot(u2.astype(jnp.bfloat16), a)
+        t2_ref[:, sl] = t2.astype(jnp.bfloat16)
+        # dh1 = w2 @ t2  ([C1, C2] x [C2, n])
+        if split:
+            t2h, t2l = _split16(t2)
+            dh1 = adot(w2_ref[...], t2h) + adot(w2_ref[...], t2l)
+        else:
+            dh1 = adot(w2_ref[...], t2.astype(jnp.bfloat16))
+        h1 = h1_ref[:, sl]
+        u1 = jnp.where(h1 > 0, dh1, 0.0)
+        if split:
+            u1h, u1l = _split16(u1)
+            t1 = adot(u1h, a) + adot(u1l, a)
+        else:
+            t1 = adot(u1.astype(jnp.bfloat16), a)
+        t1_ref[:, sl] = t1.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def _tower_fwd_tpu(adj_i8, x_t, mask, w1, w2, *, compute_dtype="float32"):
+    g, n, _ = adj_i8.shape
+    feat = x_t.shape[0]
+    c1, c2 = w1.shape[1], w2.shape[1]
+    split = jnp.dtype(compute_dtype).itemsize == 4
+    pad_f = (-feat) % 16
+    if pad_f:
+        x_t = jnp.pad(x_t, ((0, pad_f), (0, 0)))
+    fw = feat + pad_f
+    if split:
+        x_hi, x_lo = _hi_lo_split(x_t)
+    else:
+        x_hi = x_t.astype(jnp.bfloat16)
+        x_lo = x_hi  # unused; keeps the operand list static
+    # transposed weights, bf16 single-pass (== XLA default precision class)
+    w1t = jnp.pad(w1.T, ((0, 0), (0, pad_f))).astype(jnp.bfloat16)  # [C1, fw]
+    w2t = w2.T.astype(jnp.bfloat16)  # [C2, C1]
+    gn = GS * n
+    h1, sign, pooled = pl.pallas_call(
+        functools.partial(_tower_fwd_kernel, gs=GS, n=n, split=split),
+        grid=(g // GS,),
+        in_specs=[
+            pl.BlockSpec((GS, n, n), lambda i: (i, 0, 0)),
+            pl.BlockSpec((fw, gn), lambda i: (0, i)),
+            pl.BlockSpec((fw, gn), lambda i: (0, i)),
+            pl.BlockSpec((1, gn), lambda i: (0, i)),
+            pl.BlockSpec((c1, fw), lambda i: (0, 0)),
+            pl.BlockSpec((c2, c1), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((c1, gn), lambda i: (0, i)),
+            pl.BlockSpec((c2, gn), lambda i: (0, i)),
+            pl.BlockSpec((1, c2, GS), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c1, g * n), jnp.float32),
+            jax.ShapeDtypeStruct((c2, g * n), jnp.int8),
+            jax.ShapeDtypeStruct((g // GS, c2, GS), jnp.float32),
+        ],
+    )(adj_i8, x_hi, x_lo, mask.astype(jnp.float32).reshape(1, g * n), w1t, w2t)
+    return h1, sign, pooled.transpose(1, 0, 2).reshape(c2, g)
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def _tower_bwd_tpu(adj_i8, g_pool, sign, h1, w2, *, compute_dtype="float32"):
+    g, n, _ = adj_i8.shape
+    c1, c2 = w2.shape
+    split = jnp.dtype(compute_dtype).itemsize == 4
+    gn = GS * n
+    gp3 = g_pool.astype(jnp.float32).reshape(c2, g // GS, GS).transpose(1, 0, 2)
+    t2, t1 = pl.pallas_call(
+        functools.partial(_tower_bwd_kernel, gs=GS, n=n, split=split),
+        grid=(g // GS,),
+        in_specs=[
+            pl.BlockSpec((GS, n, n), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c2, GS), lambda i: (i, 0, 0)),
+            pl.BlockSpec((c2, gn), lambda i: (0, i)),
+            pl.BlockSpec((c1, gn), lambda i: (0, i)),
+            pl.BlockSpec((c1, c2), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((c2, gn), lambda i: (0, i)),
+            pl.BlockSpec((c1, gn), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c2, g * n), jnp.bfloat16),
+            jax.ShapeDtypeStruct((c1, g * n), jnp.bfloat16),
+        ],
+    )(adj_i8, gp3, sign, h1, w2.astype(jnp.bfloat16))
+    return t2, t1
+
+
+def tower_pooled(
+    adj_i8: jnp.ndarray,
+    node_mask: jnp.ndarray,  # [G, N]
+    x_t: jnp.ndarray,  # [F, G*N] node features (no gradient — batch data)
+    w1: jnp.ndarray,  # [F, C1] fused tower-1 weights
+    w2: jnp.ndarray,  # [C1, C2] fused (block-diagonal) tower-2 weights
+    compute_dtype: jnp.dtype | None = None,
+) -> jnp.ndarray:
+    """The whole GINet no-cluster tower — two conv layers, relu/mask, and
+    per-graph SUM pooling — as one forward + one backward Pallas kernel.
+    Returns pooled sums ``[C2, G]``; differentiable w.r.t. ``w1``/``w2``
+    (``x_t`` is batch data and gets no cotangent).
+
+    Traffic per step at the bench shape (512 graphs x 160 nodes): the
+    adjacency streams ONCE per direction (the per-layer kernels read it
+    twice), and the only inter-kernel tensors are h1 (f32, for dw2 and the
+    relu VJP) and h2's sign (int8). The weight gradients contract over the
+    flat node axis in XLA (2-D NT matmuls) from bf16 t1/t2 aggregates —
+    the same precision class as XLA's default-precision dw matmuls.
+    """
+    g, n, _ = adj_i8.shape
+    cd = "float32" if compute_dtype is None else jnp.dtype(compute_dtype).name
+
+    @jax.custom_vjp
+    def tower(w1, w2):
+        if supports(g, n):
+            _, _, pooled = _tower_fwd_tpu(adj_i8, x_t, node_mask, w1, w2, compute_dtype=cd)
+            return pooled
+        return _tower_ref(adj_i8, node_mask, x_t, w1, w2)[2]
+
+    def fwd(w1, w2):
+        if supports(g, n):
+            h1, sign, pooled = _tower_fwd_tpu(adj_i8, x_t, node_mask, w1, w2, compute_dtype=cd)
+            return pooled, (h1, sign, w2)
+        h1, h2, pooled = _tower_ref(adj_i8, node_mask, x_t, w1, w2)
+        return pooled, (h1, (h2 > 0).astype(jnp.int8), w2)
+
+    def bwd(res, g_pool):
+        h1, sign, w2 = res
+        if supports(g, n):
+            t2, t1 = _tower_bwd_tpu(adj_i8, g_pool, sign, h1, w2, compute_dtype=cd)
+        else:
+            u2 = jnp.repeat(g_pool, n, axis=1) * (sign > 0)
+            t2 = _agg(adj_i8, u2.astype(jnp.float32), compute_dtype)
+            dh1 = w2 @ t2
+            u1 = dh1 * (h1 > 0)
+            t1 = _agg(adj_i8, u1, compute_dtype)
+        dw2 = jax.lax.dot_general(h1, t2.astype(jnp.float32), (((1,), (1,)), ((), ())))
+        dw1 = jax.lax.dot_general(x_t, t1.astype(jnp.float32), (((1,), (1,)), ((), ())))
+        return dw1, dw2
+
+    tower.defvjp(fwd, bwd)
+    return tower(w1, w2)
+
+
+def _tower_ref(adj_i8, node_mask, x_t, w1, w2):
+    """XLA reference for the fused tower (CPU fallback + oracle)."""
+    g, n, _ = adj_i8.shape
+    m = node_mask.astype(jnp.float32).reshape(1, g * n)
+    h1 = jnp.maximum(diag_spmm_t_xla(adj_i8, w1.T @ x_t), 0.0) * m
+    h2 = jnp.maximum(diag_spmm_t_xla(adj_i8, w2.T @ h1), 0.0) * m
+    pooled = h2.reshape(h2.shape[0], g, n).sum(axis=2)
+    return h1, h2, pooled
