@@ -101,7 +101,13 @@ def dense_result() -> dict:
     real_edges = int(sum(2 * e["edge_index"].shape[0] for e in entries))
     batch = jax.device_put(batch)
 
-    step_s = _measure(GINetDense(feat_dim, 2, edge_dim), batch, steps_per_call=50, calls=8)
+    # 500-step chunks: the host-side chunk dispatch over this box's TPU
+    # tunnel costs ~25 us/step at 50 steps/call against a ~250 us device
+    # step (profiled round 4 — the device "Steps" track shows zero idle
+    # inside a chunk); steady-state training runs long scans, so the longer
+    # chunk is the representative number. The ms-scale BCSR/blocked steps
+    # below keep 50-step chunks (dispatch is <1 % there).
+    step_s = _measure(GINetDense(feat_dim, 2, edge_dim), batch, steps_per_call=500, calls=3)
 
     adj_bytes = batch.adj.size * batch.adj.dtype.itemsize
     x_bytes = batch.x.size * batch.x.dtype.itemsize

@@ -105,12 +105,17 @@ def _diag_kernel(adj_ref, *rest, gs, n, relu, split, pool):
             acc = acc + dot(xs[1][:, sl], a)
         if relu:
             acc = jnp.maximum(acc, 0.0) * mask_ref[:, sl]
-        out_ref[:, sl] = acc
         if pool:
-            # (an int8 SIGN store here would quarter these bytes, but the
+            # the pooled layer's h is only ever read back for its relu sign
+            # (the backward kernel), so store it bf16 — halves this write and
+            # that read. (An int8 SIGN store would quarter them, but the
             # f32->int8 repack relayouts cost far more than the bandwidth:
-            # 1039 us vs 347 us step, measured round 4)
+            # 1039 us vs 335 us step, measured round 4. The f32->bf16 pack is
+            # a native vector op.)
+            out_ref[:, sl] = acc.astype(jnp.bfloat16)
             sums.append(jnp.sum(acc, axis=1, keepdims=True))
+        else:
+            out_ref[:, sl] = acc
     if pool:
         # per-graph lane sums, one [1, fw, GS] block store per grid step
         # (a flat [fw, G] output would need 16-lane dynamic store offsets,
@@ -144,7 +149,7 @@ def _diag_spmm_tpu(adj_i8, x_t, mask, *, relu, compute_dtype="float32", pool=Fal
         operands.append(mask.astype(jnp.float32).reshape(1, g * n))
 
     out_specs = pl.BlockSpec((fw, gn), lambda i: (0, i))
-    out_shape = jax.ShapeDtypeStruct((fw, g * n), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((fw, g * n), jnp.bfloat16 if pool else jnp.float32)
     if pool:
         out_specs = [out_specs, pl.BlockSpec((1, fw, GS), lambda i: (i, 0, 0))]
         out_shape = [out_shape, jax.ShapeDtypeStruct((g // GS, fw, GS), jnp.float32)]
@@ -237,7 +242,10 @@ def _pool_bwd_kernel(adj_ref, h_ref, gp_ref, out_ref, *, gs, n, split):
     for k in range(gs):  # unrolled: gs is static
         a = adj_ref[k].astype(jnp.bfloat16)
         sl = pl.ds(k * n, n)
-        h = h_ref[:, sl]
+        # bf16 residual; only its sign is used. Widen before the compare —
+        # an i1 mask derived from a sub-32-bit vector hits a Mosaic relayout
+        # limitation ("non-singleton dimension replicated in destination").
+        h = h_ref[:, sl].astype(jnp.float32)
         gcol = gp_ref[0][:, k : k + 1]  # [fw, 1] — static slice of the [fw, GS] block
         u = jnp.where(h > 0, jnp.broadcast_to(gcol, h.shape), 0.0)
         if split:
@@ -312,7 +320,7 @@ def diag_layer_pool_t(
             return pooled, h
         h = _agg(adj_i8, fcx_t, compute_dtype)
         h = jnp.maximum(h, 0.0) * node_mask.astype(h.dtype).reshape(1, g * n)
-        return h.reshape(h.shape[0], g, n).sum(axis=2), h
+        return h.reshape(h.shape[0], g, n).sum(axis=2), h.astype(jnp.bfloat16)
 
     def bwd(h, g_pool):
         if supports(g, n):

@@ -109,12 +109,17 @@ _EXTRA_COMPLEXES = [
 ]
 
 
-def assemble_ppi_queries(data_dir: Path, resolution: str):
+def assemble_ppi_queries(data_dir: Path, resolution: str, decoy_dir: Path | None = None, decoys_per_complex: int = 25):
     """PPI queries: every 1ATN decoy (+3C8P bound complex) scored against its
     bound reference — real dockq/binary/irmsd targets via our own
-    StructureSimilarity (tools/target.py, no pdb2sql) — plus every other
-    multi-chain complex in the corpus with deterministic parity-only labels
-    (round-2 directive #4: enough entries that accuracy/AUC cannot saturate).
+    StructureSimilarity (tools/target.py, no pdb2sql) — plus, when
+    ``decoy_dir`` is given, ``decoys_per_complex`` generated rigid-body
+    decoys per referenced complex (tools/decoys.py; graded perturbations, so
+    irmsd sweeps ~0.2-11 Å and the binary labels split near 50/50), plus
+    every other multi-chain complex in the corpus with deterministic
+    parity-only labels. With decoys the real-docking-labeled population is
+    n = 55 (round-3 verdict item 4: n >= 50 with non-degenerate class
+    balance; the round-2 corpus had 9).
     """
     from deeprank2_tpu.query import ProteinProteinInterfaceQuery
     from deeprank2_tpu.tools.target import compute_ppi_scores
@@ -122,6 +127,15 @@ def assemble_ppi_queries(data_dir: Path, resolution: str):
     queries = []
     cases = [(data_dir / "pdb" / "1ATN" / f"1ATN_{i}w.pdb", data_dir / "ref" / "1ATN" / "1ATN.pdb") for i in range(1, 5)]
     cases.append((data_dir / "pdb" / "3C8P" / "3C8P.pdb", data_dir / "ref" / "3C8P" / "3C8P.pdb"))
+    if decoy_dir is not None:
+        from deeprank2_tpu.tools.decoys import rigid_body_decoys
+
+        for name in ("1ATN", "3C8P"):
+            ref = data_dir / "ref" / name / f"{name}.pdb"
+            if not ref.exists():
+                continue
+            for p in rigid_body_decoys(ref, "B", decoy_dir / name, count=decoys_per_complex, seed=7):
+                cases.append((Path(p), ref))
     for pdb, ref in cases:
         if not pdb.exists() or not ref.exists():
             continue
@@ -197,10 +211,11 @@ def featurize_corpus(data_dir: Path, work_dir: Path) -> dict[str, str]:
     work_dir.mkdir(parents=True, exist_ok=True)
     out: dict[str, str] = {}
 
+    decoy_dir = work_dir / "decoys"
     flavors = {
-        "ppi_residue": dict(queries=lambda: assemble_ppi_queries(data_dir, "residue"), grid=False),
-        "ppi_atom": dict(queries=lambda: assemble_ppi_queries(data_dir, "atom"), grid=False),
-        "ppi_grid": dict(queries=lambda: assemble_ppi_queries(data_dir, "residue"), grid=True),
+        "ppi_residue": dict(queries=lambda: assemble_ppi_queries(data_dir, "residue", decoy_dir), grid=False),
+        "ppi_atom": dict(queries=lambda: assemble_ppi_queries(data_dir, "atom", decoy_dir), grid=False),
+        "ppi_grid": dict(queries=lambda: assemble_ppi_queries(data_dir, "residue", decoy_dir), grid=True),
         "srv_residue": dict(queries=lambda: assemble_srv_queries(data_dir), grid=False),
     }
     for name, spec in flavors.items():

@@ -91,17 +91,54 @@ def _cross_chain_residue_contacts(arrays: StructureArrays, chain1: str, chain2: 
     return contacts
 
 
+class _ReferenceBundle:
+    """Everything decoy-independent about a native structure: the parsed
+    arrays, the atom lookup table, the interface zone, and the native
+    contact set. The in-memory analog of the reference's ``<ref>.lzone`` /
+    ``.izone`` file cache (reference tools/target.py:107-110) — scoring
+    hundreds of decoys of one complex parses and zones the native once."""
+
+    def __init__(self, arrays: StructureArrays):
+        self.arrays = arrays
+        self.atom_table = _atom_key_table(arrays)
+        chain1, chain2 = arrays.chain_ids[:2]
+        self.native_contacts = _cross_chain_residue_contacts(arrays, chain1, chain2, FNAT_CUTOFF)
+        izone_contacts = _cross_chain_residue_contacts(arrays, chain1, chain2, IZONE_CUTOFF)
+        self.izone = {k for pair in izone_contacts for k in pair}
+
+
+_REF_CACHE: dict[str, _ReferenceBundle] = {}
+_REF_CACHE_MAX = 16
+
+
+def reference_bundle(ref_path: str) -> _ReferenceBundle:
+    """Cached :class:`_ReferenceBundle` for a native-structure path."""
+    bundle = _REF_CACHE.get(ref_path)
+    if bundle is None:
+        if len(_REF_CACHE) >= _REF_CACHE_MAX:
+            _REF_CACHE.pop(next(iter(_REF_CACHE)))
+        bundle = _ReferenceBundle(parse_pdb(ref_path))
+        _REF_CACHE[ref_path] = bundle
+    return bundle
+
+
 class StructureSimilarity:
     """Compares a docking decoy against the native (reference) structure."""
 
     def __init__(self, decoy_path: str, ref_path: str, enforce_residue_matching: bool = False):  # noqa: ARG002
         self.decoy = parse_pdb(decoy_path) if isinstance(decoy_path, str) else decoy_path
-        self.ref = parse_pdb(ref_path) if isinstance(ref_path, str) else ref_path
+        if isinstance(ref_path, str):
+            bundle = reference_bundle(ref_path)
+            self.ref = bundle.arrays
+            self._ref_bundle = bundle
+        else:
+            self.ref = ref_path
+            self._ref_bundle = None
         if self.ref.num_chains < 2 or self.decoy.num_chains < 2:  # noqa: PLR2004
             msg = "Both structures need at least two chains for interface scores."
             raise ValueError(msg)
         self._decoy_atoms = _atom_key_table(self.decoy)
-        self._ref_atoms = _atom_key_table(self.ref)
+        self._ref_atoms = self._ref_bundle.atom_table if self._ref_bundle else _atom_key_table(self.ref)
 
     # ------------------------------------------------------------------
     def _matched_backbone(self, residue_filter=None) -> tuple[np.ndarray, np.ndarray, list[tuple]]:
@@ -123,6 +160,8 @@ class StructureSimilarity:
 
     def compute_izone(self, cutoff: float = IZONE_CUTOFF) -> set[tuple]:
         """Interface residues of the reference: any cross-chain atom within cutoff."""
+        if self._ref_bundle is not None and cutoff == IZONE_CUTOFF:
+            return self._ref_bundle.izone
         chain1, chain2 = self.ref.chain_ids[:2]
         contacts = _cross_chain_residue_contacts(self.ref, chain1, chain2, cutoff)
         zone = set()
@@ -160,7 +199,10 @@ class StructureSimilarity:
     def compute_fnat_fast(self, cutoff: float = FNAT_CUTOFF) -> float:
         """Fraction of native cross-chain residue contacts preserved in the decoy."""
         chain1, chain2 = self.ref.chain_ids[:2]
-        native = _cross_chain_residue_contacts(self.ref, chain1, chain2, cutoff)
+        if self._ref_bundle is not None and cutoff == FNAT_CUTOFF:
+            native = self._ref_bundle.native_contacts
+        else:
+            native = _cross_chain_residue_contacts(self.ref, chain1, chain2, cutoff)
         decoy = _cross_chain_residue_contacts(self.decoy, chain1, chain2, cutoff)
         if not native:
             msg = "Reference structure has no cross-chain contacts."

@@ -68,10 +68,12 @@ def add_target(
 def compute_ppi_scores(pdb_path: str, reference_pdb_path: str) -> dict[str, float | int]:
     """Structure-similarity scores of a docking model vs the native structure.
 
-    Returns ``lrmsd``, ``irmsd``, ``fnat``, ``dockq``, ``binary``
-    (irmsd < 4 Å) and ``capri_class`` (1 high ... 4 incorrect), matching the
-    reference semantics (target.py:80-123). Precomputed ``<ref>.lzone``/
-    ``.izone`` files are not needed (zones are derived on the fly).
+    Returns ``lrmsd``, ``irmsd``, ``fnat``, ``dockq``, ``binary`` (irmsd < 4 Å) and ``capri_class``
+    (1 high ... 4 incorrect), matching the reference semantics
+    (target.py:80-123). Instead of the reference's on-disk ``<ref>.lzone``/
+    ``.izone`` files, the native's parse, interface zone, and contact set
+    are cached in memory per reference path (tools/similarity.py:
+    reference_bundle) — scoring many decoys of one complex zones it once.
     """
     sim = StructureSimilarity(pdb_path, reference_pdb_path)
 

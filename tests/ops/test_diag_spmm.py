@@ -170,10 +170,11 @@ def test_pool_kernel_interpret_matches_xla() -> None:
     try:
         with pltpu.force_tpu_interpret_mode():
             h, pooled = diag_spmm._diag_spmm_tpu(adj, x_t, mask, relu=True, compute_dtype="float32", pool=True)
-            du = diag_spmm._diag_pool_bwd_tpu(adj, jnp.asarray(h_want), jnp.asarray(pool_want), compute_dtype="float32")
+            du = diag_spmm._diag_pool_bwd_tpu(adj, jnp.asarray(h_want).astype(jnp.bfloat16), jnp.asarray(pool_want), compute_dtype="float32")
     except NotImplementedError as e:  # pragma: no cover
         pytest.skip(f"pallas interpret mode unavailable here: {e}")
-    np.testing.assert_allclose(np.asarray(h), h_want, rtol=5e-4, atol=5e-4)
+    assert h.dtype == jnp.bfloat16  # residual stored bf16 (sign-only use)
+    np.testing.assert_allclose(np.asarray(h.astype(jnp.float32)), h_want, rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(pooled), pool_want, rtol=5e-4, atol=5e-4)
     u = pool_want.repeat(n, axis=1).reshape(h_want.shape) * (h_want > 0)
     du_want = np.asarray(diag_spmm.diag_spmm_t_xla(adj, jnp.asarray(u.astype(np.float32))))

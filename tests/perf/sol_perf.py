@@ -10,7 +10,10 @@ everything else (node blocks, activations, parameters) is second-order.
 
 Honest timing for this box's TPU tunnel: steps chained in a jitted lax.scan,
 clock stopped by a data-dependent value transfer (block_until_ready can
-return early here).
+return early here). 500-step chunks: at 50 steps/call the host-side chunk
+dispatch costs ~25 us/step against a ~250 us device step (profiled round 4 —
+the device "Steps" track shows zero idle inside a chunk); steady-state
+training runs long scans, so the longer chunk is the representative number.
 """
 
 from __future__ import annotations
@@ -29,7 +32,7 @@ PEAK_HBM_GBPS = {
 DEFAULT_PEAK_GBPS = 819.0
 
 
-def sol_report(num_graphs: int = 512, nodes: int = 160, steps_per_call: int = 50, calls: int = 8) -> dict:
+def sol_report(num_graphs: int = 512, nodes: int = 160, steps_per_call: int = 500, calls: int = 3) -> dict:
     import jax
     import jax.numpy as jnp
 

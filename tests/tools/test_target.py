@@ -76,3 +76,42 @@ def test_superpose_identity() -> None:
     assert superposed_rmsd(moved, pts) == pytest.approx(0.0, abs=1e-9)
     r, t = superpose(moved, pts)
     assert np.allclose(moved @ r.T + t, pts, atol=1e-9)
+
+
+def test_rigid_body_decoys_graded_and_cached(tmp_path):
+    """Decoy generation: graded irmsd sweep, balanced binary labels, and
+    deterministic regeneration (cache by file presence)."""
+    from deeprank2_tpu.tools.decoys import rigid_body_decoys
+    from deeprank2_tpu.tools.target import compute_ppi_scores
+
+    ref = "tests/data/ref/1ATN/1ATN.pdb"
+    paths = rigid_body_decoys(ref, "B", tmp_path, count=8, seed=7)
+    assert len(paths) == 8
+    scores = [compute_ppi_scores(p, ref) for p in paths]
+    irmsds = [s["irmsd"] for s in scores]
+    assert irmsds[0] < 2.0  # smallest perturbation: near-native
+    assert irmsds[-1] > 4.0  # largest: incorrect
+    binaries = [int(s["binary"]) for s in scores]
+    assert 0 < sum(binaries) < len(binaries)  # non-degenerate classes
+    # regeneration is a no-op (same bytes)
+    first = open(paths[0], "rb").read()
+    paths2 = rigid_body_decoys(ref, "B", tmp_path, count=8, seed=7)
+    assert paths2 == paths
+    assert open(paths[0], "rb").read() == first
+
+
+def test_reference_bundle_cache_consistency():
+    """The per-reference zone cache returns the same scores as a cold path."""
+    from deeprank2_tpu.io.pdb import parse_pdb
+    from deeprank2_tpu.tools import similarity
+
+    decoy = "tests/data/pdb/1ATN/1ATN_1w.pdb"
+    ref = "tests/data/ref/1ATN/1ATN.pdb"
+    sim_cached = similarity.StructureSimilarity(decoy, ref)
+    assert sim_cached._ref_bundle is not None
+    assert ref in similarity._REF_CACHE
+    # cold instance: pre-parsed arrays bypass the bundle cache
+    sim_cold = similarity.StructureSimilarity(decoy, parse_pdb(ref))
+    assert sim_cold._ref_bundle is None
+    for fn in ("compute_lrmsd_fast", "compute_irmsd_fast", "compute_fnat_fast"):
+        assert getattr(sim_cached, fn)() == getattr(sim_cold, fn)()
