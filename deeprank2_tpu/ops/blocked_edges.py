@@ -41,15 +41,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os
+
 # nodes per tile: the one-hot edge of the gather/scatter matmuls
-EDGE_TILE = 256
-# edges per grid slab (one destination tile each). A 2048/K_SUB=8 variant
-# halves the grid but its Mosaic compile exceeds 8 minutes on this box —
-# 1024/4 keeps compiles ~1-2 min at 157M edges/s (bf16, 100k-node graph).
-TILE_E = 1024
+EDGE_TILE = int(_os.environ.get("DR2_BLOCKED_EDGE_TILE", "256"))
+# edges per grid slab (one destination tile each). Geometry is env-sweepable
+# (DR2_BLOCKED_*) like the DR2_BCSR_* knobs; collate and kernels must agree,
+# so set them before building structures. Round-3 note: the 2048/K_SUB=8
+# variant's Mosaic compile exceeds 8 minutes on this box's tunnel — budget
+# accordingly when sweeping.
+TILE_E = int(_os.environ.get("DR2_BLOCKED_TILE_E", "1024"))
 # sub-blocks per slab; each sub-block of SUB_E = TILE_E // K_SUB edges has its
 # own source tile, so (row, col) runs pad to SUB_E instead of TILE_E
-K_SUB = 4
+K_SUB = int(_os.environ.get("DR2_BLOCKED_K_SUB", "4"))
 SUB_E = TILE_E // K_SUB
 
 

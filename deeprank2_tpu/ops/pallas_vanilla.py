@@ -40,9 +40,16 @@ from deeprank2_tpu.ops.blocked_edges import EDGE_TILE, K_SUB, SUB_E, TILE_E, Blo
 _INTERPRET = False
 
 
+# perf-triage knob (tests/perf/blocked_decompose.py): "noonehot" replaces
+# one-hot synthesis with a constant (wrong results, isolates its VPU cost)
+_DEBUG = __import__("os").environ.get("DR2_BLOCKED_DEBUG", "")
+
+
 def _onehot(local: jnp.ndarray, tile: int, width: int, dtype) -> jnp.ndarray:
     """[tile, width] one-hot of within-tile indices; the sentinel ``tile``
     yields an all-zero column (how padded edges vanish)."""
+    if _DEBUG == "noonehot":
+        return jnp.full((tile, width), 0.0078125, dtype)
     iota = jax.lax.broadcasted_iota(jnp.int32, (tile, width), 0)
     return (local[None, :] == iota).astype(dtype)
 
@@ -60,7 +67,17 @@ def _make_gdot(cd, precision):
     six-pass HIGHEST emulation. The same trick as the BCSR SpMM
     (ops/block_sparse.py); round 3 closed the f32 blocked path's 4.8x gap
     to its bf16 twin with it. bf16 path: plain single-pass matmul."""
-    if cd == jnp.float32:
+    if _DEBUG == "cheapdot":
+        # wrong results: every gather/scatter dot becomes a slice/pad of its
+        # x operand — keeps the data dependencies and slab shapes, removes
+        # the MXU work (tests/perf/blocked_decompose.py)
+        def gdot(x, oh, dims):
+            width = oh.shape[1] if dims[0][1] == (0,) else oh.shape[0]
+            out = x.astype(jnp.float32)[:, :width]
+            if out.shape[1] < width:
+                out = jnp.pad(out, ((0, 0), (0, width - out.shape[1])))
+            return out + oh[0, 0].astype(jnp.float32)
+    elif cd == jnp.float32:
 
         def gdot(x, oh, dims):
             x = x.astype(jnp.float32)

@@ -18,10 +18,9 @@ import pkgutil
 import re
 import sys
 import warnings
+import random
 from dataclasses import MISSING, dataclass, field, fields
-from functools import partial
 from glob import glob
-from random import randrange
 from types import ModuleType
 from typing import Literal
 
@@ -39,7 +38,10 @@ from deeprank2_tpu.utils.parsing.pssm import parse_pssm
 
 _log = logging.getLogger(__name__)
 
-VALID_RESOLUTIONS = ["atom", "residue"]
+# node granularity -> default influence radius / max edge length (Å)
+# (reference defaults, query.py:62-67)
+RESOLUTION_DEFAULTS = {"residue": 10.0, "atom": 4.5}
+VALID_RESOLUTIONS = list(RESOLUTION_DEFAULTS)
 
 
 def _jax_backends_initialized() -> bool:
@@ -53,7 +55,7 @@ def _jax_backends_initialized() -> bool:
 
 @dataclass(repr=False, kw_only=True)
 class Query:
-    """Parent class of :class:`SingleResidueVariantQuery` and :class:`ProteinProteinInterfaceQuery`.
+    """One data point to featurize; base of the SRV and PPI query flavors.
 
     Args:
         pdb_path: path to the PDB file to query.
@@ -79,29 +81,22 @@ class Query:
         self._model_id = os.path.splitext(os.path.basename(self.pdb_path))[0]
         self.variant = None  # set by SRV subclass
 
-        if self.resolution == "residue":
-            self.max_edge_length = 10 if not self.max_edge_length else self.max_edge_length
-            self.influence_radius = 10 if not self.influence_radius else self.influence_radius
-        elif self.resolution == "atom":
-            self.max_edge_length = 4.5 if not self.max_edge_length else self.max_edge_length
-            self.influence_radius = 4.5 if not self.influence_radius else self.influence_radius
-        else:
-            msg = f"Invalid resolution given ({self.resolution}). Must be one of {VALID_RESOLUTIONS}"
+        default_radius = RESOLUTION_DEFAULTS.get(self.resolution)
+        if default_radius is None:
+            msg = f"resolution must be one of {VALID_RESOLUTIONS}, not {self.resolution!r}"
             raise ValueError(msg)
+        self.max_edge_length = self.max_edge_length or default_radius
+        self.influence_radius = self.influence_radius or default_radius
 
         if not isinstance(self.chain_ids, list):
             self.chain_ids = [self.chain_ids]
 
-        for f in fields(self):
-            value = getattr(self, f.name)
-            if value is None and f.default_factory is not MISSING:
-                setattr(self, f.name, f.default_factory())
+        # a None for a factory-defaulted field means "use the default"
+        for spec in fields(self):
+            if getattr(self, spec.name) is None and spec.default_factory is not MISSING:
+                setattr(self, spec.name, spec.default_factory())
 
     # ------------------------------------------------------------------
-    def _set_graph_targets(self, graph: Graph) -> None:
-        for target_name, target_data in self.targets.items():
-            graph.targets[target_name] = target_data
-
     def _load_structure(self) -> StructureArrays:
         arrays = get_structure(self.pdb_path, self.model_id)
         if self._pssm_required:
@@ -123,12 +118,12 @@ class Query:
 
         pssm_file_residues = {}
         for chain, pssm_path in self.pssm_paths.items():
-            with open(pssm_path, encoding="utf-8") as f:
-                lines = f.readlines()[1:]
-            for line in lines:
-                if not line.split():
-                    continue
-                pssm_file_residues[chain + line.split()[0].zfill(4)] = convert_aa_nomenclature(line.split()[1], 3)
+            with open(pssm_path, encoding="utf-8") as fh:
+                next(fh)  # header row
+                for row in fh:
+                    cells = row.split()
+                    if cells:
+                        pssm_file_residues[chain + cells[0].zfill(4)] = convert_aa_nomenclature(cells[1], 3)
 
         from deeprank2_tpu.io.pdb import parse_pdb
         from deeprank2_tpu.molstruct.aminoacid import AA_THREE_LETTER
@@ -171,7 +166,7 @@ class Query:
 
     @property
     def model_id(self) -> str:
-        """The ID of the model, usually a .PDB accession code."""
+        """Model name (the PDB file's stem unless overridden)."""
         return self._model_id
 
     @model_id.setter
@@ -190,25 +185,19 @@ class Query:
         """
         if not isinstance(feature_modules, list):
             feature_modules = [feature_modules]
-        feature_modules = [
-            importlib.import_module("deeprank2_tpu.features." + module) if isinstance(module, str) else module for module in feature_modules
-        ]
-        self._pssm_required = conservation in feature_modules
+        modules = [importlib.import_module(f"deeprank2_tpu.features.{m}") if isinstance(m, str) else m for m in feature_modules]
+        self._pssm_required = conservation in modules
         graph = self._build_helper()
-
-        self._set_graph_targets(graph)
-        for feature_module in feature_modules:
-            feature_module.add_features(self.pdb_path, graph, self.variant)
-
+        graph.targets.update(self.targets)
+        for module in modules:
+            module.add_features(self.pdb_path, graph, self.variant)
         return graph
 
     def _build_helper(self) -> Graph:
-        msg = "Must be defined in child classes."
-        raise NotImplementedError(msg)
+        raise NotImplementedError  # subclass responsibility
 
     def get_query_id(self) -> str:
-        msg = "Must be defined in child classes."
-        raise NotImplementedError(msg)
+        raise NotImplementedError  # subclass responsibility
 
 
 @dataclass(kw_only=True)
@@ -227,7 +216,7 @@ class SingleResidueVariantQuery(Query):
     def __post_init__(self):
         super().__post_init__()
         if len(self.chain_ids) != 1:
-            msg = f"`chain_ids` must contain exactly 1 chain for `SingleResidueVariantQuery` objects, but {len(self.chain_ids)} were given."
+            msg = f"an SRV query names exactly one chain; got {len(self.chain_ids)}"
             raise ValueError(msg)
         self.variant_chain_id = self.chain_ids[0]
 
@@ -251,7 +240,7 @@ class SingleResidueVariantQuery(Query):
 
         variant_residue_index = arrays.find_residue(self.variant_chain_id, self.variant_residue_number, self.insertion_code)
         if variant_residue_index < 0:
-            msg = f"Residue not found in {self.pdb_path}: {self.variant_chain_id} {self.residue_id}"
+            msg = f"{self.pdb_path} has no residue {self.variant_chain_id} {self.residue_id}"
             raise ValueError(msg)
         variant_residue = arrays.residue_view(variant_residue_index)
         self.variant = SingleResidueVariant(variant_residue, self.variant_amino_acid)
@@ -279,7 +268,7 @@ class ProteinProteinInterfaceQuery(Query):
     def __post_init__(self):
         super().__post_init__()
         if len(self.chain_ids) != 2:  # noqa: PLR2004
-            msg = f"`chain_ids` must contain exactly 2 chains for `ProteinProteinInterfaceQuery` objects, but {len(self.chain_ids)} was/were given."
+            msg = f"a PPI query names exactly two chains; got {len(self.chain_ids)}"
             raise ValueError(msg)
 
     def get_query_id(self) -> str:
@@ -293,7 +282,7 @@ class ProteinProteinInterfaceQuery(Query):
 
         contact_atoms = get_contact_atoms(arrays, self.chain_ids, self.influence_radius)
         if len(contact_atoms) == 0:
-            msg = "No contact atoms found"
+            msg = f"no atoms within {self.influence_radius} Å across chains {self.chain_ids} of {self.pdb_path}"
             raise ValueError(msg)
 
         if self.resolution == "atom":
@@ -335,23 +324,21 @@ class QueryCollection:
         """Add a query; duplicate ids get renamed with a repeat suffix."""
         query_id = query.get_query_id()
         if verbose:
-            _log.info(f"Adding query with ID {query_id}.")
+            _log.info(f"adding query {query_id}")
 
-        if query_id not in self._ids_count:
-            self._ids_count[query_id] = 1
-        else:
-            self._ids_count[query_id] += 1
-            new_id = query.model_id + "_" + str(self._ids_count[query_id])
-            query.model_id = new_id
+        seen = self._ids_count.get(query_id, 0) + 1
+        self._ids_count[query_id] = seen
+        if seen > 1:
+            query.model_id = f"{query.model_id}_{seen}"
             if warn_duplicate:
-                _log.warning(f"Query with ID {query_id} has already been added to the collection. Renaming it as {query.get_query_id()}")
+                _log.warning(f"duplicate query id {query_id}: renamed to {query.get_query_id()}")
 
         self._queries.append(query)
 
     def export_dict(self, dataset_path: str) -> None:
         """Pickle the whole collection."""
-        with open(dataset_path, "wb") as pkl_file:
-            pickle.dump(self, pkl_file)
+        with open(dataset_path, "wb") as fh:
+            pickle.dump(self, fh)
 
     @property
     def queries(self) -> list[Query]:
@@ -370,28 +357,26 @@ class QueryCollection:
     def _process_one_query(self, query: Query, log_error_traceback: bool = False) -> None:
         """Build one query and append to this process's own HDF5 shard."""
         try:
-            output_path = f"{self._prefix}-{os.getpid()}.hdf5"
+            shard = f"{self._prefix}-{os.getpid()}.hdf5"  # one writer per worker PID
             graph = query.build(self._feature_modules)
-            graph.write_to_hdf5(output_path)
+            graph.write_to_hdf5(shard)
 
             if self._grid_settings is not None and self._grid_map_method is not None:
-                graph.write_as_grid_to_hdf5(output_path, self._grid_settings, self._grid_map_method)
+                graph.write_as_grid_to_hdf5(shard, self._grid_settings, self._grid_map_method)
                 for _ in range(self._grid_augmentation_count):
-                    axis, angle = random_rotation_axis_angle(randrange(100))
-                    augmentation = Augmentation(axis, angle)
-                    graph.write_as_grid_to_hdf5(output_path, self._grid_settings, self._grid_map_method, augmentation)
+                    axis, angle = random_rotation_axis_angle(random.randrange(100))
+                    graph.write_as_grid_to_hdf5(shard, self._grid_settings, self._grid_map_method, Augmentation(axis, angle))
 
         except (ValueError, AttributeError, KeyError, TimeoutError, OSError) as e:
             # OSError (incl. FileNotFoundError for missing pdb/pssm files) is
             # trapped too so one bad path never kills a whole processing run —
             # the reference's narrower tuple (query.py:472) lets it propagate.
             _log.warning(
-                f"Graph/Query with ID {query.get_query_id()} ran into an Exception and was not written to the hdf5 file.\n"
-                f"Exception found: {e.__class__.__name__}: {e}.\n"
-                "You may proceed with your analysis, but this query will be ignored.\n",
+                f"query {query.get_query_id()} failed and was left out of the hdf5 output "
+                f"({e.__class__.__name__}: {e}); the rest of the run continues without it",
             )
             if log_error_traceback:
-                _log.exception(f"----Full error traceback:----\n{e}")
+                _log.exception(f"full traceback for {query.get_query_id()}:")
 
     def process(
         self,
@@ -428,8 +413,7 @@ class QueryCollection:
           output files — checkpoint-restart for interrupted runs (the
           reference has no processing elasticity; SURVEY §5.3).
         """
-        feature_modules = feature_modules or [components, contact]
-        self._prefix = "processed-queries" if not prefix else re.sub(".hdf5$", "", prefix)
+        self._prefix = re.sub(".hdf5$", "", prefix) if prefix else "processed-queries"
 
         if num_hosts is None or host_index is None:
             num_hosts, host_index = 1, 0
@@ -452,17 +436,17 @@ class QueryCollection:
         if num_hosts > 1:
             self._prefix = f"{self._prefix}-host{host_index}"
 
-        max_cpus = os.cpu_count()
-        self._cpu_count = max_cpus if cpu_count is None else min(cpu_count, max_cpus)
+        available_cpus = os.cpu_count()
+        self._cpu_count = available_cpus if cpu_count is None else min(cpu_count, available_cpus)
         if cpu_count and self._cpu_count < cpu_count:
-            _log.warning(f"\nTried to set {cpu_count} CPUs, but only {max_cpus} are present in the system.")
+            _log.warning(f"requested {cpu_count} workers but the machine has {available_cpus} CPUs; using {self._cpu_count}")
 
-        self._feature_modules = self._set_feature_modules(feature_modules)
+        self._feature_modules = self._set_feature_modules(feature_modules or [components, contact])
         self._grid_settings = grid_settings
         self._grid_map_method = grid_map_method
 
         if grid_augmentation_count < 0:
-            msg = f"`grid_augmentation_count` cannot be negative, but was given as {grid_augmentation_count}"
+            msg = f"grid_augmentation_count must be >= 0, got {grid_augmentation_count}"
             raise ValueError(msg)
         self._grid_augmentation_count = grid_augmentation_count
 
@@ -481,57 +465,58 @@ class QueryCollection:
             if skipped:
                 _log.info(f"resume: skipping {len(skipped)} already-processed queries.")
 
-        pool_function = partial(self._process_one_query, log_error_traceback=log_error_traceback)
         if self._cpu_count == 1:
             # single worker: run in-process. Same single-writer-per-file
             # semantics (one PID, one shard), none of the start-method
             # hazards (spawn re-imports the caller's __main__).
             for query in host_queries:
-                pool_function(query)
+                self._process_one_query(query, log_error_traceback=log_error_traceback)
         else:
-            with multiprocessing.get_context(mp_context).Pool(self._cpu_count) as pool:
-                pool.map(pool_function, host_queries)
+            from functools import partial
 
-        output_paths = glob(f"{self._prefix}-*.hdf5")
+            with multiprocessing.get_context(mp_context).Pool(self._cpu_count) as pool:
+                pool.map(partial(self._process_one_query, log_error_traceback=log_error_traceback), host_queries)
+
+        shard_paths = glob(f"{self._prefix}-*.hdf5")
         if combine_output:
-            for output_path in output_paths:
-                with h5py.File(f"{self._prefix}.hdf5", "a") as f_dest, h5py.File(output_path, "r") as f_src:
-                    for _, value in f_src.items():
-                        f_src.copy(value, f_dest)
-                os.remove(output_path)
-            return glob(f"{self._prefix}.hdf5")
+            combined = f"{self._prefix}.hdf5"
+            for shard in shard_paths:
+                with h5py.File(combined, "a") as dest, h5py.File(shard, "r") as src:
+                    for entry in src.values():
+                        src.copy(entry, dest)
+                os.remove(shard)
+            return glob(combined)
 
         # count only entries produced by THIS run: on resume the shard files
         # still hold previously processed entries, which would otherwise mask
         # failures (or report >100% processed)
         n_processed = 0
-        for hdf5file in output_paths:
-            with h5py.File(hdf5file, "r") as hdf5:
-                n_processed += sum(1 for key in hdf5 if key not in preexisting)
+        for shard in shard_paths:
+            with h5py.File(shard, "r") as fh:
+                n_processed += sum(1 for key in fh if key not in preexisting)
 
         if not n_processed:
-            msg = "No queries have been processed."
+            msg = "every query failed; nothing was written (rerun with log_error_traceback=True for details)"
             raise ValueError(msg)
         if n_processed != len(host_queries):
             _log.warning(
-                f"Not all queries have been processed. You can proceed with the analysis of {n_processed}/{len(host_queries)} queries.\n"
-                "Set `log_error_traceback` to True for advanced troubleshooting.",
+                f"{n_processed}/{len(host_queries)} queries succeeded; the rest were skipped "
+                "(rerun with log_error_traceback=True for per-query tracebacks)",
             )
-        return output_paths
+        return shard_paths
 
     def _set_feature_modules(self, feature_modules: list[ModuleType | str] | ModuleType | str) -> list[str]:
         """Normalize ``feature_modules`` to a list of module-name strings."""
+        def name_of(m: ModuleType | str) -> str:
+            if isinstance(m, ModuleType):
+                return os.path.splitext(os.path.basename(m.__file__))[0]
+            if isinstance(m, str):
+                return re.sub(".py$", "", m)
+            msg = f"feature modules are given as module objects or name strings; got {type(m)}"
+            raise TypeError(msg)
+
         if feature_modules == "all":
             return [modname for _, modname, _ in pkgutil.iter_modules(deeprank2_tpu.features.__path__)]
-        if isinstance(feature_modules, ModuleType):
-            return [os.path.basename(feature_modules.__file__)[:-3]]
-        if isinstance(feature_modules, str):
-            return [re.sub(".py$", "", feature_modules)]
         if isinstance(feature_modules, list):
-            invalid_inputs = [type(el) for el in feature_modules if not isinstance(el, str | ModuleType)]
-            if invalid_inputs:
-                msg = f"`feature_modules` contains invalid input ({invalid_inputs}). Only `str` and `ModuleType` are accepted."
-                raise TypeError(msg)
-            return [re.sub(".py$", "", m) if isinstance(m, str) else os.path.basename(m.__file__)[:-3] for m in feature_modules]
-        msg = f"`feature_modules` has received an invalid input type: {type(feature_modules)}. Only `str` and `ModuleType` are accepted."
-        raise TypeError(msg)
+            return [name_of(m) for m in feature_modules]
+        return [name_of(feature_modules)]

@@ -78,13 +78,13 @@ def test_superpose_identity() -> None:
     assert np.allclose(moved @ r.T + t, pts, atol=1e-9)
 
 
-def test_rigid_body_decoys_graded_and_cached(tmp_path):
+def test_rigid_body_decoys_graded_and_cached(tmp_path, data_path):
     """Decoy generation: graded irmsd sweep, balanced binary labels, and
     deterministic regeneration (cache by file presence)."""
     from deeprank2_tpu.tools.decoys import rigid_body_decoys
     from deeprank2_tpu.tools.target import compute_ppi_scores
 
-    ref = "tests/data/ref/1ATN/1ATN.pdb"
+    ref = str(data_path / "ref" / "1ATN" / "1ATN.pdb")
     paths = rigid_body_decoys(ref, "B", tmp_path, count=8, seed=7)
     assert len(paths) == 8
     scores = [compute_ppi_scores(p, ref) for p in paths]
@@ -100,13 +100,13 @@ def test_rigid_body_decoys_graded_and_cached(tmp_path):
     assert open(paths[0], "rb").read() == first
 
 
-def test_reference_bundle_cache_consistency():
+def test_reference_bundle_cache_consistency(data_path):
     """The per-reference zone cache returns the same scores as a cold path."""
     from deeprank2_tpu.io.pdb import parse_pdb
     from deeprank2_tpu.tools import similarity
 
-    decoy = "tests/data/pdb/1ATN/1ATN_1w.pdb"
-    ref = "tests/data/ref/1ATN/1ATN.pdb"
+    decoy = str(data_path / "pdb" / "1ATN" / "1ATN_1w.pdb")
+    ref = str(data_path / "ref" / "1ATN" / "1ATN.pdb")
     sim_cached = similarity.StructureSimilarity(decoy, ref)
     assert sim_cached._ref_bundle is not None
     assert ref in similarity._REF_CACHE
