@@ -646,6 +646,10 @@ def _run_fold(
         "loss_jax": jax_losses,
         "loss_torch": mirror_losses,
         "max_loss_delta": float(max(abs(a - b) for a, b in zip(jax_losses, mirror_losses))),
+        # relative form: configs whose training transiently explodes (losses
+        # ~1e11) make the absolute delta meaningless while the sides still
+        # track each other to ~1e-5 relative
+        "max_loss_delta_rel": float(max(abs(a - b) / max(abs(a), abs(b), 1.0) for a, b in zip(jax_losses, mirror_losses))),
         "metrics_jax": jax_metrics,
         "metrics_torch": mirror_metrics,
         "val_traj_jax": jax_val_traj,
@@ -732,6 +736,7 @@ def run_trainer_config(
         "epochs": epochs,
         "folds": folds,
         "max_loss_delta": float(max(r["max_loss_delta"] for r in fold_reports)),
+        "max_loss_delta_rel": float(max(r.get("max_loss_delta_rel", 0.0) for r in fold_reports)),
         "max_val_metric_delta": float(max_metric_delta),
         "metrics_jax": cv_jax,
         "metrics_torch": cv_torch,
@@ -799,6 +804,7 @@ def run_edgepart_config(hdf5_path: str, out_dir: Path, *, epochs: int, dataset_k
         "loss_jax": jax_losses,
         "loss_torch": torch_losses,
         "max_loss_delta": float(max(abs(a - b) for a, b in zip(jax_losses, torch_losses))),
+        "max_loss_delta_rel": float(max(abs(a - b) / max(abs(a), abs(b), 1.0) for a, b in zip(jax_losses, torch_losses))),
         "metrics_jax": regress_metrics(pred_jax, y),
         "metrics_torch": regress_metrics(out.reshape(-1), y),
     }
@@ -887,6 +893,10 @@ def run_all(data_dir: Path, out_dir: Path, configs: list[str], epochs: int, fold
                 "cnn_grid_classif", corpus["ppi_grid"], out_dir,
                 model_cls=CnnClassification, mirror_kind="cnn", task="classif", target="binary",
                 epochs=epochs, batch_size=3, clustered=False, grid=True, folds=folds,
+                # raw mapped grids span ~1e6 value ranges (summed Coulomb
+                # channels), which explodes the conv logits (losses ~1e11,
+                # observed round 4) — standardize like the graph configs
+                dataset_kwargs={"features_transform": {"all": {"standardize": True}}},
             )
         )
     if "ginet_edgepart_ba" in configs:
@@ -901,15 +911,16 @@ def run_all(data_dir: Path, out_dir: Path, configs: list[str], epochs: int, fold
 
 def format_table(reports: list[dict]) -> str:
     lines = [
-        "| config | n | folds | epochs | max |Δloss| | max |Δval-metric| | CV metrics (ours) | CV metrics (torch mirror) |",
-        "|---|---|---|---|---|---|---|---|",
+        "| config | n | folds | epochs | max |Δloss| | max rel |Δloss| | max |Δval-metric| | CV metrics (ours) | CV metrics (torch mirror) |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in reports:
         fmt = lambda m: ", ".join(f"{k}={v:.4f}" for k, v in m.items())  # noqa: E731
         dv = f"{r['max_val_metric_delta']:.2e}" if "max_val_metric_delta" in r else "-"
+        rel = f"{r['max_loss_delta_rel']:.2e}" if "max_loss_delta_rel" in r else "-"
         lines.append(
             f"| {r['config']} | {r['entries']} | {r.get('folds', '-')} | {r['epochs']} | {r['max_loss_delta']:.2e} "
-            f"| {dv} | {fmt(r['metrics_jax'])} | {fmt(r['metrics_torch'])} |"
+            f"| {rel} | {dv} | {fmt(r['metrics_jax'])} | {fmt(r['metrics_torch'])} |"
         )
     return "\n".join(lines)
 

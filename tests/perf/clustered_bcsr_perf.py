@@ -129,6 +129,20 @@ def main() -> None:
             "step_ms": round(step_s * 1e3, 3),
             "edges_per_s": round(real_edges / step_s, 1),
         }
+        if not use_coo:
+            # adjacency-stream roofline: the full + pooled block streams,
+            # read twice per step (fwd + symmetric-VJP bwd). GINet/FoutNet
+            # blocks are int8 0/1; sGAT's WEIGHTED adjacency must carry the
+            # edge scalar per cell, so its blocks are bf16 — twice the
+            # bytes, which is the whole of its throughput gap vs GINet
+            # (round-4 decomposition: its conv1 SpMM pair measures ~91 % of
+            # this bound; per-block int8 quantization would halve it but
+            # breaks the 1e-3 parity gate at the distance-weight dynamic
+            # range).
+            adj_bytes = 2 * (batch.structure.blocks_t.nbytes + batch.structure_p.blocks_t.nbytes)
+            bound_s = adj_bytes / 819e9
+            results[name]["adj_stream_bound_ms"] = round(bound_s * 1e3, 3)
+            results[name]["pct_of_adj_stream_bound"] = round(100.0 * bound_s / step_s, 1)
 
     device = jax.devices()[0]
     print(
