@@ -150,3 +150,17 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+# ---------------------------------------------------------------------------
+# Round-4 note — the near-f32 residual vs the bf16 twin is PINNED IRREDUCIBLE
+# at this kernel design: the f32 step exceeds the bf16 step by almost exactly
+# the extra hi/lo MXU MAC time (measured 3.21-3.22 ms vs 2.78-2.79 ms; the
+# ~0.44 ms delta == the doubled per-block matmul work at peak), so the second
+# pass does not overlap the stream no matter how it is issued. A widened
+# single-operand variant (hi stacked atop lo as one [2fw, N] chunk — one
+# full-height dot per block instead of two half-height ones, hi+lo folded
+# once per run at flush) measured 81.2-81.5 % SoL vs the two-dot form's
+# 82.6-83.1 % — slightly WORSE, confirming the binding resource is the
+# kernel's in-order issue stream, which the extra MACs lengthen linearly
+# regardless of dot shape. Closing the gap needs int8-rate math for the
+# second pass or out-of-order MXU issue, neither available on v5e.
