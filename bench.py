@@ -248,6 +248,34 @@ def clustered_result(num_nodes: int = 100_000) -> dict:
     }
 
 
+def featurization_result() -> dict:
+    """Featurization speed on the vendored 1ATN corpus, reference protocol
+    (/root/reference/tests/perf/ppi_perf.py:22-34: atomic resolution, 5.5 Å
+    cutoff, the 6-module feature set; grid 35x30x30 Gaussian) — makes the
+    README's featurization-speedup claims driver-visible round-over-round.
+    Reference baselines (README.md / BASELINE.md, Apple M1 Pro, 1 CPU):
+    graph-only 2.99 s/structure, graph+grid 11.35 s/structure."""
+    import glob
+    import os
+
+    from tests.perf.ppi_perf import run
+
+    files = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "data", "pdb", "1ATN", "*.pdb")))
+    graph = run(files)
+    grid = run(files[:2], with_grid=True)
+    return {
+        "protocol": "atomic, 5.5A, 6 feature modules (reference ppi_perf)",
+        "graph_s_per_structure": round(graph["time_mean_s"], 3),
+        "graph_std_s": round(graph["time_std_s"], 3),
+        "graph_mb_per_structure": round(graph["mb_mean"], 3),
+        "graph_grid_s_per_structure": round(grid["time_mean_s"], 3),
+        "ref_graph_s_per_structure": 2.99,
+        "ref_graph_grid_s_per_structure": 11.35,
+        "speedup_graph": round(2.99 / graph["time_mean_s"], 1),
+        "speedup_graph_grid": round(11.35 / grid["time_mean_s"], 1),
+    }
+
+
 def main() -> None:
     import os
     import sys
@@ -258,6 +286,7 @@ def main() -> None:
     bcsr = bcsr_result()
     blocked = blocked_result()
     clustered = clustered_result()
+    featurization = featurization_result()
     print(
         json.dumps(
             {
@@ -274,6 +303,7 @@ def main() -> None:
                 "bcsr": bcsr,
                 "blocked": blocked,
                 "clustered": clustered,
+                "featurization": featurization,
             }
         )
     )
