@@ -52,13 +52,10 @@ class DeeprankDataset:
         root: str,
         check_integrity: bool,
     ):
-        if isinstance(hdf5_path, str):
-            self.hdf5_paths = [hdf5_path]
-        elif isinstance(hdf5_path, list):
-            self.hdf5_paths = hdf5_path
-        else:
-            msg = f"hdf5_path: unexpected type: {type(hdf5_path)}"
+        if not isinstance(hdf5_path, (str, list)):
+            msg = f"hdf5_path accepts a path or a list of paths, not {type(hdf5_path)}"
             raise TypeError(msg)
+        self.hdf5_paths = [hdf5_path] if isinstance(hdf5_path, str) else hdf5_path
 
         self.subset = subset
         self.train_source = train_source
@@ -85,6 +82,21 @@ class DeeprankDataset:
         self._cache_capacity = 16384
 
     # ------------------------------------------------------------------
+    def _require_stored_target(self) -> None:
+        """A training dataset must name a target that the files contain."""
+        if not self.index_entries:
+            msg = "the dataset matched no entries; check hdf5_path/subset/target_filter"
+            raise IndexError(msg)
+        fname, first = self.index_entries[0]
+        with h5py.File(fname, "r") as f5:
+            stored = list(f5[first][targets.VALUES])
+        if self.target is None:
+            msg = f"a training dataset needs target=...; the file(s) store {stored}"
+            raise ValueError(msg)
+        if self.target not in stored:
+            msg = f"Target {self.target} not among the stored targets {stored}"
+            raise ValueError(msg)
+
     def _check_and_inherit_train(self, data_type, inherited_params: list[str]) -> None:
         """Inherit parameters from a training dataset or pretrained checkpoint."""
         if isinstance(self.train_source, str):
@@ -126,36 +138,30 @@ class DeeprankDataset:
 
     def _check_hdf5_files(self) -> None:
         """Drop empty or corrupted files."""
-        to_be_removed = []
-        for hdf5_path in self.hdf5_paths:
+        usable = []
+        for path in self.hdf5_paths:
             try:
-                with h5py.File(hdf5_path, "r") as f5:
-                    if len(list(f5.keys())) == 0:
-                        _log.info(f"    -> {hdf5_path} is empty ")
-                        to_be_removed.append(hdf5_path)
+                with h5py.File(path, "r") as f5:
+                    if len(f5):
+                        usable.append(path)
+                    else:
+                        _log.info(f"dropping {path}: no entries")
             except Exception as e:  # noqa: BLE001
                 _log.error(e)
-                _log.info(f"    -> {hdf5_path} is corrupted ")
-                to_be_removed.append(hdf5_path)
-        for hdf5_path in to_be_removed:
-            self.hdf5_paths.remove(hdf5_path)
+                _log.info(f"dropping {path}: unreadable")
+        self.hdf5_paths[:] = usable
 
     def _check_task_and_classes(self, task: str | None, classes: list | None = None) -> None:
-        target_to_task_map = targets.TARGET_TASKS
-        if task is None:
-            self.task = target_to_task_map.get(self.target)
-        else:
-            self.task = task
+        known_task = targets.TARGET_TASKS.get(self.target)
+        self.task = known_task if task is None else task
 
-        if self.task not in [targets.CLASSIF, targets.REGRESS] and self.target is not None:
-            msg = f"User target detected: {self.target} -> The task argument must be 'classif' or 'regress', currently set as {self.task}"
+        if self.target is not None and self.task not in (targets.CLASSIF, targets.REGRESS):
+            msg = f"custom target {self.target} needs task='classif' or 'regress' (got {self.task})"
             raise ValueError(msg)
 
-        if task and self.target in target_to_task_map and task != target_to_task_map[self.target]:
-            self.task = target_to_task_map[self.target]
-            warnings.warn(
-                f"Target {self.target} expects {self.task}, but was set to task {task} by user. User set task is ignored and {self.task} will be used.",
-            )
+        if task and known_task and task != known_task:
+            self.task = known_task
+            warnings.warn(f"target {self.target} implies task {known_task}; the requested task {task} is ignored")
 
         if self.task == targets.CLASSIF:
             if classes is None:
@@ -170,34 +176,27 @@ class DeeprankDataset:
             self.classes_to_index = None
 
     def _check_inherited_params(self, inherited_params: list[str], data) -> None:
-        self_vars = vars(self)
+        own = vars(self)
         if not isinstance(data, dict):
             data = vars(data)
         for param in inherited_params:
-            if self_vars[param] != data[param]:
-                if self_vars[param] != self.default_vars[param]:
-                    _log.warning(
-                        f"The {param} parameter set here is: {self_vars[param]}, "
-                        f"which is not equivalent to the one in the training phase: {data[param]}./n"
-                        f"Overwriting {param} parameter with the one used in the training phase.",
-                    )
-                setattr(self, param, data[param])
+            if own[param] == data[param]:
+                continue
+            if own[param] != self.default_vars[param]:
+                _log.warning(f"{param}={own[param]} differs from the training run's {data[param]}; the training value wins")
+            setattr(self, param, data[param])
 
     def _create_index_entries(self) -> None:
         self.index_entries = []
-        for hdf5_path in self.hdf5_paths:
+        for path in self.hdf5_paths:
             try:
-                with h5py.File(hdf5_path, "r") as hdf5_file:
-                    if self.subset is None:
-                        entry_names = list(hdf5_file.keys())
-                    else:
-                        entry_names = [name for name in self.subset if name in list(hdf5_file.keys())]
-                    if self.target_filter is None:
-                        self.index_entries += [(hdf5_path, name) for name in entry_names]
-                    else:
-                        self.index_entries += [(hdf5_path, name) for name in entry_names if self._filter_targets(hdf5_file[name])]
+                with h5py.File(path, "r") as f5:
+                    names = list(f5) if self.subset is None else [n for n in self.subset if n in f5]
+                    if self.target_filter is not None:
+                        names = [n for n in names if self._filter_targets(f5[n])]
+                    self.index_entries += [(path, n) for n in names]
             except Exception:  # noqa: BLE001
-                _log.exception(f"on {hdf5_path}")
+                _log.exception(f"while indexing {path}")
 
     def _filter_targets(self, grp: h5py.Group) -> bool:
         """Keep the entry if every (target, condition) filter passes.
@@ -207,24 +206,24 @@ class DeeprankDataset:
         """
         if self.target_filter is None:
             return True
-        for target_name, target_condition in self.target_filter.items():
-            present_target_names = list(grp[targets.VALUES].keys())
-            if target_name in present_target_names:
-                if isinstance(target_condition, str):
+        for target_name, condition in self.target_filter.items():
+            stored = list(grp[targets.VALUES].keys())
+            if target_name in stored:
+                if isinstance(condition, str):
                     target_value = grp[targets.VALUES][target_name][()]
                     # one regex pass, two-char operators first. The reference
                     # bug (dataset.py:251-289) chains str.replace over the
                     # operator list, so "<=4.0" becomes "X<X=4.0"-style garbage
                     # whose SyntaxError silently drops the whole file — we do
                     # not reproduce that; "<=", ">=", "!=" work here.
-                    operation = re.sub(r"(==|!=|<=|>=|<|>)", lambda m: f"{target_value}{m.group(1)}", target_condition)
+                    operation = re.sub(r"(==|!=|<=|>=|<|>)", lambda m: f"{target_value}{m.group(1)}", condition)
                     if not eval(operation):  # noqa: S307 (reference parity)
                         return False
-                elif target_condition is not None:
-                    msg = "Conditions not supported"
-                    raise ValueError(msg, target_condition)
+                elif condition is not None:
+                    msg = f"a target filter is a comparison string like '<0.1'; got {condition!r}"
+                    raise ValueError(msg)
             else:
-                _log.warning(f"   :Filter {target_name} not found for entry {grp}\n   :Filter options are: {present_target_names}")
+                _log.warning(f"filter target {target_name} absent from entry {grp} (stored targets: {stored})")
         return True
 
     def __len__(self) -> int:
@@ -239,14 +238,11 @@ class DeeprankDataset:
         """Load the selected features into a pandas DataFrame (one row per entry)."""
         import pandas as pd
 
-        df_final = pd.DataFrame()
+        frames = []
         for fname in self.hdf5_paths:
             with h5py.File(fname, "r") as f:
-                first_entry = next(iter(f.keys()))
-                if self.subset is not None:
-                    entry_names = [entry for entry in f if entry in self.subset]
-                else:
-                    entry_names = list(f.keys())
+                first_entry = next(iter(f))
+                entry_names = list(f) if self.subset is None else [e for e in f if e in self.subset]
 
                 df_dict: dict = {"id": entry_names}
                 for feat_type, feats in self.features_dict.items():
@@ -272,9 +268,8 @@ class DeeprankDataset:
                                 col = [transform(row) for row in col]
                             df_dict[feat] = col
 
-                df_temp = pd.DataFrame(data=df_dict)
-            df_final = pd.concat([df_final, df_temp])
-        self.df = df_final.reset_index(drop=True)
+                frames.append(pd.DataFrame(data=df_dict))
+        self.df = pd.concat(frames).reset_index(drop=True)
         return self.df
 
     def save_hist(self, features: str | list[str], fname: str = "features_hist.png", bins=10, figsize=(15, 15), log: bool = False) -> None:
@@ -314,22 +309,18 @@ class DeeprankDataset:
             plt.close(fig)
 
     def _compute_mean_std(self) -> None:
-        self.means = {
-            col: round(float(np.nanmean(np.concatenate(self.df[col].values))), 1)
-            if isinstance(self.df[col].to_numpy()[0], np.ndarray)
-            else round(float(np.nanmean(self.df[col].to_numpy())), 1)
-            for col in self.df.columns[1:]
-        }
-        self.devs = {
-            col: round(float(np.nanstd(np.concatenate(self.df[col].values))), 1)
-            if isinstance(self.df[col].to_numpy()[0], np.ndarray)
-            else round(float(np.nanstd(self.df[col].to_numpy())), 1)
-            for col in self.df.columns[1:]
-        }
+        def flat(col: str) -> np.ndarray:
+            cells = self.df[col].to_numpy()
+            return np.concatenate(cells) if isinstance(cells[0], np.ndarray) else cells
+
+        stats = {col: flat(col) for col in self.df.columns[1:]}
+        self.means = {col: round(float(np.nanmean(v)), 1) for col, v in stats.items()}
+        self.devs = {col: round(float(np.nanstd(v)), 1) for col, v in stats.items()}
 
 
-# Grid features are stored per dimension: e.g. position_001 ... position_003
-GRID_PARTIAL_FEATURE_NAME_PATTERN = re.compile(r"^([a-zA-Z_]+)_([0-9]{3})$")
+# grid channels of a vector feature carry a _NNN suffix (position_000 ...)
+_GRID_CHANNEL_RE = re.compile(r"^([a-zA-Z_]+)_([0-9]{3})$")
+GRID_PARTIAL_FEATURE_NAME_PATTERN = _GRID_CHANNEL_RE  # reference-name alias
 
 
 class GridDataset(DeeprankDataset):
@@ -369,19 +360,7 @@ class GridDataset(DeeprankDataset):
         else:
             self._check_features()
             self.inherited_params = None
-            try:
-                fname, mol = self.index_entries[0]
-            except IndexError as e:
-                msg = "No entries found in the dataset. Please check the dataset parameters."
-                raise IndexError(msg) from e
-            with h5py.File(fname, "r") as f5:
-                possible_targets = list(f5[mol][targets.VALUES].keys())
-                if self.target is None:
-                    msg = f"Please set the target during training dataset definition; targets present in the file/s are {possible_targets}."
-                    raise ValueError(msg)
-                if self.target not in possible_targets:
-                    msg = f"Target {self.target} not present in the file/s; targets present in the file/s are {possible_targets}."
-                    raise ValueError(msg)
+            self._require_stored_target()
 
         self.features_dict = {gridstorage.MAPPED_FEATURES: self.features}
         if self.target is not None:
@@ -505,19 +484,7 @@ class GraphDataset(DeeprankDataset):
         else:
             self._check_features()
             self.inherited_params = None
-            try:
-                fname, mol = self.index_entries[0]
-            except IndexError as e:
-                msg = "No entries found in the dataset. Please check the dataset parameters."
-                raise IndexError(msg) from e
-            with h5py.File(fname, "r") as f5:
-                possible_targets = list(f5[mol][targets.VALUES].keys())
-                if self.target is None:
-                    msg = f"Please set the target during training dataset definition; targets present in the file/s are {possible_targets}."
-                    raise ValueError(msg)
-                if self.target not in possible_targets:
-                    msg = f"Target {self.target} not present in the file/s; targets present in the file/s are {possible_targets}."
-                    raise ValueError(msg)
+            self._require_stored_target()
 
         self.features_dict = {Nfeat.NODE: self.node_features, Efeat.EDGE: self.edge_features}
         if self.target is not None:
@@ -646,33 +613,26 @@ class GraphDataset(DeeprankDataset):
             self.available_node_features = [key for key in f[f"{mol_key}/{Nfeat.NODE}/"] if key[0] != "_"]
             self.available_edge_features = [key for key in f[f"{mol_key}/{Efeat.EDGE}/"] if key[0] != "_"]
 
-        missing_node_features = []
-        if self.node_features == "all":
-            self.node_features = self.available_node_features
-            self.default_vars["node_features"] = self.node_features
-        else:
-            if not isinstance(self.node_features, list):
-                self.node_features = [] if self.node_features is None else [self.node_features]
-            missing_node_features = [feat for feat in self.node_features if feat not in self.available_node_features]
+        def resolve(requested, available, attr):
+            if requested == "all":
+                self.default_vars[attr] = available
+                return available, []
+            if not isinstance(requested, list):
+                requested = [] if requested is None else [requested]
+            return requested, [f for f in requested if f not in available]
 
-        missing_edge_features = []
-        if self.edge_features == "all":
-            self.edge_features = self.available_edge_features
-            self.default_vars["edge_features"] = self.edge_features
-        else:
-            if not isinstance(self.edge_features, list):
-                self.edge_features = [] if self.edge_features is None else [self.edge_features]
-            missing_edge_features = [feat for feat in self.edge_features if feat not in self.available_edge_features]
+        self.node_features, missing_nodes = resolve(self.node_features, self.available_node_features, "node_features")
+        self.edge_features, missing_edges = resolve(self.edge_features, self.available_edge_features, "edge_features")
 
-        if missing_node_features + missing_edge_features:
-            messages = []
-            if missing_node_features:
-                messages.append(f"Missing node features: {missing_node_features} (available: {self.available_node_features})")
-            if missing_edge_features:
-                messages.append(f"Missing edge features: {missing_edge_features} (available: {self.available_edge_features})")
+        if missing_nodes or missing_edges:
+            detail = []
+            if missing_nodes:
+                detail.append(f"node features {missing_nodes} (file has {self.available_node_features})")
+            if missing_edges:
+                detail.append(f"edge features {missing_edges} (file has {self.available_edge_features})")
             msg = (
-                f"Not all features could be found in the file {self.hdf5_paths[0]}.\n\t"
-                "Check feature_modules passed to the preprocess function.\n\t" + "\n\t".join(messages)
+                f"{self.hdf5_paths[0]} lacks requested " + "; ".join(detail) +
+                " — check the feature_modules the data was processed with"
             )
             raise ValueError(msg)
 
@@ -702,14 +662,14 @@ def _load_target(grp, target, task, target_transform, train_source, entry_name, 
 def save_hdf5_keys(f_src_path: str, src_ids: list[str], f_dest_path: str, hardcopy: bool = False) -> None:
     """Save a subset of entries into a new file, as external links or hard copies."""
     if not all(isinstance(d, str) for d in src_ids):
-        msg = "data_ids should be a list containing strings."
+        msg = "src_ids must be entry-name strings"
         raise TypeError(msg)
-    with h5py.File(f_dest_path, "w") as f_dest, h5py.File(f_src_path, "r") as f_src:
+    with h5py.File(f_dest_path, "w") as dest, h5py.File(f_src_path, "r") as source:
         for key in src_ids:
             if hardcopy:
-                f_src.copy(f_src[key], f_dest)
+                source.copy(source[key], dest)
             else:
-                f_dest[key] = h5py.ExternalLink(f_src_path, "/" + key)
+                dest[key] = h5py.ExternalLink(f_src_path, "/" + key)
 
 
 def _divide_dataset(dataset, splitsize: float | int | None = None, rng: np.random.Generator | None = None):
@@ -727,14 +687,11 @@ def _divide_dataset(dataset, splitsize: float | int | None = None, rng: np.rando
     elif isinstance(splitsize, int):
         n_split = splitsize
     else:
-        msg = f"type(splitsize) must be float, int or None ({type(splitsize)} detected.)"
+        msg = f"splitsize is a fraction, a count, or None — not {type(splitsize)}"
         raise TypeError(msg)
 
     if n_split >= full_size or n_split < 0:
-        msg = (
-            f"Invalid Split size: {n_split}.\n"
-            f"Split size must be a float between 0 and 1 OR an int smaller than the size of the dataset ({full_size} datapoints)"
-        )
+        msg = f"cannot hold out {n_split} of {full_size} entries (need 0 <= split < dataset size)"
         raise ValueError(msg)
 
     if n_split == 0:
