@@ -6,29 +6,30 @@ sol_perf protocol (scan-chained, data-dependent sync).
 
     python tests/perf/dense_decompose.py
 
-Round-3 closure of the backward-gap investigation (VERDICT item 3): the
-residual above the 235 us bound is ~170 us of XLA data-formatting copies of
-the backward cotangents (profiled via jax.profiler + parse_trace.py: two
-bf16 [G,N,64] copies at 47 us each plus four [G,N,32] at ~19 us). Each
-cotangent has two matmul consumers (the aggregate VJP and the weight-grad /
-next-layer contraction) whose TPU dot-emitter operand layouts conflict, so
-one copy per consumer pair is materialized regardless of the JAX-level
-formulation — verified by measuring three rewrites on hardware:
+Round-3 history: the residual above the 235 us bound was ~170 us of XLA
+dot-emitter layout copies of the backward cotangents — every batched
+cotangent has two matmul consumers with conflicting operand layouts, and
+three formulation rewrites (symmetric VJP, transposed [G,C,N] tower, custom
+weight-grad) all measured as no-ops because the emitter re-normalizes
+batched operand order internally.
 
-- symmetric-VJP aggregate (d fcx = adj @ g, no transposed matmul): no change;
-- the whole tower in the transposed [G, C, N] layout (the BCSR model's
-  discipline): 391 -> 377 us (kept — the win is the cheaper relu/mask
-  fusions), copies unchanged because the dot emitter re-normalizes operand
-  order internally;
-- custom weight-grad VJP contracting per-graph outer products (N stays
-  minor on every big operand): no change.
+Round-4 CLOSURE: the batch dimension itself was removed. The model now runs
+flat ([F, G*N] activations, 2-D XLA contractions) with the per-graph
+aggregation in a graph-diagonal Pallas kernel (ops/diag_spmm.py: int8
+adjacency stream, fused relu/mask epilogues, per-graph pooling summed
+in-kernel) — 284 us = 82.9 % of the 4-pass bound at the 500-step-chunk
+protocol, vs 363 us for the best batched XLA formulation. The remaining gap
+is ~27 us/step of host chunk dispatch over this box's tunnel plus ~15 us of
+XLA glue around the four kernel calls (device trace shows ~250 us device
+time, zero idle inside a chunk).
 
-The copies are emitter-inserted, not formulation-driven; eliminating them
-needs a fused backward kernel, and the Pallas fused tower measured SLOWER
-(422 vs 386 us, round 2 — Mosaic's batched-small-matmul schedule). The
-dense step therefore stands at ~62 % of its 4-pass bound with the gap
-attributed to irreducible-at-this-batch-shape layout copies; revisit on
-directly-attached hardware where Mosaic scheduling may differ.
+Note for future work: layer 1's aggregation commutes with its weight apply
+(relu(m . (W^T X) A) == relu(m . W^T (X A)) per graph), and X A is constant
+per batch — precomputing it would drop layer 1's two adjacency passes
+entirely. Left unimplemented: it only pays when a collated batch is reused
+across many steps (true for this bench and for multi-epoch training with a
+device-batch cache, false for the Trainer's per-epoch re-collation), and
+pricing the bound around it would redefine the step boundary.
 """
 
 from __future__ import annotations
