@@ -11,16 +11,14 @@ numbers (BASELINE.md), so the roofline is the honest denominator. The
 
 Bound definitions (see tests/perf/sol_perf.py and tests/perf/bcsr_sol.py):
 - dense: 4 adjacency passes (2 fwd layers + their VJPs) + x fwd/bwd + saved
-  activations. Measured decomposition (tests/perf/dense_decompose.py, v5e):
-  the raw 4-pass adjacency stream alone takes ~242 us vs the 235 us bound —
-  streaming runs at speed-of-light — and the forward half of the step is
-  stream-bound too; the residual is the backward pass's f32 intermediate
-  round-trips (dh/dfcx materialization), which XLA does not fuse into the
-  contractions. The fused Pallas tower (ops/pallas_ginet.py) eliminates
-  those round-trips but Mosaic's batched-small-matmul schedule costs more
-  than the fusion saves on this chip (422 vs 386 us), so XLA stays the
-  measured path.
+  activations, priced at the collate's bf16 adjacency. Since round 4 the
+  measured path is the graph-diagonal Pallas kernel (ops/diag_spmm.py):
+  flat [F, G*N] activations, int8 adjacency stream, fused relu/mask and
+  per-graph pooling — 82.9 % of the bound (tests/perf/dense_decompose.py
+  records the path here, including the measured dead ends).
 - bcsr: 4 int8 block-stream passes + x^T chunk DMAs + slab round-trips.
+- blocked: HBM bound plus a compute-aware floor (the binding one for that
+  kernel; tests/perf/blocked_decompose.py).
 
 Measurement notes:
 - Steps are chained inside a jitted ``lax.scan`` so per-call dispatch latency
