@@ -90,11 +90,19 @@ class Trainer:
         output_exporters: list[OutputExporter] | None = None,
         seed: int = 42,
         data_parallel: bool = False,
+        collate_cache_batches: int = 256,
     ):
         self.neuralnet = neuralnet
         self.pretrained_model = pretrained_model
         self.seed = seed
         self.data_parallel = data_parallel
+        # non-shuffled loaders (validation/test, and shuffle=False training)
+        # produce identical chunks every epoch; caching their collated HOST
+        # batches skips the per-epoch HDF5->numpy->padded-batch rebuild
+        # (device_put still happens per use — device memory stays per-batch).
+        # Bounded FIFO; 0 disables.
+        self._collate_cache_capacity = collate_cache_batches
+        self._collate_cache: dict[tuple, tuple] = {}
 
         self._init_datasets(dataset_train, dataset_val, dataset_test, val_size, test_size)
 
@@ -597,18 +605,31 @@ class Trainer:
         sentinel = object()
         failure: list[BaseException] = []
 
+        cacheable = not shuffle and self._collate_cache_capacity > 0
+
+        def _collated(chunk) -> tuple:
+            key = (id(dataset), batch_size, tuple(int(i) for i in chunk))
+            if cacheable and key in self._collate_cache:
+                return self._collate_cache[key]
+            entries = [dataset.get(int(i)) for i in chunk]
+            batch, names = self._collate(entries, pad_graphs=batch_size)
+            # host-side stats (avoids per-batch device->host syncs in the loop)
+            stats = {
+                "n_valid": int(np.asarray(batch.y_mask).sum()),
+                "n_edges": int(np.asarray(batch.edge_mask).sum()) if hasattr(batch, "edge_mask") else 0,
+                "y_host": np.array(batch.y),
+                "y_mask_host": np.array(batch.y_mask),
+            }
+            if cacheable:
+                if len(self._collate_cache) >= self._collate_cache_capacity:
+                    self._collate_cache.pop(next(iter(self._collate_cache)))
+                self._collate_cache[key] = (batch, names, stats)
+            return batch, names, stats
+
         def _produce() -> None:
             try:
                 for chunk in chunks:
-                    entries = [dataset.get(int(i)) for i in chunk]
-                    batch, names = self._collate(entries, pad_graphs=batch_size)
-                    # host-side stats (avoids per-batch device->host syncs in the loop)
-                    stats = {
-                        "n_valid": int(np.asarray(batch.y_mask).sum()),
-                        "n_edges": int(np.asarray(batch.edge_mask).sum()) if hasattr(batch, "edge_mask") else 0,
-                        "y_host": np.array(batch.y),
-                        "y_mask_host": np.array(batch.y_mask),
-                    }
+                    batch, names, stats = _collated(chunk)
                     staged = (jax.device_put(batch), names, stats)  # async transfer
                     while not stop.is_set():
                         try:

@@ -561,3 +561,17 @@ def test_data_parallel_blocked_edges(srv_hdf5, tmp_path) -> None:
     ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
     trainer = Trainer(VanillaNetworkBlocked, dataset_train=ds, output_exporters=[], data_parallel=True)
     trainer.train(nepoch=1, batch_size=8, filename=None)
+
+
+def test_collate_cache_reused_across_epochs(srv_hdf5, tmp_path):
+    """Non-shuffled loaders cache collated host batches across epochs (and the
+    cache can be disabled); training results were already pinned identical by
+    the other tests running through the same loader."""
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary")
+    t_cached = Trainer(VanillaNetwork, dataset_train=ds, val_size=0.25, collate_cache_batches=64)
+    t_cached.train(nepoch=2, batch_size=4, shuffle=False)
+    assert len(t_cached._collate_cache) > 0
+
+    t_cold = Trainer(VanillaNetwork, dataset_train=GraphDataset(hdf5_path=srv_hdf5, target="binary"), val_size=0.25, collate_cache_batches=0)
+    t_cold.train(nepoch=2, batch_size=4, shuffle=False)
+    assert len(t_cold._collate_cache) == 0
