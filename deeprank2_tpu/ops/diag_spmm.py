@@ -44,8 +44,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 from deeprank2_tpu.ops.segment import effective_platform
 
-# graphs per grid step (sweepable like the DR2_BCSR_* knobs)
-GS = int(_os.environ.get("DR2_DIAG_GS", "16"))
+# max graphs per grid step (sweepable like the DR2_BCSR_* knobs); the
+# actual group size adapts per batch shape (see _pick_gs)
+GS_DEFAULT = int(_os.environ.get("DR2_DIAG_GS", "16"))
+GS = GS_DEFAULT  # back-compat alias (tests size their batches off it)
+
+
+def _pick_gs(num_graphs: int, nodes: int) -> int | None:
+    """Largest group size <= GS that divides the batch and keeps the 2-D
+    [fw, gs*N] blocks lane-legal (gs*N a multiple of 128, or the block
+    covering the whole array). None when no legal grouping exists."""
+    for gs in range(min(GS_DEFAULT, num_graphs), 0, -1):
+        if num_graphs % gs:
+            continue
+        if (gs * nodes) % 128 == 0 or gs == num_graphs:
+            return gs
+    return None
 
 
 def _hi_lo_split(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -64,9 +78,9 @@ def supports(num_graphs: int, nodes: int) -> bool:
     """Whether the TPU kernel covers this batch shape (else XLA fallback)."""
     return (
         effective_platform() == "tpu"
-        and num_graphs % GS == 0
+        and _pick_gs(num_graphs, nodes) is not None
         and nodes % 8 == 0
-        and nodes <= 2048  # one [GS, N, N] adjacency group must fit VMEM
+        and nodes <= 2048  # one [gs, N, N] adjacency group must fit VMEM
     )
 
 
@@ -126,6 +140,7 @@ def _diag_kernel(adj_ref, *rest, gs, n, relu, split, pool):
 @functools.partial(jax.jit, static_argnames=("relu", "compute_dtype", "pool"))
 def _diag_spmm_tpu(adj_i8, x_t, mask, *, relu, compute_dtype="float32", pool=False):
     g, n, _ = adj_i8.shape
+    GS = _pick_gs(g, n) or min(GS_DEFAULT, g)  # noqa: N806 — local group size
     feat = x_t.shape[0]
     cd = jnp.dtype(compute_dtype)
     split = cd.itemsize == 4
@@ -260,6 +275,7 @@ def _pool_bwd_kernel(adj_ref, h_ref, gp_ref, out_ref, *, gs, n, split):
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))
 def _diag_pool_bwd_tpu(adj_i8, h, g_pool, *, compute_dtype="float32"):
     g, n, _ = adj_i8.shape
+    GS = _pick_gs(g, n) or min(GS_DEFAULT, g)  # noqa: N806 — local group size
     feat = h.shape[0]
     split = jnp.dtype(compute_dtype).itemsize == 4
     pad_f = (-feat) % 16
@@ -430,6 +446,7 @@ def _tower_bwd_kernel(adj_ref, gp_ref, sign_ref, h1_ref, w2_ref, t2_ref, t1_ref,
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))
 def _tower_fwd_tpu(adj_i8, x_t, mask, w1, w2, *, compute_dtype="float32"):
     g, n, _ = adj_i8.shape
+    GS = _pick_gs(g, n) or min(GS_DEFAULT, g)  # noqa: N806 — local group size
     feat = x_t.shape[0]
     c1, c2 = w1.shape[1], w2.shape[1]
     split = jnp.dtype(compute_dtype).itemsize == 4
@@ -474,6 +491,7 @@ def _tower_fwd_tpu(adj_i8, x_t, mask, w1, w2, *, compute_dtype="float32"):
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))
 def _tower_bwd_tpu(adj_i8, g_pool, sign, h1, w2, *, compute_dtype="float32"):
     g, n, _ = adj_i8.shape
+    GS = _pick_gs(g, n) or min(GS_DEFAULT, g)  # noqa: N806 — local group size
     c1, c2 = w2.shape
     split = jnp.dtype(compute_dtype).itemsize == 4
     gn = GS * n

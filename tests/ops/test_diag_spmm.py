@@ -179,3 +179,13 @@ def test_pool_kernel_interpret_matches_xla() -> None:
     u = pool_want.repeat(n, axis=1).reshape(h_want.shape) * (h_want > 0)
     du_want = np.asarray(diag_spmm.diag_spmm_t_xla(adj, jnp.asarray(u.astype(np.float32))))
     np.testing.assert_allclose(np.asarray(du), du_want, rtol=5e-3, atol=5e-3)
+
+
+def test_pick_gs_covers_trainer_batch_sizes() -> None:
+    """Realistic Trainer batches (pad_graphs = batch_size, small) must get a
+    legal kernel grouping — not fall back to the batched XLA path."""
+    for g, n in [(4, 160), (8, 96), (3, 160), (6, 64), (512, 160), (1, 160)]:
+        gs = diag_spmm._pick_gs(g, n)
+        assert gs is not None and g % gs == 0
+        assert (gs * n) % 128 == 0 or gs == g
+    assert diag_spmm._pick_gs(5, 8) == 5  # whole-array block is always legal
