@@ -8,6 +8,14 @@ for CnnClassification at a given batch size.
 
 Timing follows bench.py: steps chained in a jitted ``lax.scan``, clock
 stopped by a data-dependent ``float(loss)``, best of two windows.
+
+Round-4 profile note (v5e, batch 128): the step is bound by XLA's conv3d
+lowering at tiny channel counts, not bandwidth — conv1's weight-grad runs
+895 us and its forward 618 us (~6 % MXU utilization at C_out=4), and a
+bf16 variant measured SLOWER both with per-step casts (2.21 vs 2.07 ms)
+and with the grid batch stored bf16 (so the f32 x stream is not the
+constraint either). A custom small-channel conv kernel is the only lever;
+at 62-64k grids/s the path is far past any current need.
 """
 
 from __future__ import annotations
