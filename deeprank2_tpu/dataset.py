@@ -269,7 +269,7 @@ class DeeprankDataset:
                             df_dict[feat] = col
 
                 frames.append(pd.DataFrame(data=df_dict))
-        self.df = pd.concat(frames).reset_index(drop=True)
+        self.df = pd.concat(frames).reset_index(drop=True) if frames else pd.DataFrame()
         return self.df
 
     def save_hist(self, features: str | list[str], fname: str = "features_hist.png", bins=10, figsize=(15, 15), log: bool = False) -> None:

@@ -108,13 +108,13 @@ _TOWER_BACKEND = "xla"
 
 
 def set_dense_tower_backend(name: str) -> None:
-    """Select the no-cluster tower implementation: "xla" (default; batched
-    matmuls — the adjacency *stream* runs at ~100 % of HBM speed-of-light
-    and the full train step at ~58-62 % of its 4-pass bound, the residual
-    being backward-pass f32 intermediate round-trips; see
-    tests/perf/dense_decompose.py) or "pallas" (fused single-adjacency-pass
-    kernel, ops/pallas_ginet.py — see the measured numbers there; kept for
-    re-profiling on directly-attached chips)."""
+    """Select the BATCHED tower implementation used when the graph-diagonal
+    fast path does not engage (no adj_i8 operands or unsupported shape):
+    "xla" (default; batched matmuls) or "pallas" (round-2 fused
+    single-adjacency-pass kernel, ops/pallas_ginet.py; kept for re-profiling
+    on directly-attached chips). The measured production path since round 4
+    is the flat graph-diagonal kernel (ops/diag_spmm.py, _apply_flat) at
+    82.9 % of the 4-pass bound — see tests/perf/dense_decompose.py."""
     global _TOWER_BACKEND
     if name not in ("xla", "pallas"):
         msg = f"unknown dense tower backend: {name}"
@@ -194,6 +194,7 @@ class GINetDense:
 
     needs_clusters = False
     dense_batches = True
+    diag_operands = True  # Trainer ships adj_i8/x_t for the flat fast path
     dropout = 0.4
 
     def __init__(
@@ -244,7 +245,7 @@ class GINetDense:
                 return nn.linear(params["fc2"], h)
         from deeprank2_tpu.ops import diag_spmm
 
-        if batch.adj_i8 is not None and diag_spmm.supports(batch.num_graphs, batch.nodes_per_graph):
+        if batch.adj_i8 is not None and batch.adj_i8.size and diag_spmm.supports(batch.num_graphs, batch.nodes_per_graph):
             return self._apply_flat(params, batch, training, rng)
         x, adj = batch.x, batch.adj
         w1a, w1b = params["conv1"]["fc"]["w"], params["conv1_ext"]["fc"]["w"]

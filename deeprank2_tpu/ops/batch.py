@@ -281,13 +281,19 @@ def collate_graphs_dense(
     pad_nodes: int | None = None,
     with_clusters: bool = False,
     with_edge_weights: bool = False,
+    with_diag_operands: bool = True,
 ) -> tuple[DenseGraphBatch, list[str]]:
     """Collate entries (same dicts as :func:`collate_graphs`) into a
     :class:`DenseGraphBatch`. Edges are mirrored into a symmetric adjacency.
 
     ``pad_nodes`` bounds nodes per graph (bucketed from the data when None).
     ``with_clusters`` fills ``cluster0``/``cluster1`` from precluster entries;
-    ``with_edge_weights`` fills ``adj_w`` from the first edge-attr channel.
+    ``with_edge_weights`` fills ``adj_w`` from the first edge-attr channel;
+    ``with_diag_operands`` additionally ships the graph-diagonal fast-path
+    operands (``adj_i8``/``x_t`` — ops/diag_spmm.py). Models that run the
+    batched XLA formulation (the clustered dense family) should pass False:
+    the pair costs ~25 MB of dead host->device transfer per bench-shaped
+    batch (the Trainer dispatches on the model's ``diag_operands`` marker).
     """
     num_real = len(entries)
     num_graphs = pad_graphs or num_real
@@ -341,8 +347,8 @@ def collate_graphs_dense(
         adj_w=adj_w,
         cluster0=cluster0,
         cluster1=cluster1,
-        adj_i8=adj.astype(np.int8),
-        x_t=np.ascontiguousarray(x.reshape(num_graphs * cap_n, feat_dim).T),
+        adj_i8=adj.astype(np.int8) if with_diag_operands else np.zeros((0, 0, 0), np.int8),
+        x_t=np.ascontiguousarray(x.reshape(num_graphs * cap_n, feat_dim).T) if with_diag_operands else np.zeros((0, 0), np.float32),
     ), names
 
 
@@ -353,6 +359,7 @@ def collate_graphs_dense_sharded(
     pad_nodes: int | None = None,
     with_clusters: bool = False,
     with_edge_weights: bool = False,
+    with_diag_operands: bool = True,
 ) -> tuple[DenseGraphBatch, list[str]]:
     """Round-robin dense collation with a leading device axis (shard_map DP).
 
@@ -371,7 +378,12 @@ def collate_graphs_dense_sharded(
         if not shard:
             shard = [_dummy_entry({**entries[0], "cluster0": np.zeros(1, np.int32)})]
         batch, shard_names = collate_graphs_dense(
-            shard, pad_graphs=pad_graphs_per_shard, pad_nodes=cap_n, with_clusters=with_clusters, with_edge_weights=with_edge_weights
+            shard,
+            pad_graphs=pad_graphs_per_shard,
+            pad_nodes=cap_n,
+            with_clusters=with_clusters,
+            with_edge_weights=with_edge_weights,
+            with_diag_operands=with_diag_operands,
         )
         batches.append(batch)
         names.extend(shard_names)

@@ -54,6 +54,9 @@ TILE_E = int(_os.environ.get("DR2_BLOCKED_TILE_E", "1024"))
 # sub-blocks per slab; each sub-block of SUB_E = TILE_E // K_SUB edges has its
 # own source tile, so (row, col) runs pad to SUB_E instead of TILE_E
 K_SUB = int(_os.environ.get("DR2_BLOCKED_K_SUB", "4"))
+if TILE_E % K_SUB:
+    msg = f"DR2_BLOCKED_TILE_E={TILE_E} must be a multiple of DR2_BLOCKED_K_SUB={K_SUB}"
+    raise ValueError(msg)
 SUB_E = TILE_E // K_SUB
 
 

@@ -50,12 +50,18 @@ GS_DEFAULT = int(_os.environ.get("DR2_DIAG_GS", "16"))
 GS = GS_DEFAULT  # back-compat alias (tests size their batches off it)
 
 
+# VMEM headroom for one grid step's adjacency group: the [gs, N, N] int8
+# block is double-buffered by the Pallas pipeline next to the x/out slabs
+_ADJ_GROUP_BUDGET = 4 * 1024 * 1024
+
+
 def _pick_gs(num_graphs: int, nodes: int) -> int | None:
-    """Largest group size <= GS that divides the batch and keeps the 2-D
+    """Largest group size <= GS that divides the batch, keeps the 2-D
     [fw, gs*N] blocks lane-legal (gs*N a multiple of 128, or the block
-    covering the whole array). None when no legal grouping exists."""
+    covering the whole array), and fits the adjacency group in VMEM.
+    None when no legal grouping exists."""
     for gs in range(min(GS_DEFAULT, num_graphs), 0, -1):
-        if num_graphs % gs:
+        if num_graphs % gs or gs * nodes * nodes > _ADJ_GROUP_BUDGET:
             continue
         if (gs * nodes) % 128 == 0 or gs == num_graphs:
             return gs
@@ -365,7 +371,12 @@ def _split16(v):
     return hi, (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
 
-def _tower_fwd_kernel(adj_ref, xhi_ref, xlo_ref, mask_ref, w1_ref, w2_ref, h1_ref, sign_ref, pool_ref, *, gs, n, split):
+def _tower_fwd_kernel(adj_ref, *refs, gs, n, split):
+    if split:
+        xhi_ref, xlo_ref, mask_ref, w1_ref, w2_ref, h1_ref, sign_ref, pool_ref = refs
+    else:
+        xhi_ref, mask_ref, w1_ref, w2_ref, h1_ref, sign_ref, pool_ref = refs
+        xlo_ref = None
     adot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -455,10 +466,9 @@ def _tower_fwd_tpu(adj_i8, x_t, mask, w1, w2, *, compute_dtype="float32"):
         x_t = jnp.pad(x_t, ((0, pad_f), (0, 0)))
     fw = feat + pad_f
     if split:
-        x_hi, x_lo = _hi_lo_split(x_t)
+        x_ops = _hi_lo_split(x_t)
     else:
-        x_hi = x_t.astype(jnp.bfloat16)
-        x_lo = x_hi  # unused; keeps the operand list static
+        x_ops = (x_t.astype(jnp.bfloat16),)
     # transposed weights, bf16 single-pass (== XLA default precision class)
     w1t = jnp.pad(w1.T, ((0, 0), (0, pad_f))).astype(jnp.bfloat16)  # [C1, fw]
     w2t = w2.T.astype(jnp.bfloat16)  # [C2, C1]
@@ -468,8 +478,7 @@ def _tower_fwd_tpu(adj_i8, x_t, mask, w1, w2, *, compute_dtype="float32"):
         grid=(g // GS,),
         in_specs=[
             pl.BlockSpec((GS, n, n), lambda i: (i, 0, 0)),
-            pl.BlockSpec((fw, gn), lambda i: (0, i)),
-            pl.BlockSpec((fw, gn), lambda i: (0, i)),
+            *[pl.BlockSpec((fw, gn), lambda i: (0, i)) for _ in x_ops],
             pl.BlockSpec((1, gn), lambda i: (0, i)),
             pl.BlockSpec((c1, fw), lambda i: (0, 0)),
             pl.BlockSpec((c2, c1), lambda i: (0, 0)),
@@ -484,7 +493,7 @@ def _tower_fwd_tpu(adj_i8, x_t, mask, w1, w2, *, compute_dtype="float32"):
             jax.ShapeDtypeStruct((c2, g * n), jnp.int8),
             jax.ShapeDtypeStruct((g // GS, c2, GS), jnp.float32),
         ],
-    )(adj_i8, x_hi, x_lo, mask.astype(jnp.float32).reshape(1, g * n), w1t, w2t)
+    )(adj_i8, *x_ops, mask.astype(jnp.float32).reshape(1, g * n), w1t, w2t)
     return h1, sign, pooled.transpose(1, 0, 2).reshape(c2, g)
 
 

@@ -43,6 +43,14 @@ _INTERPRET = False
 # perf-triage knob (tests/perf/blocked_decompose.py): "noonehot" replaces
 # one-hot synthesis with a constant (wrong results, isolates its VPU cost)
 _DEBUG = __import__("os").environ.get("DR2_BLOCKED_DEBUG", "")
+if _DEBUG:
+    import warnings as _warnings
+
+    _warnings.warn(
+        f"DR2_BLOCKED_DEBUG={_DEBUG!r}: blocked-edge kernels will produce WRONG results "
+        "(perf-triage mode; unset the variable for real runs)",
+        stacklevel=1,
+    )
 
 
 def _onehot(local: jnp.ndarray, tile: int, width: int, dtype) -> jnp.ndarray:

@@ -99,6 +99,9 @@ class _ReferenceBundle:
     hundreds of decoys of one complex parses and zones the native once."""
 
     def __init__(self, arrays: StructureArrays):
+        if arrays.num_chains < 2:  # noqa: PLR2004 — same message as StructureSimilarity
+            msg = "Both structures need at least two chains for interface scores."
+            raise ValueError(msg)
         self.arrays = arrays
         self.atom_table = _atom_key_table(arrays)
         chain1, chain2 = arrays.chain_ids[:2]

@@ -25,9 +25,10 @@ def _load_label_file(target_list: str, sep: str) -> dict[str, float]:
     with open(target_list) as fh:
         for raw in fh:
             raw = raw.strip()
-            if not raw:
+            if not raw or raw.startswith("#"):  # comment lines, like np.loadtxt
                 continue
-            entry, value = raw.split(sep)[:2]
+            cells = [c for c in raw.split(sep) if c]  # repeated separators collapse
+            entry, value = cells[:2]
             table[entry] = float(value)
     return table
 

@@ -44,6 +44,7 @@ from deeprank2_tpu.utils.earlystopping import EarlyStopping
 from deeprank2_tpu.utils.exporters import HDF5OutputExporter, OutputExporter, OutputExporterCollection
 
 _log = logging.getLogger(__name__)
+_COLLATE_UID = iter(range(1 << 62))  # collate-cache dataset ids (never reused)
 
 
 def _trim_lambda_source(candidate: str) -> str | None:
@@ -436,6 +437,9 @@ class Trainer:
             dense_kwargs = {
                 "with_clusters": getattr(self.neuralnet, "needs_clusters", False),
                 "with_edge_weights": getattr(self.neuralnet, "dense_edge_weights", False),
+                # graph-diagonal fast-path operands only for models that read
+                # them (~25 MB/batch of H2D otherwise, review round 4)
+                "with_diag_operands": getattr(self.neuralnet, "diag_operands", False),
             }
             if clustered_bs:
                 if not hasattr(self, "_bs_caps"):
@@ -605,10 +609,14 @@ class Trainer:
         sentinel = object()
         failure: list[BaseException] = []
 
-        cacheable = not shuffle and self._collate_cache_capacity > 0
+        # only worth caching when the whole pass fits: FIFO eviction under a
+        # cyclic access pattern otherwise gives 0% hits at full memory cost
+        cacheable = not shuffle and 0 < len(chunks) <= self._collate_cache_capacity
+        if cacheable and not hasattr(dataset, "_dr2_collate_uid"):
+            dataset._dr2_collate_uid = next(_COLLATE_UID)  # alias-proof (id() can recycle)
 
         def _collated(chunk) -> tuple:
-            key = (id(dataset), batch_size, tuple(int(i) for i in chunk))
+            key = (getattr(dataset, "_dr2_collate_uid", None), batch_size, tuple(int(i) for i in chunk))
             if cacheable and key in self._collate_cache:
                 return self._collate_cache[key]
             entries = [dataset.get(int(i)) for i in chunk]

@@ -115,3 +115,23 @@ def test_reference_bundle_cache_consistency(data_path):
     assert sim_cold._ref_bundle is None
     for fn in ("compute_lrmsd_fast", "compute_irmsd_fast", "compute_fnat_fast"):
         assert getattr(sim_cached, fn)() == getattr(sim_cold, fn)()
+
+
+def test_add_target_label_file_comments_and_spacing(tmp_path, data_path):
+    """Label files may carry comment lines and repeated separators (the
+    np.loadtxt conventions the reference relied on)."""
+    import shutil
+
+    import h5py
+
+    from deeprank2_tpu.tools.target import add_target
+
+    hdf5 = tmp_path / "t.hdf5"
+    shutil.copy(data_path / "hdf5" / "1ATN_ppi.hdf5", hdf5)
+    with h5py.File(hdf5) as f5:
+        entry = next(iter(f5.keys()))
+    labels = tmp_path / "labels.txt"
+    labels.write_text(f"# entry value\n{entry}  0.75\n\n")
+    add_target(str(hdf5), "newscore", str(labels))
+    with h5py.File(hdf5) as f5:
+        assert float(f5[entry]["target_values"]["newscore"][()]) == 0.75
