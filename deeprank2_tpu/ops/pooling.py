@@ -153,11 +153,14 @@ def member_max_pool(
         h, pooled, ties = res
         c = jnp.clip(cluster, 0, num_c - 1)
         cvalid = (cluster < num_c)[:, None]
-        # one packed [C, 3F] gather instead of three same-index [C, F] ones
-        # (row gathers cost ~1.3 us per 1k rows each, profiled)
-        packed = jnp.concatenate([pooled, g, jnp.maximum(ties, 1.0)], axis=1)[c]  # [V, 3F]
+        # one packed [C, 2F] gather instead of three same-index [C, F] ones;
+        # the g/ties divide happens on the POOLED side where it is [C, F]-
+        # sized. (Step-time neutral vs the 3F pack on v5e — row gathers are
+        # row-count-bound at ~1.3 us per 1k rows, bytes-per-row second-order
+        # — kept for the cheaper arithmetic and smaller residuals.)
+        packed = jnp.concatenate([pooled, g / jnp.maximum(ties, 1.0)], axis=1)[c]  # [V, 2F]
         winner = (h == packed[:, :f]) & cvalid
-        d_h = jnp.where(winner, packed[:, f : 2 * f] / packed[:, 2 * f :], 0.0)
+        d_h = jnp.where(winner, packed[:, f:], 0.0)
         return (d_h,)
 
     pool.defvjp(fwd, bwd)
