@@ -254,10 +254,17 @@ def clustered_result(num_nodes: int = 100_000) -> dict:
     batch = jax.device_put(batch)
 
     step_s = _measure(GINetClusteredBlockSparse(feat_dim, 2, edge_dim), batch, steps_per_call=50, calls=3)
+    # adjacency-stream roofline (full + pooled block streams, read twice —
+    # fwd + symmetric-VJP bwd); the residual is member pooling (~0.53 ms,
+    # XLA row-gather-rate-bound) + glue, decomposed in ROADMAP round 4
+    adj_bytes = 2 * (batch.structure.blocks_t.nbytes + batch.structure_p.blocks_t.nbytes)
+    bound_s = adj_bytes / 819e9
     return {
         "num_nodes": num_nodes,
         "edges_per_s": round(real_edges / step_s, 1),
         "step_ms": round(step_s * 1e3, 3),
+        "adj_stream_bound_ms": round(bound_s * 1e3, 3),
+        "pct_of_adj_stream_bound": round(100.0 * bound_s / step_s, 1),
     }
 
 
