@@ -1,0 +1,247 @@
+"""8-lane slot max pooling — the kernel half of the clustered slot layout.
+
+The clustered block-sparse collate can lay nodes out cluster-major in 8-lane
+"slots" (``ops/batch.py:collate_graphs_blocksparse_clustered(slot8=True)``):
+every cluster owns a contiguous run of slots, members padded to a multiple of
+8 lanes. Depth-0 community pooling then factorizes into
+
+1. a **slot max** over every aligned 8-lane group of the ``[F, V]`` activation
+   (this module), and
+2. a tiny member-matrix max over the per-cluster slot partials (
+   :func:`deeprank2_tpu.ops.pooling.member_max_pool` on ``V/8`` rows).
+
+Stage 1 is where XLA loses: every lane-group-reduce formulation measured on
+v5e (lane-window ``reduce_window``, stride-8 lane slices, 3-D reshapes) costs
+90-180 us *per pass* over a ``[32, 100k]`` activation — stride-8 lane access
+is a cross-register relayout however it is spelled. The round-3
+member-matrix pool avoids that but pays XLA's row-gather rate on
+``C x S_max`` rows (~1.3 us per 1k rows; 159k rows at the 100k-node bench
+shape, ~0.53 ms of a 2.05 ms step with its VJP).  This kernel does the
+group reduce in one pass at stream speed:
+
+- the in-group max rides a 3-step masked roll tree (``pltpu.roll`` by 1/2/4
+  lanes; lane ``8j`` ends up holding its group's max — neighbouring groups
+  pollute the other lanes, which are never read);
+- the stride-8 **extraction** (the part Mosaic has no cheap lane-gather for)
+  rides the MXU instead: a ``[T, T/8]`` 0/1 selection matmul. Exactness
+  (the backward compares ``h == max`` bit-for-bit) comes from a THREE-term
+  bf16 split (8+8+8 mantissa bits cover f32's 24; each selection product is
+  a single term, so the f32 accumulation reconstructs the value exactly —
+  a two-term split would round the low 8 bits and zero the gradients);
+- tie counts (needed so the backward splits the cotangent like
+  ``member_max_pool`` — even over max-achieving members, padding excluded)
+  are one more 0/1 matmul: ``eq @ group_indicator``, exact in bf16 because
+  counts are <= 8.
+
+Semantics match :func:`member_max_pool` per 8-lane group: ``h >= 0`` with
+padded lanes zero (all models pool post-relu, masked), empty groups pool to
+0, gradient splits evenly over valid max-achieving lanes.
+
+Reference parity: this implements the scatter_max half of PyG
+``max_pool_x`` (reference deeprank2/utils/community_pooling.py:229-242) for
+the slot-aligned layout; the divergence from torch's single-winner gradient
+is the same documented measure-zero tie split as member_max_pool.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deeprank2_tpu.ops.segment import effective_platform
+
+SLOT = 8
+TILE = 1024  # lanes per grid step (the selection-matmul span)
+
+
+def _split3(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """f32 -> three bf16 terms whose f32 sum reconstructs ``v`` EXACTLY
+    (8+8+8 mantissa bits >= f32's 24; each residual subtraction is exact).
+    In-kernel only — Mosaic keeps the naive residual form (XLA HLO would
+    fold it to zero under --xla_allow_excess_precision, see ops/diag_spmm.py
+    ``_hi_lo_split``)."""
+    hi = v.astype(jnp.bfloat16)
+    r1 = v - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    r2 = r1 - mid.astype(jnp.float32)
+    return hi, mid, r2.astype(jnp.bfloat16)
+
+
+_dot = functools.partial(
+    jax.lax.dot_general,
+    dimension_numbers=(((1,), (0,)), ((), ())),
+    preferred_element_type=jnp.float32,
+)
+# contraction over the LANE axis of both operands (eq [fs,T] x exp [T/8,T])
+_dot_nt = functools.partial(
+    jax.lax.dot_general,
+    dimension_numbers=(((1,), (1,)), ((), ())),
+    preferred_element_type=jnp.float32,
+)
+
+
+def _sel3(v: jnp.ndarray, sel: jnp.ndarray, dot=_dot) -> jnp.ndarray:
+    """Exact f32 selection/expansion matmul via the three-term split."""
+    hi, mid, lo = _split3(v)
+    return dot(hi, sel) + dot(mid, sel) + dot(lo, sel)
+
+
+def _tree_max(h: jnp.ndarray) -> jnp.ndarray:
+    """Lane ``8j`` of the result holds ``max(h[:, 8j:8j+8])``; other lanes
+    hold cross-group garbage (never read — the selection matmul drops them).
+    Reads never wrap: lane ``8j`` looks at most 7 lanes ahead."""
+    m = h
+    for s in (1, 2, 4):
+        # roll requires a non-negative shift; T - s is the leftward roll by s
+        m = jnp.maximum(m, pltpu.roll(m, m.shape[1] - s, 1))
+    return m
+
+
+def _fwd_kernel(h_ref, mask_ref, gsel_ref, exp_ref, pooled_ref, ties_ref):
+    h = h_ref[:]  # [fs, T] f32, padded lanes pre-zeroed by the model's mask
+    gsel = gsel_ref[:]
+    pooled = _sel3(_tree_max(h), gsel)  # [fs, T/8], exact
+    pooled_ref[:] = pooled
+    # tie counts: compare h against its group max broadcast back over the
+    # group (exact expansion), count valid equal lanes with one 0/1 matmul
+    mb = _sel3(pooled, exp_ref[:])  # [fs, T], exact
+    eq = jnp.where(h == mb, 1.0, 0.0) * mask_ref[:]
+    ties_ref[:] = _dot_nt(eq.astype(jnp.bfloat16), exp_ref[:])
+
+
+def _bwd_kernel(h_ref, mask_ref, pooled_ref, ties_ref, g_ref, exp_ref, dh_ref, *, fs):
+    h = h_ref[:]
+    gd = g_ref[:] / jnp.maximum(ties_ref[:], 1.0)
+    # one stacked expansion for (pooled, g/ties): pooled must be exact for
+    # the winner compare; the three-term split costs nothing extra for gd
+    e = _sel3(jnp.concatenate([pooled_ref[:], gd], axis=0), exp_ref[:])
+    eq = jnp.where(h == e[:fs], 1.0, 0.0) * mask_ref[:]
+    dh_ref[:] = eq * e[fs:]
+
+
+@functools.cache
+def _consts(tile: int) -> tuple[np.ndarray, np.ndarray]:
+    lanes = np.arange(tile)
+    groups = np.arange(tile // SLOT)
+    gsel = (lanes[:, None] == SLOT * groups[None, :]).astype(np.float32)
+    exp = (lanes[None, :] // SLOT == groups[:, None]).astype(np.float32)
+    return gsel.astype(jnp.bfloat16), exp.astype(jnp.bfloat16)
+
+
+def supports(num_lanes: int) -> bool:
+    """Whether the TPU kernel covers this activation width."""
+    return effective_platform() == "tpu" and num_lanes % TILE == 0 and num_lanes > 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _slot_fwd_tpu(h_t, mask_row, *, interpret=False):
+    feat, vp = h_t.shape
+    pad_f = (-feat) % 8
+    if pad_f:
+        h_t = jnp.pad(h_t, ((0, pad_f), (0, 0)))
+    fs = feat + pad_f
+    gsel, exp = _consts(TILE)
+    grid = (vp // TILE,)
+    pooled, ties = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((fs, TILE), lambda i: (0, i)),
+            pl.BlockSpec((1, TILE), lambda i: (0, i)),
+            pl.BlockSpec((TILE, TILE // SLOT), lambda i: (0, 0)),
+            pl.BlockSpec((TILE // SLOT, TILE), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((fs, TILE // SLOT), lambda i: (0, i)),
+            pl.BlockSpec((fs, TILE // SLOT), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((fs, vp // SLOT), jnp.float32),
+            jax.ShapeDtypeStruct((fs, vp // SLOT), jnp.float32),
+        ],
+        interpret=interpret,
+    )(h_t, mask_row, jnp.asarray(gsel), jnp.asarray(exp))
+    return pooled[:feat], ties[:feat]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _slot_bwd_tpu(h_t, mask_row, pooled, ties, g, *, interpret=False):
+    feat, vp = h_t.shape
+    pad_f = (-feat) % 8
+    if pad_f:
+        h_t = jnp.pad(h_t, ((0, pad_f), (0, 0)))
+        pooled = jnp.pad(pooled, ((0, pad_f), (0, 0)))
+        ties = jnp.pad(ties, ((0, pad_f), (0, 0)))
+        g = jnp.pad(g, ((0, pad_f), (0, 0)))
+    fs = feat + pad_f
+    _, exp = _consts(TILE)
+    dh = pl.pallas_call(
+        functools.partial(_bwd_kernel, fs=fs),
+        grid=(vp // TILE,),
+        in_specs=[
+            pl.BlockSpec((fs, TILE), lambda i: (0, i)),
+            pl.BlockSpec((1, TILE), lambda i: (0, i)),
+            pl.BlockSpec((fs, TILE // SLOT), lambda i: (0, i)),
+            pl.BlockSpec((fs, TILE // SLOT), lambda i: (0, i)),
+            pl.BlockSpec((fs, TILE // SLOT), lambda i: (0, i)),
+            pl.BlockSpec((TILE // SLOT, TILE), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((fs, TILE), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((fs, vp), jnp.float32),
+        interpret=interpret,
+    )(h_t, mask_row, pooled, ties, g, jnp.asarray(exp))
+    return dh[:feat]
+
+
+def _xla_fwd(h_t: jnp.ndarray, mask_row: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """CPU fallback / oracle: the 3-D reshape formulation (fine off-TPU)."""
+    feat, vp = h_t.shape
+    h3 = h_t.reshape(feat, vp // SLOT, SLOT)
+    pooled = h3.max(axis=2)
+    m3 = mask_row.reshape(1, vp // SLOT, SLOT)
+    ties = ((h3 == pooled[:, :, None]) * m3).sum(axis=2)
+    return pooled, ties
+
+
+def slot_group_max(h_t: jnp.ndarray, mask_row: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
+    """Max over every aligned 8-lane group: ``[F, V] -> [F, V/8]``.
+
+    ``h_t`` must be non-negative with padded lanes zero (post-relu, masked —
+    the member_max_pool contract); ``mask_row`` is the ``[1, V]`` f32
+    validity row (real nodes 1). Differentiable with the even-tie-split VJP;
+    gradient flows to ``h_t`` only (the mask is batch data).
+    """
+    vp = h_t.shape[1]
+    on_tpu = supports(vp) or interpret
+
+    @jax.custom_vjp
+    def pool(h):
+        if on_tpu:
+            return _slot_fwd_tpu(h, mask_row, interpret=interpret)[0]
+        return _xla_fwd(h, mask_row)[0]
+
+    def fwd(h):
+        if on_tpu:
+            pooled, ties = _slot_fwd_tpu(h, mask_row, interpret=interpret)
+        else:
+            pooled, ties = _xla_fwd(h, mask_row)
+        return pooled, (h, pooled, ties)
+
+    def bwd(res, g):
+        h, pooled, ties = res
+        if on_tpu:
+            return (_slot_bwd_tpu(h, mask_row, pooled, ties, g, interpret=interpret),)
+        feat, vp = h.shape
+        h3 = h.reshape(feat, vp // SLOT, SLOT)
+        m3 = mask_row.reshape(1, vp // SLOT, SLOT)
+        eq = (h3 == pooled[:, :, None]) * m3
+        dh3 = eq * (g / jnp.maximum(ties, 1.0))[:, :, None]
+        return (dh3.reshape(feat, vp),)
+
+    pool.defvjp(fwd, bwd)
+    return pool(h_t)

@@ -8,8 +8,12 @@ GINetClusteredBlockSparse / FoutNetBlockSparse / SGATBlockSparse and, with
 gate: each fast path >= 10x COO on a 100k-node graph).
 
     python tests/perf/clustered_bcsr_perf.py [num_nodes] [--coo]
+        [--profile DIR] [--only NAME]
 
 Timing follows bench.py (scan-chained, data-dependent sync, best of two).
+``--profile DIR`` wraps one timed window per model in ``jax.profiler.trace``
+(summarize with ``python tests/perf/parse_trace.py DIR 150``); ``--only``
+filters to models whose key contains NAME.
 """
 
 from __future__ import annotations
@@ -47,6 +51,8 @@ def clustered_entry(n: int, feat_dim: int = 38, edge_dim: int = 1, seed: int = 0
 def main() -> None:
     num_nodes = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 100_000
     use_coo = "--coo" in sys.argv
+    profile_dir = sys.argv[sys.argv.index("--profile") + 1] if "--profile" in sys.argv else None
+    only = sys.argv[sys.argv.index("--only") + 1] if "--only" in sys.argv else None
 
     import jax
     import jax.numpy as jnp
@@ -85,6 +91,8 @@ def main() -> None:
     loss_fn = CrossEntropyLoss()
     results = {}
     for name, cls in models.items():
+        if only and only not in name:
+            continue
         if not use_coo:
             weighted = getattr(cls, "clustered_blocksparse_edge_weights", False)
             batch, _ = collate_graphs_blocksparse_clustered([entry], with_edge_weights=weighted)
@@ -124,6 +132,11 @@ def main() -> None:
                 carry, loss = train_chunk(carry, batch_d)
             float(loss)
             best_dt = min(best_dt, time.perf_counter() - t0)
+        if profile_dir:
+            with jax.profiler.trace(profile_dir):
+                for _ in range(calls):
+                    carry, loss = train_chunk(carry, batch_d)
+                float(loss)
         step_s = best_dt / (steps_per_call * calls)
         results[name] = {
             "step_ms": round(step_s * 1e3, 3),
