@@ -32,6 +32,7 @@ from deeprank2_tpu.neuralnets.gnn.ginet import GINet as GINetClusteredCOO
 from deeprank2_tpu.neuralnets.gnn.sgat import SGAT as SGATCOO
 from deeprank2_tpu.ops.batch import ClusteredBlockSparseBatch
 from deeprank2_tpu.ops.block_sparse import bcsr_spmm_t
+from deeprank2_tpu.ops.pallas_slotpool import slot_group_max
 from deeprank2_tpu.ops.pooling import member_max_pool, tiled_graph_mean_pool
 from deeprank2_tpu.ops.segment import segment_max, segment_mean
 
@@ -47,10 +48,22 @@ def _lin_t(p: dict, x_t: jnp.ndarray) -> jnp.ndarray:
 def _pool_max_t(h_t: jnp.ndarray, batch: "ClusteredBlockSparseBatch") -> jnp.ndarray:
     """Depth-0 per-cluster feature max, transposed IO: [F, V] -> [F, C].
 
-    Uses the collate's member matrix (scatter-free gathers + S-way reduce;
-    the scatter-max over V rows and its VJP twin cost 1.74 ms of a 4.0 ms
-    100k-node step, profiled round 3); falls back to scatter-max when the
-    collate declined to build the matrix (one pathological cluster)."""
+    slot8 batches (cluster-major 8-lane slot layout) pool in two stages:
+    the Pallas lane-group max (ops/pallas_slotpool.py) collapses every
+    aligned 8-lane slot, then the slot member matrix combines each
+    cluster's <= ~9 slot partials — ~0.26 ms vs 0.76 ms for the node-level
+    member pool at the 100k-node bench shape (tests/perf/slotpool_perf.py).
+
+    Other batches use the collate's node member matrix (scatter-free
+    gathers + S-way reduce; the scatter-max over V rows and its VJP twin
+    cost 1.74 ms of a 4.0 ms 100k-node step, profiled round 3); scatter-max
+    is the last resort when the collate declined to build the matrix (one
+    pathological cluster)."""
+    if batch.slot_cluster.size:
+        p8 = slot_group_max(h_t, batch.node_mask.astype(h_t.dtype)[None, :])  # [F, V/8]
+        if batch.members0s.size:
+            return member_max_pool(p8.T, batch.members0s, batch.slot_cluster).T
+        return segment_max(p8.T, batch.slot_cluster, batch.structure_p.padded_nodes).T
     if batch.members0.size:
         return member_max_pool(h_t.T, batch.members0, batch.cluster0).T
     return segment_max(h_t.T, batch.cluster0, batch.structure_p.padded_nodes).T
@@ -62,6 +75,7 @@ class _ClusteredBlockSparseBase:
 
     needs_clusters = True
     clustered_blocksparse_batches = True  # Trainer._collate dispatches on this
+    clustered_blocksparse_slot8 = True  # cluster-major 8-lane slot layout (Pallas pool)
     clustering = "mcl"
 
     def __init__(

@@ -479,12 +479,16 @@ def _dummy_entry(template: dict) -> dict:
 
 
 def blocksparse_layout(
-    entries: list[dict], block: int = 128, num_graphs: int | None = None, features: bool = True
+    entries: list[dict], block: int = 128, num_graphs: int | None = None, features: bool = True, plans: list[dict] | None = None
 ) -> dict:
     """The shared locality pass for block-sparse collation: per-entry
     locality orders, tile-padded feature copies (when ``features``), and the
     remapped undirected pairs. One implementation backs collation, the
-    requirements pass, and partitioned collation so capacities never drift."""
+    requirements pass, and partitioned collation so capacities never drift.
+
+    ``plans`` (the slot8 layout, :func:`_slot8_plan`) overrides the per-entry
+    row placement: plan ``posmap`` maps original node index -> row (holes are
+    intra-cluster padding rows) and ``cap`` is the entry's row capacity."""
     from deeprank2_tpu.ops.block_sparse import locality_order
 
     num_graphs = len(entries) if num_graphs is None else num_graphs
@@ -494,23 +498,27 @@ def blocksparse_layout(
     offset = 0
     for g, entry in enumerate(entries):
         v = entry["x"].shape[0]
-        order = locality_order(entry["pos"]) if v > block else np.arange(v)
-        inv = np.empty(v, dtype=np.int64)
-        inv[order] = np.arange(v)
-        cap = -(-v // block) * block
+        if plans is not None:
+            posmap, cap = plans[g]["posmap"], plans[g]["cap"]
+            order = None
+        else:
+            order = locality_order(entry["pos"]) if v > block else np.arange(v)
+            inv = np.empty(v, dtype=np.int64)
+            inv[order] = np.arange(v)
+            posmap, cap = inv, -(-v // block) * block
         und = np.asarray(entry["edge_index"], dtype=np.int64).reshape(-1, 2)
-        pairs.append(inv[und] + offset)
+        pairs.append(posmap[und] + offset)
         orders.append(order)
         offsets.append(offset)
         if features:
             x = np.zeros((cap, feat_dim), dtype=np.float32)
-            x[:v] = entry["x"][order]
+            x[posmap] = entry["x"]
             pos = np.zeros((cap, 3), dtype=np.float32)
-            pos[:v] = entry["pos"][order]
+            pos[posmap] = entry["pos"]
             gid = np.full(cap, num_graphs, dtype=np.int32)
-            gid[:v] = g
+            gid[posmap] = g
             m = np.zeros(cap, dtype=bool)
-            m[:v] = True
+            m[posmap] = True
             xs.append(x)
             poss.append(pos)
             graph_ids.append(gid)
@@ -711,6 +719,10 @@ class ClusteredBlockSparseBatch:
     # scatter path" (a pathologically large cluster made the matrix blow up).
     members0: jax.Array  # i32 [NTp*B, S0]
     members1: jax.Array  # i32 [C1, S1]
+    # slot8 layout only (size 0 otherwise): slot -> pooled slot (padding
+    # slots = NTp*B) and its inverse, slot indices per pooled slot
+    slot_cluster: jax.Array  # i32 [NT*B/8]
+    members0s: jax.Array  # i32 [NTp*B, S0s]
     num_graphs: int = field(metadata={"static": True})
 
     @property
@@ -748,6 +760,65 @@ def _member_matrix(ids: np.ndarray, num_clusters: int, pad_value: int, pad_s=Non
     return members
 
 
+def _slot8_plan(entry: dict, block: int) -> dict:
+    """Per-entry cluster-slot row plan (the ``slot8`` layout): nodes go
+    cluster-major — clusters follow their locality order, members follow
+    theirs — with every cluster padded to a multiple of 8 rows ("slots").
+    Depth-0 pooling then factorizes into an aligned 8-lane group max
+    (ops/pallas_slotpool.py) plus a tiny per-cluster combine over <= 9 slot
+    partials, killing the node-count-bound member gathers (+7.8 % rows and
+    +10 % adjacency blocks at the 100k-node bench shape — measured cheaper
+    than the 0.5 ms node-level pool it replaces).
+
+    Returns ``posmap`` (original node -> row), ``cap`` (row capacity),
+    ``p_order``/``p_inv`` (the cluster locality permutation, identical to the
+    un-slotted collate's so pooled-graph layouts agree), and ``slot_col``
+    (slot -> LOCAL pooled slot id, -1 for trailing padding slots)."""
+    from deeprank2_tpu.ops.block_sparse import locality_order
+
+    v = entry["x"].shape[0]
+    pos = np.asarray(entry["pos"], dtype=np.float64)
+    c0 = np.asarray(entry["cluster0"], dtype=np.int64)
+    if c0.shape[0] != v:
+        msg = f"cluster0 has {c0.shape[0]} entries for {v} nodes"
+        raise ValueError(msg)
+    n_c0 = int(c0.max()) + 1 if c0.size else 0
+    psum = np.zeros((max(n_c0, 1), 3))
+    np.add.at(psum, c0, pos)
+    counts = np.bincount(c0, minlength=max(n_c0, 1)).astype(np.float64)
+    pmean = psum / np.maximum(counts, 1.0)[:, None]
+    p_order = locality_order(pmean[:n_c0]) if n_c0 > block else np.arange(n_c0)
+    p_inv = np.empty(n_c0, dtype=np.int64)
+    p_inv[p_order] = np.arange(n_c0)
+
+    sizes = counts[:n_c0].astype(np.int64)
+    nslots = -(-sizes // 8)
+    slot_base = np.zeros(n_c0, dtype=np.int64)
+    slot_base[p_order] = np.concatenate([[0], np.cumsum(nslots[p_order])])[:-1]
+    total_slots = int(nslots.sum())
+
+    order = locality_order(pos) if v > block else np.arange(v)
+    loc_rank = np.empty(v, dtype=np.int64)
+    loc_rank[order] = np.arange(v)
+    ord_in = np.lexsort((loc_rank, c0))
+    starts = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+    mrank = np.empty(v, dtype=np.int64)
+    mrank[ord_in] = np.arange(v) - starts[c0[ord_in]]
+
+    posmap = 8 * slot_base[c0] + mrank  # cluster runs are contiguous
+    cap = max(-(-(8 * total_slots) // block) * block, block)
+    slot_col = np.full(cap // 8, -1, dtype=np.int64)
+    slot_col[:total_slots] = np.repeat(np.arange(n_c0), nslots[p_order])
+    return {
+        "posmap": posmap,
+        "cap": cap,
+        "p_order": p_order,
+        "p_inv": p_inv,
+        "slot_col": slot_col,
+        "max_slots": int(nslots.max()) if n_c0 else 1,
+    }
+
+
 def collate_graphs_blocksparse_clustered(
     entries: list[dict],
     block: int = 128,
@@ -761,6 +832,8 @@ def collate_graphs_blocksparse_clustered(
     weight_dtype: np.dtype | None = None,
     pad_members0=None,
     pad_members1=None,
+    slot8: bool = False,
+    pad_members0s=None,
 ) -> tuple[ClusteredBlockSparseBatch, list[str]]:
     """Collate entries (the :func:`collate_graphs` schema, ``cluster0``/
     ``cluster1`` required) into a :class:`ClusteredBlockSparseBatch`.
@@ -771,6 +844,11 @@ def collate_graphs_blocksparse_clustered(
     edge weights over the first edge-attr channel (PyG ``coalesce`` sums
     attrs; the dense path does the same, :func:`collate_graphs_dense`).
     All ``pad_*`` arguments may be ints or ``required -> capacity`` callables.
+
+    ``slot8`` switches the node layout to cluster-major 8-lane slots
+    (:func:`_slot8_plan`) and fills ``slot_cluster``/``members0s`` so the
+    models pool via the Pallas slot kernel; node capacity is rounded to
+    whole 1024-lane groups (8 tiles) for the kernel's grid.
     """
     from deeprank2_tpu.ops.block_sparse import build_blocksparse, locality_order
 
@@ -781,7 +859,8 @@ def collate_graphs_blocksparse_clustered(
         raise ValueError(msg)
     names = [e["entry_name"] for e in entries] + [""] * (num_graphs - num_real)
 
-    layout = blocksparse_layout(entries, block, num_graphs)
+    plans = [_slot8_plan(e, block) for e in entries] if slot8 else None
+    layout = blocksparse_layout(entries, block, num_graphs, plans=plans)
     xs, poss, graph_ids, masks = layout["xs"], layout["poss"], layout["graph_ids"], layout["masks"]
     feat_dim = layout["feat_dim"]
     num_tiles = layout["num_tiles"]
@@ -795,6 +874,7 @@ def collate_graphs_blocksparse_clustered(
     pooled_pairs: list[np.ndarray] = []
     pooled_weights: list[np.ndarray] = []
     weights_full: list[np.ndarray] = []
+    slot_cols: list[np.ndarray] = []  # slot8: per-entry slot -> pooled slot
     p_offset = 0
     c1_off = 0
     for g, entry in enumerate(entries):
@@ -815,21 +895,33 @@ def collate_graphs_blocksparse_clustered(
             raise ValueError(msg)
         n_c1 = int(c1.max()) + 1 if c1.size else 0
 
-        # pooled locality order from cluster mean positions
-        pos = np.asarray(entry["pos"], dtype=np.float64)
-        psum = np.zeros((n_c0, 3))
-        np.add.at(psum, c0, pos)
-        counts = np.bincount(c0, minlength=n_c0).astype(np.float64)
-        pmean = psum / np.maximum(counts, 1.0)[:, None]
-        p_order = locality_order(pmean) if n_c0 > block else np.arange(n_c0)
-        p_inv = np.empty(n_c0, dtype=np.int64)
-        p_inv[p_order] = np.arange(n_c0)
+        if slot8:
+            # the plan already holds the cluster locality permutation (same
+            # math as below — one source of truth for both layouts)
+            plan = plans[g]
+            p_order, p_inv = plan["p_order"], plan["p_inv"]
+        else:
+            # pooled locality order from cluster mean positions
+            pos = np.asarray(entry["pos"], dtype=np.float64)
+            psum = np.zeros((n_c0, 3))
+            np.add.at(psum, c0, pos)
+            counts = np.bincount(c0, minlength=n_c0).astype(np.float64)
+            pmean = psum / np.maximum(counts, 1.0)[:, None]
+            p_order = locality_order(pmean) if n_c0 > block else np.arange(n_c0)
+            p_inv = np.empty(n_c0, dtype=np.int64)
+            p_inv[p_order] = np.arange(n_c0)
 
         p_cap = max(-(-n_c0 // block) * block, block)
-        # cluster0 column for this entry's full-graph rows (locality order)
-        cap = -(-v // block) * block
-        col = np.full(cap, -1, dtype=np.int64)  # -1 marks padding; fixed up below
-        col[:v] = p_inv[c0[order]] + p_offset
+        # cluster0 column for this entry's full-graph rows
+        if slot8:
+            cap = plan["cap"]
+            col = np.full(cap, -1, dtype=np.int64)
+            col[plan["posmap"]] = p_inv[c0] + p_offset
+            slot_cols.append(np.where(plan["slot_col"] >= 0, plan["slot_col"] + p_offset, -1))
+        else:
+            cap = -(-v // block) * block
+            col = np.full(cap, -1, dtype=np.int64)  # -1 marks padding; fixed up below
+            col[:v] = p_inv[c0[order]] + p_offset
         cluster0_cols.append(col)
 
         pg = np.full(p_cap, num_graphs, dtype=np.int32)
@@ -894,6 +986,11 @@ def collate_graphs_blocksparse_clustered(
 
     if callable(pad_tiles):
         pad_tiles = pad_tiles(num_tiles)
+    if slot8 and pad_tiles is not None:
+        # whole 1024-lane kernel groups (8 tiles of 128)
+        pad_tiles = -(-pad_tiles // 8) * 8
+    if pad_tiles is None and slot8:
+        pad_tiles = -(-num_tiles // 8) * 8
     if pad_tiles is not None:
         if pad_tiles < num_tiles:
             msg = f"pad_tiles={pad_tiles} < required {num_tiles}"
@@ -905,6 +1002,8 @@ def collate_graphs_blocksparse_clustered(
             graph_ids.append(np.full(extra, num_graphs, np.int32))
             masks.append(np.zeros(extra, bool))
             cluster0_cols.append(np.full(extra, -1, np.int64))
+            if slot8:
+                slot_cols.append(np.full(extra // 8, -1, np.int64))
         num_tiles = pad_tiles
     node_cap = num_tiles * block
 
@@ -968,6 +1067,14 @@ def collate_graphs_blocksparse_clustered(
     members0 = _member_matrix(cluster0, pooled_cap, node_cap, pad_s=pad_members0)
     members1 = _member_matrix(cluster1, c1_cap, pooled_cap, pad_s=pad_members1)
 
+    if slot8:
+        slot_cluster = np.concatenate(slot_cols) if slot_cols else np.zeros(0, np.int64)
+        slot_cluster = np.where(slot_cluster < 0, pooled_cap, slot_cluster).astype(np.int32)
+        members0s = _member_matrix(slot_cluster, pooled_cap, node_cap // 8, pad_s=pad_members0s)
+    else:
+        slot_cluster = np.zeros(0, np.int32)
+        members0s = np.zeros((0, 0), np.int32)
+
     return ClusteredBlockSparseBatch(
         x=np.concatenate(xs),
         pos=np.concatenate(poss),
@@ -988,18 +1095,22 @@ def collate_graphs_blocksparse_clustered(
         wsum_p=wsum_p,
         members0=members0,
         members1=members1,
+        slot_cluster=slot_cluster,
+        members0s=members0s,
         num_graphs=num_graphs,
     ), names
 
 
-def clustered_blocksparse_requirements(entries: list[dict], block: int = 128) -> dict:
+def clustered_blocksparse_requirements(entries: list[dict], block: int = 128, slot8: bool = False) -> dict:
     """The capacities :func:`collate_graphs_blocksparse_clustered` would need
     for these entries — the light pass (no feature copies, no block
     materialization) used to equalize shard caps before sharded collation.
-    Mirrors the collate's per-entry cluster math exactly."""
+    Mirrors the collate's per-entry cluster math exactly (including the
+    slot8 row plan, whose padding changes tile and block counts)."""
     from deeprank2_tpu.ops.block_sparse import locality_order, required_blocks
 
-    layout = blocksparse_layout(entries, block, features=False)
+    plans = [_slot8_plan(e, block) for e in entries] if slot8 else None
+    layout = blocksparse_layout(entries, block, features=False, plans=plans)
     p_offset = 0
     c1_total = 0
     s0 = 1
@@ -1039,7 +1150,7 @@ def clustered_blocksparse_requirements(entries: list[dict], block: int = 128) ->
         c1_total += n_c1
     pooled_tiles = max(p_offset // block, 1)
     p_pairs = np.concatenate(pooled_pairs) if pooled_pairs else np.zeros((0, 2), np.int64)
-    return {
+    req = {
         "tiles": layout["num_tiles"],
         "blocks": required_blocks(layout["pairs"], layout["num_tiles"] * block, block),
         "pooled_tiles": pooled_tiles,
@@ -1048,6 +1159,9 @@ def clustered_blocksparse_requirements(entries: list[dict], block: int = 128) ->
         "members0_s": s0,
         "members1_s": s1,
     }
+    if slot8:
+        req["members0s_s"] = max(p["max_slots"] for p in plans)
+    return req
 
 
 def collate_graphs_blocksparse_clustered_sharded(
@@ -1058,6 +1172,7 @@ def collate_graphs_blocksparse_clustered_sharded(
     with_edge_weights: bool = False,
     weight_dtype: np.dtype | None = None,
     pad_caps: dict | None = None,
+    slot8: bool = False,
 ) -> tuple[ClusteredBlockSparseBatch, list[str]]:
     """Collate into ``num_shards`` equally-shaped clustered block-sparse
     sub-batches stacked on a leading device axis (shard_map data parallelism),
@@ -1079,7 +1194,7 @@ def collate_graphs_blocksparse_clustered_sharded(
         loads[s] += tiles_of[i]
     shards = [shard or [_dummy_entry(template)] for shard in shards]
 
-    reqs = [clustered_blocksparse_requirements(shard, block) for shard in shards]
+    reqs = [clustered_blocksparse_requirements(shard, block, slot8=slot8) for shard in shards]
     caps = {k: max(r[k] for r in reqs) for k in reqs[0]}
     for k, pad in (pad_caps or {}).items():
         caps[k] = pad(caps[k]) if callable(pad) else max(caps[k], pad)
@@ -1100,6 +1215,8 @@ def collate_graphs_blocksparse_clustered_sharded(
             weight_dtype=weight_dtype,
             pad_members0=caps["members0_s"],
             pad_members1=caps["members1_s"],
+            slot8=slot8,
+            pad_members0s=caps.get("members0s_s"),
         )
         batches.append(batch)
         names.extend(shard_names)

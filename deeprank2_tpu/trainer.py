@@ -445,19 +445,21 @@ class Trainer:
                 if not hasattr(self, "_bs_caps"):
                     self._bs_caps = {}
                 weighted = getattr(self.neuralnet, "clustered_blocksparse_edge_weights", False)
+                slot8 = getattr(self.neuralnet, "clustered_blocksparse_slot8", False)
                 if num_shards > 1:
                     from deeprank2_tpu.ops.batch import collate_graphs_blocksparse_clustered_sharded
 
+                    cap_keys = ("tiles", "blocks", "pooled_tiles", "pooled_blocks", "c1", "members0_s", "members1_s")
+                    if slot8:
+                        cap_keys = (*cap_keys, "members0s_s")
                     per_shard = max(1, -(-pad_graphs // num_shards))  # ceil: floor overfills shards when batch_size % devices != 0
                     batch, names = collate_graphs_blocksparse_clustered_sharded(
                         entries,
                         num_shards,
                         per_shard,
                         with_edge_weights=weighted,
-                        pad_caps={
-                            k: self._blocksparse_bucket(k)
-                            for k in ("tiles", "blocks", "pooled_tiles", "pooled_blocks", "c1", "members0_s", "members1_s")
-                        },
+                        pad_caps={k: self._blocksparse_bucket(k) for k in cap_keys},
+                        slot8=slot8,
                     )
                 else:
                     from deeprank2_tpu.ops.batch import collate_graphs_blocksparse_clustered
@@ -473,6 +475,8 @@ class Trainer:
                         with_edge_weights=weighted,
                         pad_members0=self._blocksparse_bucket("members0_s"),
                         pad_members1=self._blocksparse_bucket("members1_s"),
+                        slot8=slot8,
+                        pad_members0s=self._blocksparse_bucket("members0s_s") if slot8 else None,
                     )
             elif blocksparse:
                 if not hasattr(self, "_bs_caps"):

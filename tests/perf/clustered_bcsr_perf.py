@@ -95,7 +95,8 @@ def main() -> None:
             continue
         if not use_coo:
             weighted = getattr(cls, "clustered_blocksparse_edge_weights", False)
-            batch, _ = collate_graphs_blocksparse_clustered([entry], with_edge_weights=weighted)
+            slot8 = getattr(cls, "clustered_blocksparse_slot8", False) and "--noslot8" not in sys.argv
+            batch, _ = collate_graphs_blocksparse_clustered([entry], with_edge_weights=weighted, slot8=slot8)
         batch_d = jax.device_put(batch)
         model = cls(feat_dim, 2, edge_dim)
         params = model.init(jax.random.PRNGKey(0))

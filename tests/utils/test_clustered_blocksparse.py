@@ -105,6 +105,76 @@ def test_clustered_blocksparse_matches_coo(bs_cls, coo_cls, weighted) -> None:
         )
 
 
+@pytest.mark.parametrize(
+    ("bs_cls", "coo_cls", "weighted"),
+    [
+        (GINetClusteredBlockSparse, GINet, False),
+        (FoutNetBlockSparse, FoutNet, False),
+        (SGATBlockSparse, SGAT, True),
+    ],
+)
+def test_slot8_matches_coo(bs_cls, coo_cls, weighted) -> None:
+    """The slot8 (cluster-major 8-lane slot) layout: same COO oracle, same
+    tolerance, forward AND gradients — the Pallas slot pool's XLA fallback
+    carries the CPU path."""
+    entries = _clustered_entries(edge_dim=1)
+    model_bs = bs_cls(13, 2, 1)
+    model_coo = coo_cls(13, 2, 1)
+    params = model_bs.init(jax.random.PRNGKey(0))
+
+    coo_batch, _ = collate_graphs(entries, pad_graphs=4)
+    bs_batch, _ = collate_graphs_blocksparse_clustered(
+        entries, pad_graphs=4, with_edge_weights=weighted, weight_dtype=np.float32, slot8=True
+    )
+    assert bs_batch.slot_cluster.size == bs_batch.x.shape[0] // 8
+    assert bs_batch.x.shape[0] % 1024 == 0  # whole kernel groups
+
+    want = np.asarray(model_coo.apply(params, coo_batch, training=False))
+    got = np.asarray(model_bs.apply(params, bs_batch, training=False))
+    np.testing.assert_allclose(got[:3], want[:3], rtol=1e-4, atol=1e-4)
+
+    g_coo = jax.grad(lambda p: (model_coo.apply(p, coo_batch, training=False)[:3] ** 2).sum())(params)
+    g_bs = jax.grad(lambda p: (model_bs.apply(p, bs_batch, training=False)[:3] ** 2).sum())(params)
+    flat_bs = dict(jax.tree_util.tree_leaves_with_path(g_bs))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g_coo):
+        np.testing.assert_allclose(
+            np.asarray(flat_bs[path]), np.asarray(leaf), rtol=1e-3, atol=1e-3, err_msg=str(path)
+        )
+
+
+def test_slot8_collate_bookkeeping() -> None:
+    entries = _clustered_entries(num_graphs=2, sizes=(150, 90))
+    batch, _ = collate_graphs_blocksparse_clustered(entries, pad_graphs=3, slot8=True)
+
+    nm = np.asarray(batch.node_mask)
+    c0 = np.asarray(batch.cluster0)
+    sc = np.asarray(batch.slot_cluster)
+    pooled_cap = batch.structure_p.padded_nodes
+    rows = np.nonzero(nm)[0]
+    # a real node's slot maps to the node's own pooled slot
+    np.testing.assert_array_equal(sc[rows // 8], c0[rows])
+    # slots with no real node map OOB
+    live = np.zeros(len(sc), bool)
+    live[rows // 8] = True
+    assert (sc[~live] == pooled_cap).all()
+    # members0s inverts slot_cluster (padded with the slot capacity)
+    m0s = np.asarray(batch.members0s)
+    assert m0s.shape[0] == pooled_cap
+    for c in np.unique(sc[live]):
+        want = np.sort(np.nonzero(sc == c)[0])
+        got = np.sort(m0s[c][m0s[c] < len(sc)])
+        np.testing.assert_array_equal(got, want)
+
+    # requirements mirror the slot8 collate
+    from deeprank2_tpu.ops.batch import clustered_blocksparse_requirements
+
+    req = clustered_blocksparse_requirements(entries, slot8=True)
+    batch2, _ = collate_graphs_blocksparse_clustered(entries, pad_tiles=req["tiles"], slot8=True)
+    assert -(-req["tiles"] // 8) * 8 * 128 == batch2.x.shape[0]
+    assert req["blocks"] <= batch2.structure.num_blocks
+    assert req["members0s_s"] == batch2.members0s.shape[1]
+
+
 def test_weighted_bf16_storage_error() -> None:
     """Production bf16 weight storage: forward error vs the f32-exact build
     stays within the ~0.4 % relative band bf16 mantissas imply."""
