@@ -250,13 +250,17 @@ def clustered_result(num_nodes: int = 100_000) -> dict:
     feat_dim, edge_dim = 38, 1
     entry = clustered_entry(num_nodes, feat_dim, edge_dim)
     real_edges = 2 * entry["edge_index"].shape[0]
-    batch, _ = collate_graphs_blocksparse_clustered([entry])
+    # slot8 = the production layout (cluster-major 8-lane slots + Pallas
+    # slot pooling — what Trainer collates for these models)
+    batch, _ = collate_graphs_blocksparse_clustered([entry], slot8=True)
     batch = jax.device_put(batch)
 
-    step_s = _measure(GINetClusteredBlockSparse(feat_dim, 2, edge_dim), batch, steps_per_call=50, calls=3)
+    step_s = _measure(GINetClusteredBlockSparse(feat_dim, 2, edge_dim), batch, steps_per_call=250, calls=2)
     # adjacency-stream roofline (full + pooled block streams, read twice —
-    # fwd + symmetric-VJP bwd); the residual is member pooling (~0.53 ms,
-    # XLA row-gather-rate-bound) + glue, decomposed in ROADMAP round 4
+    # fwd + symmetric-VJP bwd; the slot8 layout carries ~+10 % blocks vs the
+    # unslotted order and the bound prices the REAL stream). The residual is
+    # the slot pool kernels (~0.14 ms) + slot member combine + glue,
+    # decomposed in ROADMAP round 4
     adj_bytes = 2 * (batch.structure.blocks_t.nbytes + batch.structure_p.blocks_t.nbytes)
     bound_s = adj_bytes / 819e9
     return {

@@ -86,7 +86,10 @@ def main() -> None:
             "foutnet_bcsr": FoutNetBlockSparse,
             "sgat_bcsr": SGATBlockSparse,
         }
-        steps_per_call, calls = 50, 3
+        # 250-step chunks: at 50 steps/call the tunnel's host dispatch adds
+        # ~25 us/step against a ~1.6 ms device step (the dense path's
+        # round-4 protocol lesson, ROADMAP)
+        steps_per_call, calls = 250, 2
 
     loss_fn = CrossEntropyLoss()
     results = {}
