@@ -44,7 +44,7 @@ from dataclasses import dataclass, field
 
 import jax
 
-from deeprank2_tpu.ops.segment import effective_platform
+from deeprank2_tpu.ops.segment import effective_platform, plain_matmul_precision
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -484,6 +484,7 @@ def bcsr_spmm_xla(structure: BlockSparseStructure, x: jnp.ndarray, precision=jax
     return out.reshape(structure.num_row_tiles * b, feat)
 
 
+@plain_matmul_precision
 def _kernel_stream(
     batch_row_ref,
     batch_chunk_ref,

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from deeprank2_tpu.ops.segment import effective_platform
+from deeprank2_tpu.ops.segment import effective_platform, plain_matmul_precision
 
 # max graphs per grid step (sweepable like the DR2_BCSR_* knobs); the
 # actual group size adapts per batch shape (see _pick_gs)
@@ -100,6 +100,7 @@ def diag_spmm_t_xla(adj: jnp.ndarray, x_t: jnp.ndarray, precision=jax.lax.Precis
     return out3.reshape(f, g * n)
 
 
+@plain_matmul_precision
 def _diag_kernel(adj_ref, *rest, gs, n, relu, split, pool):
     nx = 2 if split else 1
     xs = rest[:nx]
@@ -249,6 +250,7 @@ def diag_layer_t(
     return layer(fcx_t)
 
 
+@plain_matmul_precision
 def _pool_bwd_kernel(adj_ref, h_ref, gp_ref, out_ref, *, gs, n, split):
     """``d fcx = A @ ((h > 0) ⊙ broadcast(g_pool))`` fused: the per-graph
     cotangent is one COLUMN of g_pool lane-broadcast over the graph's nodes,
@@ -371,6 +373,7 @@ def _split16(v):
     return hi, (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
 
+@plain_matmul_precision
 def _tower_fwd_kernel(adj_ref, *refs, gs, n, split):
     if split:
         xhi_ref, xlo_ref, mask_ref, w1_ref, w2_ref, h1_ref, sign_ref, pool_ref = refs
@@ -419,6 +422,7 @@ def _tower_fwd_kernel(adj_ref, *refs, gs, n, split):
     pool_ref[0] = jnp.concatenate(sums, axis=1)
 
 
+@plain_matmul_precision
 def _tower_bwd_kernel(adj_ref, gp_ref, sign_ref, h1_ref, w2_ref, t2_ref, t1_ref, *, gs, n, split):
     adot = functools.partial(
         jax.lax.dot_general,

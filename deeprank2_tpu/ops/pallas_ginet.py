@@ -34,7 +34,7 @@ import functools
 
 import jax
 
-from deeprank2_tpu.ops.segment import effective_platform
+from deeprank2_tpu.ops.segment import effective_platform, plain_matmul_precision
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -66,6 +66,7 @@ def _bmm(adj, v, compute_dtype=jnp.float32):
     )
 
 
+@plain_matmul_precision
 def _fwd_kernel(x_ref, adj_ref, mask_ref, w1_ref, w2_ref, pooled_ref, *, compute_dtype):
     adj = adj_ref[:]
     cd = compute_dtype
@@ -77,6 +78,7 @@ def _fwd_kernel(x_ref, adj_ref, mask_ref, w1_ref, w2_ref, pooled_ref, *, compute
     pooled_ref[:] = jnp.sum(h2, axis=1)
 
 
+@plain_matmul_precision
 def _bwd_kernel(x_ref, adj_ref, mask_ref, w1_ref, w2_ref, dpooled_ref, dw1_ref, dw2_ref, *, compute_dtype):
     @pl.when(pl.program_id(0) == 0)
     def _():

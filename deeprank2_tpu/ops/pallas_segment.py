@@ -32,10 +32,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from deeprank2_tpu.ops.segment import plain_matmul_precision
+
 TILE_V = 256  # output rows per program
 TILE_E = 2048  # edges per DMA block
 
 
+@plain_matmul_precision
 def _kernel(block_start_ref, block_count_ref, rows_vmem, msgT_hbm, out_ref, msg_buf, sems):
     i = pl.program_id(0)
     base = i * TILE_V

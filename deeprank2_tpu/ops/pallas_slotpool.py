@@ -53,7 +53,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from deeprank2_tpu.ops.segment import effective_platform
+from deeprank2_tpu.ops.segment import effective_platform, plain_matmul_precision
 
 SLOT = 8
 TILE = 1024  # lanes per grid step (the selection-matmul span)
@@ -102,6 +102,7 @@ def _tree_max(h: jnp.ndarray) -> jnp.ndarray:
     return m
 
 
+@plain_matmul_precision
 def _fwd_kernel(h_ref, mask_ref, gsel_ref, exp_ref, pooled_ref, ties_ref):
     h = h_ref[:]  # [fs, T] f32, padded lanes pre-zeroed by the model's mask
     gsel = gsel_ref[:]
@@ -114,6 +115,7 @@ def _fwd_kernel(h_ref, mask_ref, gsel_ref, exp_ref, pooled_ref, ties_ref):
     ties_ref[:] = _dot_nt(eq.astype(jnp.bfloat16), exp_ref[:])
 
 
+@plain_matmul_precision
 def _bwd_kernel(h_ref, mask_ref, pooled_ref, ties_ref, g_ref, exp_ref, dh_ref, *, fs):
     h = h_ref[:]
     gd = g_ref[:] / jnp.maximum(ties_ref[:], 1.0)

@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from deeprank2_tpu.ops.blocked_edges import EDGE_TILE, K_SUB, SUB_E, TILE_E, BlockedEdgeStructure
+from deeprank2_tpu.ops.segment import plain_matmul_precision
 
 # run the kernels in the Pallas interpreter (exact, any backend) — used by
 # tests to check kernel logic without TPU hardware
@@ -117,6 +118,7 @@ def _gather_subs(x_col_refs, col_local, tile, cd, gdot):
     return jnp.concatenate(parts, axis=1), ohs
 
 
+@plain_matmul_precision
 def _fwd_kernel(step_row_ref, sub_col_ref, row_ref, col_ref, e_ref, xr_ref, *rest, cd, precision, tile):
     xc_refs, we_ref, out_ref = rest[:K_SUB], rest[K_SUB], rest[K_SUB + 1]
     bi = pl.program_id(0)
@@ -139,6 +141,7 @@ def _fwd_kernel(step_row_ref, sub_col_ref, row_ref, col_ref, e_ref, xr_ref, *res
     out_ref[:] += gdot(msg, oh_r, (((1,), (1,)), ((), ())))
 
 
+@plain_matmul_precision
 def _bwd_kernel(step_row_ref, sub_col_ref, row_ref, col_ref, e_ref, xr_ref, *rest, cd, precision, tile):
     xc_refs = rest[:K_SUB]
     we_ref = rest[K_SUB]

@@ -12,10 +12,32 @@ plugs in behind the same API.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 _SEGMENT_BACKEND = "pallas"
+
+
+def plain_matmul_precision(kernel):
+    """Trace a Pallas kernel body under the stock matmul precision.
+
+    In-kernel MXU dots deliberately run bf16 single-pass (f32 exactness, where
+    needed, comes from hi/lo operand splits — ops/block_sparse.py,
+    ops/diag_spmm.py, ops/pallas_slotpool.py). A caller-side
+    ``jax_default_matmul_precision=highest`` context (e.g. the
+    accuracy-parity harness's determinism setting) would otherwise leak into
+    the kernel trace and make Mosaic reject the bf16 operands outright
+    ("Bad lhs type"); explicit ``Precision.DEFAULT`` on the dots cannot
+    prevent this — DEFAULT *means* "follow the config default"."""
+
+    @functools.wraps(kernel)
+    def wrapped(*refs, **kw):
+        with jax.default_matmul_precision("default"):
+            return kernel(*refs, **kw)
+
+    return wrapped
 
 
 def effective_platform() -> str:
