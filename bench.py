@@ -272,6 +272,32 @@ def clustered_result(num_nodes: int = 100_000) -> dict:
     }
 
 
+def clustered_ppi_result() -> dict:
+    """GINetClusteredDiag — the clustered (community-pooling) GINet at PPI
+    scale (512 graphs x 160 nodes) on the graph-diagonal + slot-pool
+    machinery. The batched dense clustered formulation measures ~10.5 ms on
+    this batch (G*N-row scatters, tests/perf/diag_clustered_perf.py
+    --batched); this path replaces every scatter with slot-aligned kernels."""
+    import jax
+
+    from deeprank2_tpu.neuralnets.gnn.ginet_dense import GINetClusteredDiag
+    from deeprank2_tpu.ops.batch import collate_graphs_diag_clustered
+    from tests.perf.diag_clustered_perf import ppi_clustered_entries
+
+    feat_dim = 38
+    entries = ppi_clustered_entries(feat_dim=feat_dim)
+    real_edges = 2 * sum(e["edge_index"].shape[0] for e in entries)
+    batch, _ = collate_graphs_diag_clustered(entries)
+    batch = jax.device_put(batch)
+    step_s = _measure(GINetClusteredDiag(feat_dim, 2, 1), batch, steps_per_call=250, calls=2)
+    return {
+        "num_graphs": 512,
+        "edges_per_s": round(real_edges / step_s, 1),
+        "step_ms": round(step_s * 1e3, 3),
+        "batched_dense_step_ms_ref": 10.5,
+    }
+
+
 def featurization_result() -> dict:
     """Featurization speed on the vendored 1ATN corpus, reference protocol
     (/root/reference/tests/perf/ppi_perf.py:22-34: atomic resolution, 5.5 Å
@@ -310,6 +336,7 @@ def main() -> None:
     bcsr = bcsr_result()
     blocked = blocked_result()
     clustered = clustered_result()
+    clustered_ppi = clustered_ppi_result()
     featurization = featurization_result()
     print(
         json.dumps(
@@ -327,6 +354,7 @@ def main() -> None:
                 "bcsr": bcsr,
                 "blocked": blocked,
                 "clustered": clustered,
+                "clustered_ppi": clustered_ppi,
                 "featurization": featurization,
             }
         )

@@ -680,6 +680,218 @@ def collate_graphs_blocksparse_sharded(
 
 @jax.tree_util.register_dataclass
 @dataclass
+class DiagClusteredBatch:
+    """Graph-diagonal clustered batch — the community-pooling family at PPI
+    scale (hundreds of small graphs) on the dense fast-path machinery.
+
+    The batched ``[G, N, F]`` clustered dense models spend ~7.4 ms of a
+    10.4 ms bench-shaped train step in XLA scatters (dense_segment_max over
+    ``G*N`` rows at ~9 ns/row, profiled round 4). Here nodes collate
+    cluster-major into 8-lane slots per graph (the slot8 discipline),
+    activations live flat and transposed (``[F, G*N]``), aggregation rides
+    the graph-diagonal Pallas kernel (ops/diag_spmm.py), depth-0 pooling is
+    the slot kernel + a small member combine (ops/pallas_slotpool.py), and
+    the pooled graph is ANOTHER graph-diagonal adjacency ``[G, K, K]``
+    precomputed at collate (the reference recomputes pooled edges per
+    forward, community_pooling.py:165 — they are static per batch).
+
+    Ids are batch-global: pooled slot = ``g*K + local``, depth-1 slot from a
+    running offset; padding = the target capacity (scatters drop)."""
+
+    x_t: jax.Array  # f32 [F, G*N] flat transposed features, slot order
+    adj_i8: jax.Array  # int8 [G, N, N] symmetric 0/1
+    node_mask: jax.Array  # bool [G, N]
+    slot_cluster: jax.Array  # i32 [G*N/8] slot -> global pooled slot; pad = G*K
+    members0s: jax.Array  # i32 [G*K, S0s] slot indices per pooled slot; pad = G*N/8
+    adj_p_i8: jax.Array  # int8 [G, K, K] pooled adjacency (distinct pairs)
+    pooled_mask: jax.Array  # bool [G, K]
+    cluster1: jax.Array  # i32 [G*K] pooled slot -> global depth-1 slot; pad = C1
+    members1: jax.Array  # i32 [C1, S1] pooled slots per depth-1 slot; pad = G*K
+    c1_graph: jax.Array  # i32 [C1] graph id per depth-1 slot; pad = G
+    y: jax.Array  # f32 [G]
+    y_mask: jax.Array  # bool [G]
+    num_graphs: int = field(metadata={"static": True})
+
+    @property
+    def nodes_per_graph(self) -> int:
+        return self.adj_i8.shape[1]
+
+
+def collate_graphs_diag_clustered(
+    entries: list[dict],
+    pad_graphs: int | None = None,
+    pad_nodes=None,
+    pad_clusters=None,
+    pad_c1=None,
+    pad_members0s=None,
+    pad_members1=None,
+) -> tuple[DiagClusteredBatch, list[str]]:
+    """Collate entries (:func:`collate_graphs` schema, ``cluster0``/``cluster1``
+    required) into a :class:`DiagClusteredBatch`. Pooled-graph semantics match
+    :func:`collate_graphs_blocksparse_clustered` (self-loop pairs dropped,
+    duplicate pairs coalesced). ``pad_*`` may be ints or callables."""
+    num_real = len(entries)
+    num_graphs = pad_graphs or num_real
+    if num_real > num_graphs:
+        msg = f"{num_real} entries exceed pad_graphs={num_graphs}"
+        raise ValueError(msg)
+    names = [e["entry_name"] for e in entries] + [""] * (num_graphs - num_real)
+    feat_dim = entries[0]["x"].shape[1]
+
+    plans = [_slot8_plan(e, 8) for e in entries]
+    n_req = max(p["cap"] for p in plans)
+    if callable(pad_nodes):
+        pad_nodes = pad_nodes(n_req)
+    n_cap = -(-max(n_req, pad_nodes or 8) // 8) * 8
+    if n_req > n_cap:
+        msg = f"pad_nodes={n_cap} < required {n_req}"
+        raise ValueError(msg)
+    k_req = max(max(len(p["p_inv"]), 1) for p in plans)
+    if callable(pad_clusters):
+        pad_clusters = pad_clusters(k_req)
+    k_cap = -(-max(k_req, pad_clusters or 8) // 8) * 8
+    if k_req > k_cap:
+        msg = f"pad_clusters={k_cap} < required {k_req}"
+        raise ValueError(msg)
+
+    x = np.zeros((num_graphs * n_cap, feat_dim), dtype=np.float32)
+    adj = np.zeros((num_graphs, n_cap, n_cap), dtype=np.int8)
+    node_mask = np.zeros((num_graphs, n_cap), dtype=bool)
+    slot_cluster = np.full(num_graphs * n_cap // 8, num_graphs * k_cap, dtype=np.int32)
+    adj_p = np.zeros((num_graphs, k_cap, k_cap), dtype=np.int8)
+    pooled_mask = np.zeros((num_graphs, k_cap), dtype=bool)
+    cluster1_g = np.full(num_graphs * k_cap, -1, dtype=np.int64)
+    c1_graphs: list[np.ndarray] = []
+    y = np.zeros(num_graphs, dtype=np.float32)
+    y_mask = np.zeros(num_graphs, dtype=bool)
+    c1_off = 0
+    for g, entry in enumerate(entries):
+        plan = plans[g]
+        posmap, p_inv, p_order = plan["posmap"], plan["p_inv"], plan["p_order"]
+        c0 = np.asarray(entry["cluster0"], dtype=np.int64)
+        c1 = np.asarray(entry["cluster1"], dtype=np.int64)
+        n_c0 = len(p_inv)
+        if c1.shape[0] != n_c0:
+            msg = f"cluster1 has {c1.shape[0]} entries for {n_c0} depth-0 clusters"
+            raise ValueError(msg)
+        n_c1 = int(c1.max()) + 1 if c1.size else 0
+
+        x[g * n_cap + posmap] = entry["x"]
+        node_mask[g][posmap] = True
+        und = np.asarray(entry["edge_index"], dtype=np.int64).reshape(-1, 2)
+        if und.size:
+            pi, pj = posmap[und[:, 0]], posmap[und[:, 1]]
+            adj[g, pi, pj] = 1
+            adj[g, pj, pi] = 1
+            ci, cj = p_inv[c0[und[:, 0]]], p_inv[c0[und[:, 1]]]
+            keep = ci != cj
+            adj_p[g, ci[keep], cj[keep]] = 1
+            adj_p[g, cj[keep], ci[keep]] = 1
+        sc = plan["slot_col"]  # local pooled id per slot, -1 = padding
+        base = g * n_cap // 8
+        slot_cluster[base : base + len(sc)] = np.where(sc >= 0, sc + g * k_cap, num_graphs * k_cap)
+        pooled_mask[g, :n_c0] = True
+        # pooled slot j holds cluster p_order[j]; its depth-1 id offsets in
+        cluster1_g[g * k_cap : g * k_cap + n_c0] = c1[p_order] + c1_off
+        cg = np.full(n_c1, -1, dtype=np.int64)
+        if c1.size:
+            cg[np.unique(c1)] = g
+        c1_graphs.append(cg)
+        c1_off += n_c1
+        if entry.get("y") is not None:
+            y[g] = entry["y"]
+            y_mask[g] = True
+
+    c1_req = max(c1_off, 1)
+    if callable(pad_c1):
+        pad_c1 = pad_c1(c1_req)
+    c1_cap = max(c1_req, pad_c1 or 0)
+    cluster1_arr = np.where(cluster1_g < 0, c1_cap, cluster1_g).astype(np.int32)
+    c1_graph = np.full(c1_cap, num_graphs, dtype=np.int32)
+    if c1_graphs:
+        cg = np.concatenate(c1_graphs)
+        c1_graph[: len(cg)] = np.where(cg < 0, num_graphs, cg)
+
+    members0s = _member_matrix(slot_cluster, num_graphs * k_cap, num_graphs * n_cap // 8, pad_s=pad_members0s)
+    members1 = _member_matrix(cluster1_arr, c1_cap, num_graphs * k_cap, pad_s=pad_members1)
+
+    return DiagClusteredBatch(
+        x_t=np.ascontiguousarray(x.T),
+        adj_i8=adj,
+        node_mask=node_mask,
+        slot_cluster=slot_cluster,
+        members0s=members0s,
+        adj_p_i8=adj_p,
+        pooled_mask=pooled_mask,
+        cluster1=cluster1_arr,
+        members1=members1,
+        c1_graph=c1_graph,
+        y=y,
+        y_mask=y_mask,
+        num_graphs=num_graphs,
+    ), names
+
+
+def diag_clustered_requirements(entries: list[dict]) -> dict:
+    """Capacities :func:`collate_graphs_diag_clustered` would need — the
+    Trainer's grow-only bucket source (mirrors the collate's plan math)."""
+    plans = [_slot8_plan(e, 8) for e in entries]
+    c1_total = 0
+    s1 = 1
+    for e in entries:
+        c1 = np.asarray(e["cluster1"], dtype=np.int64)
+        if c1.size:
+            c1_total += int(c1.max()) + 1
+            s1 = max(s1, int(np.bincount(c1).max()))
+    return {
+        "nodes": max(p["cap"] for p in plans),
+        "clusters": max(max(len(p["p_inv"]), 1) for p in plans),
+        "c1": max(c1_total, 1),
+        "members0s_s": max(p["max_slots"] for p in plans),
+        "members1_s": s1,
+    }
+
+
+def collate_graphs_diag_clustered_sharded(
+    entries: list[dict],
+    num_shards: int,
+    pad_graphs_per_shard: int,
+    pad_caps: dict | None = None,
+) -> tuple[DiagClusteredBatch, list[str]]:
+    """Round-robin :class:`DiagClusteredBatch` collation with a leading
+    device axis (shard_map DP — ids are shard-global, so generic leading-axis
+    sharding is correct). ``pad_caps`` maps
+    :func:`diag_clustered_requirements` keys to ints or callables."""
+    if len(entries) > num_shards * pad_graphs_per_shard:
+        msg = f"{len(entries)} entries exceed {num_shards} shards x {pad_graphs_per_shard} graphs"
+        raise ValueError(msg)
+    template = entries[0]
+    shards = [entries[s::num_shards] or [_dummy_entry(template)] for s in range(num_shards)]
+
+    reqs = [diag_clustered_requirements(shard) for shard in shards]
+    caps = {k: max(r[k] for r in reqs) for k in reqs[0]}
+    for k, pad in (pad_caps or {}).items():
+        caps[k] = pad(caps[k]) if callable(pad) else max(caps[k], pad)
+
+    batches = []
+    names: list[str] = []
+    for shard in shards:
+        batch, shard_names = collate_graphs_diag_clustered(
+            shard,
+            pad_graphs=pad_graphs_per_shard,
+            pad_nodes=caps["nodes"],
+            pad_clusters=caps["clusters"],
+            pad_c1=caps["c1"],
+            pad_members0s=caps["members0s_s"],
+            pad_members1=caps["members1_s"],
+        )
+        batches.append(batch)
+        names.extend(shard_names)
+    return jax.tree.map(lambda *leaves: np.stack(leaves), *batches), names
+
+
+@jax.tree_util.register_dataclass
+@dataclass
 class ClusteredBlockSparseBatch:
     """Block-sparse batch for *clustered* models (GINet clustered / FoutNet /
     sGAT) at atomic scale: the full graph AND its depth-0 community-pooled

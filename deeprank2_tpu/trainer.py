@@ -433,6 +433,7 @@ class Trainer:
             dense = getattr(self.neuralnet, "dense_batches", False)
             blocksparse = getattr(self.neuralnet, "blocksparse_batches", False)
             clustered_bs = getattr(self.neuralnet, "clustered_blocksparse_batches", False)
+            diag_clustered = getattr(self.neuralnet, "diag_clustered_batches", False)
             blocked_edges = getattr(self.neuralnet, "blocked_edge_batches", False)
             dense_kwargs = {
                 "with_clusters": getattr(self.neuralnet, "needs_clusters", False),
@@ -477,6 +478,31 @@ class Trainer:
                         pad_members1=self._blocksparse_bucket("members1_s"),
                         slot8=slot8,
                         pad_members0s=self._blocksparse_bucket("members0s_s") if slot8 else None,
+                    )
+            elif diag_clustered:
+                if not hasattr(self, "_bs_caps"):
+                    self._bs_caps = {}
+                if num_shards > 1:
+                    from deeprank2_tpu.ops.batch import collate_graphs_diag_clustered_sharded
+
+                    per_shard = max(1, -(-pad_graphs // num_shards))  # ceil: floor overfills shards when batch_size % devices != 0
+                    batch, names = collate_graphs_diag_clustered_sharded(
+                        entries,
+                        num_shards,
+                        per_shard,
+                        pad_caps={k: self._blocksparse_bucket(f"dc_{k}") for k in ("nodes", "clusters", "c1", "members0s_s", "members1_s")},
+                    )
+                else:
+                    from deeprank2_tpu.ops.batch import collate_graphs_diag_clustered
+
+                    batch, names = collate_graphs_diag_clustered(
+                        entries,
+                        pad_graphs=pad_graphs,
+                        pad_nodes=self._blocksparse_bucket("dc_nodes"),
+                        pad_clusters=self._blocksparse_bucket("dc_clusters"),
+                        pad_c1=self._blocksparse_bucket("dc_c1"),
+                        pad_members0s=self._blocksparse_bucket("dc_members0s_s"),
+                        pad_members1=self._blocksparse_bucket("dc_members1_s"),
                     )
             elif blocksparse:
                 if not hasattr(self, "_bs_caps"):

@@ -117,6 +117,26 @@ def test_clustered_blocksparse_models(srv_hdf5, tmp_path) -> None:
     trainer_dp.train(nepoch=1, batch_size=4, filename=None, best_model=False)
 
 
+def test_diag_clustered_model(srv_hdf5, tmp_path) -> None:
+    """GINetClusteredDiag (graph-diagonal clustered fast path) trains through
+    the Trainer: preclustering + diag-clustered collation with grow-only
+    buckets; checkpoints interchange with the clustered COO GINet; DP trains."""
+    from deeprank2_tpu.neuralnets.gnn.ginet_dense import GINetClusteredDiag
+
+    ds = GraphDataset(hdf5_path=srv_hdf5, target="binary", clustering_method="mcl")
+    trainer = _train(GINetClusteredDiag, ds, tmp_path)
+    assert trainer.epoch_saved_model is not None
+    assert trainer._bs_caps["dc_nodes"] > 0 and trainer._bs_caps["dc_clusters"] > 0
+
+    model_path = str(tmp_path / "model.pth.tar")
+    ds_test = GraphDataset(hdf5_path=srv_hdf5, train_source=model_path, clustering_method="mcl")
+    trainer2 = Trainer(GINet, dataset_test=ds_test, pretrained_model=model_path)
+    trainer2.test(batch_size=4)
+
+    trainer_dp = Trainer(GINetClusteredDiag, dataset_train=ds, output_exporters=[], data_parallel=True)
+    trainer_dp.train(nepoch=1, batch_size=4, filename=None, best_model=False)
+
+
 def test_foutnet(srv_hdf5, tmp_path) -> None:
     ds = GraphDataset(hdf5_path=srv_hdf5, target="binary", clustering_method="mcl")
     _train(FoutNet, ds, tmp_path)

@@ -1,0 +1,93 @@
+"""GINetClusteredDiag (graph-diagonal clustered fast path) vs the COO oracle."""
+
+import jax
+import numpy as np
+import pytest
+
+from deeprank2_tpu.neuralnets.gnn.ginet import GINet
+from deeprank2_tpu.neuralnets.gnn.ginet_dense import GINetClusteredDiag
+from deeprank2_tpu.ops.batch import collate_graphs, collate_graphs_diag_clustered, diag_clustered_requirements
+from tests.utils.test_clustered_blocksparse import _clustered_entries
+
+
+def test_diag_clustered_matches_coo() -> None:
+    entries = _clustered_entries(edge_dim=1)
+    model_d = GINetClusteredDiag(13, 2, 1)
+    model_coo = GINet(13, 2, 1)
+    params = model_d.init(jax.random.PRNGKey(0))
+
+    coo_batch, _ = collate_graphs(entries, pad_graphs=4)
+    d_batch, names = collate_graphs_diag_clustered(entries, pad_graphs=4)
+    assert names[:3] == [f"cbs-{g}" for g in range(3)]
+    assert d_batch.adj_i8.shape[1] % 8 == 0
+
+    want = np.asarray(model_coo.apply(params, coo_batch, training=False))
+    got = np.asarray(model_d.apply(params, d_batch, training=False))
+    np.testing.assert_allclose(got[:3], want[:3], rtol=1e-4, atol=1e-4)
+
+    g_coo = jax.grad(lambda p: (model_coo.apply(p, coo_batch, training=False)[:3] ** 2).sum())(params)
+    g_d = jax.grad(lambda p: (model_d.apply(p, d_batch, training=False)[:3] ** 2).sum())(params)
+    flat_d = dict(jax.tree_util.tree_leaves_with_path(g_d))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g_coo):
+        np.testing.assert_allclose(
+            np.asarray(flat_d[path]), np.asarray(leaf), rtol=1e-3, atol=1e-3, err_msg=str(path)
+        )
+
+
+def test_diag_clustered_collate_bookkeeping() -> None:
+    entries = _clustered_entries(num_graphs=2, sizes=(150, 90))
+    batch, _ = collate_graphs_diag_clustered(entries, pad_graphs=3)
+    g_count, n_cap, _ = batch.adj_i8.shape
+    k_cap = batch.pooled_mask.shape[1]
+
+    nm = np.asarray(batch.node_mask)
+    sc = np.asarray(batch.slot_cluster)
+    # real slots map into their own graph's pooled range; padding slots OOB
+    for g in range(g_count):
+        rows = np.nonzero(nm[g])[0]
+        slots = np.unique((g * n_cap + rows) // 8)
+        assert ((sc[slots] >= g * k_cap) & (sc[slots] < (g + 1) * k_cap)).all()
+    live = np.zeros(len(sc), bool)
+    for g in range(g_count):
+        rows = np.nonzero(nm[g])[0]
+        live[np.unique((g * n_cap + rows) // 8)] = True
+    assert (sc[~live] == g_count * k_cap).all()
+
+    # pooled adjacency is symmetric, zero diagonal, zero on padded slots
+    adj_p = np.asarray(batch.adj_p_i8)
+    np.testing.assert_array_equal(adj_p, np.transpose(adj_p, (0, 2, 1)))
+    assert (np.diagonal(adj_p, axis1=1, axis2=2) == 0).all()
+    pm = np.asarray(batch.pooled_mask)
+    assert (adj_p[~np.repeat(pm[:, :, None], k_cap, 2) & (adj_p > 0)] == 0).all() or (adj_p * ~pm[:, :, None]).sum() == 0
+
+    # depth-1 ids of real pooled slots point at slots of the same graph
+    c1 = np.asarray(batch.cluster1).reshape(g_count, k_cap)
+    c1g = np.asarray(batch.c1_graph)
+    for g in range(g_count):
+        ids = c1[g][pm[g]]
+        assert (ids < len(c1g)).all()
+        np.testing.assert_array_equal(c1g[ids], g)
+
+    # requirements mirror the collate
+    req = diag_clustered_requirements(entries)
+    batch2, _ = collate_graphs_diag_clustered(
+        entries, pad_nodes=req["nodes"], pad_clusters=req["clusters"], pad_c1=req["c1"]
+    )
+    assert batch2.adj_i8.shape[1] == -(-req["nodes"] // 8) * 8
+    assert batch2.pooled_mask.shape[1] == -(-req["clusters"] // 8) * 8
+    assert batch2.c1_graph.shape[0] == req["c1"]
+    assert req["members0s_s"] == batch2.members0s.shape[1]
+    assert req["members1_s"] == batch2.members1.shape[1]
+
+
+@pytest.mark.parametrize("pad_graphs", [3])
+def test_diag_clustered_padded_graphs_inert(pad_graphs) -> None:
+    """Padding graphs must not change real predictions."""
+    entries = _clustered_entries(num_graphs=2, sizes=(150, 90))
+    model = GINetClusteredDiag(13, 2, 1)
+    params = model.init(jax.random.PRNGKey(1))
+    tight, _ = collate_graphs_diag_clustered(entries, pad_graphs=2)
+    padded, _ = collate_graphs_diag_clustered(entries, pad_graphs=pad_graphs)
+    a = np.asarray(model.apply(params, tight, training=False))[:2]
+    b = np.asarray(model.apply(params, padded, training=False))[:2]
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
