@@ -701,6 +701,8 @@ class DiagClusteredBatch:
     x_t: jax.Array  # f32 [F, G*N] flat transposed features, slot order
     adj_i8: jax.Array  # int8 [G, N, N] symmetric 0/1
     node_mask: jax.Array  # bool [G, N]
+    deg: jax.Array  # f32 [G*N] neighbor counts (FoutNet's mean denominator)
+    deg_p: jax.Array  # f32 [G*K] pooled neighbor counts (distinct pairs)
     slot_cluster: jax.Array  # i32 [G*N/8] slot -> global pooled slot; pad = G*K
     members0s: jax.Array  # i32 [G*K, S0s] slot indices per pooled slot; pad = G*N/8
     adj_p_i8: jax.Array  # int8 [G, K, K] pooled adjacency (distinct pairs)
@@ -819,6 +821,8 @@ def collate_graphs_diag_clustered(
         x_t=np.ascontiguousarray(x.T),
         adj_i8=adj,
         node_mask=node_mask,
+        deg=adj.astype(np.float32).sum(axis=2).reshape(-1),
+        deg_p=adj_p.astype(np.float32).sum(axis=2).reshape(-1),
         slot_cluster=slot_cluster,
         members0s=members0s,
         adj_p_i8=adj_p,

@@ -136,6 +136,10 @@ def test_diag_clustered_model(srv_hdf5, tmp_path) -> None:
     trainer_dp = Trainer(GINetClusteredDiag, dataset_train=ds, output_exporters=[], data_parallel=True)
     trainer_dp.train(nepoch=1, batch_size=4, filename=None, best_model=False)
 
+    from deeprank2_tpu.neuralnets.gnn.foutnet import FoutNetDiag
+
+    _train(FoutNetDiag, ds, tmp_path)
+
 
 def test_foutnet(srv_hdf5, tmp_path) -> None:
     ds = GraphDataset(hdf5_path=srv_hdf5, target="binary", clustering_method="mcl")

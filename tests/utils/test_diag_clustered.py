@@ -4,16 +4,21 @@ import jax
 import numpy as np
 import pytest
 
+from deeprank2_tpu.neuralnets.gnn.foutnet import FoutNet, FoutNetDiag
 from deeprank2_tpu.neuralnets.gnn.ginet import GINet
 from deeprank2_tpu.neuralnets.gnn.ginet_dense import GINetClusteredDiag
 from deeprank2_tpu.ops.batch import collate_graphs, collate_graphs_diag_clustered, diag_clustered_requirements
 from tests.utils.test_clustered_blocksparse import _clustered_entries
 
 
-def test_diag_clustered_matches_coo() -> None:
+@pytest.mark.parametrize(
+    ("diag_cls", "coo_cls"),
+    [(GINetClusteredDiag, GINet), (FoutNetDiag, FoutNet)],
+)
+def test_diag_clustered_matches_coo(diag_cls, coo_cls) -> None:
     entries = _clustered_entries(edge_dim=1)
-    model_d = GINetClusteredDiag(13, 2, 1)
-    model_coo = GINet(13, 2, 1)
+    model_d = diag_cls(13, 2, 1)
+    model_coo = coo_cls(13, 2, 1)
     params = model_d.init(jax.random.PRNGKey(0))
 
     coo_batch, _ = collate_graphs(entries, pad_graphs=4)
