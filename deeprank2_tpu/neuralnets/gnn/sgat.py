@@ -101,6 +101,73 @@ class SGAT:
         return nn.linear(params["fc2"], x)
 
 
+class SGATDiag:
+    """sGAT at PPI scale on the graph-diagonal + slot-pool machinery (see
+    :class:`deeprank2_tpu.neuralnets.gnn.ginet_dense.GINetClusteredDiag`):
+    the weighted aggregation streams the scalar-edge adjacency as bf16
+    through the same diagonal Pallas kernel (the collate's
+    ``weight_dtype=np.float32`` exact-oracle mode takes the XLA fallback,
+    like the weighted BCSR variant), with the precomputed f32 row sums as
+    the row-part coefficient. Replaces the scatter-bound :class:`SGATDense`
+    step; parameters interchange with the COO SGAT.
+
+    Reference: neuralnets/gnn/sgat.py:56-84."""
+
+    needs_clusters = True
+    diag_clustered_batches = True
+    diag_clustered_edge_weights = True  # Trainer collates the weighted adjacency
+    clustering = "mcl"
+
+    def __init__(self, input_shape: int, output_shape: int = 1, input_shape_edge: int | None = None, compute_dtype=None):
+        self.input_shape = input_shape
+        self.output_shape = output_shape
+        self.input_shape_edge = input_shape_edge
+        self.compute_dtype = compute_dtype
+        self._coo = SGAT(input_shape, output_shape, input_shape_edge)
+
+    def init(self, rng: jax.Array) -> dict:
+        return self._coo.init(rng)
+
+    def apply(self, params: dict, batch, training: bool = False, rng: jax.Array | None = None) -> jnp.ndarray:
+        from deeprank2_tpu.ops.diag_spmm import diag_spmm_t
+        from deeprank2_tpu.ops.pallas_slotpool import slot_group_max
+        from deeprank2_tpu.ops.pooling import member_max_pool
+        from deeprank2_tpu.ops.segment import segment_max, segment_mean
+
+        def sgat_t(p, x_t, adj_w, deg, wsum, mask_row):
+            f = x_t.shape[0]
+            row_part = jnp.dot(p["weight"][:f].T, x_t)
+            col_part = jnp.dot(p["weight"][f:].T, x_t)
+            agg = diag_spmm_t(adj_w, col_part, self.compute_dtype)
+            out = (row_part * wsum[None, :] + agg) / jnp.maximum(deg, 1.0)[None, :]
+            if "b" in p:
+                out = out + p["b"][:, None]
+            return nn.relu(out) * mask_row
+
+        g, n, _ = batch.adj_i8.shape
+        mask_row = batch.node_mask.astype(jnp.float32).reshape(1, g * n)
+        h_t = sgat_t(params["conv1"], batch.x_t, batch.adj_w, batch.deg, batch.wsum, mask_row)
+
+        p8 = slot_group_max(h_t, mask_row)
+        k_cap = batch.pooled_mask.shape[1]
+        if batch.members0s.size:
+            hp_t = member_max_pool(p8.T, batch.members0s, batch.slot_cluster).T
+        else:
+            hp_t = segment_max(p8.T, batch.slot_cluster, g * k_cap).T
+
+        pooled_mask_row = batch.pooled_mask.astype(jnp.float32).reshape(1, g * k_cap)
+        h2_t = sgat_t(params["conv2"], hp_t, batch.adj_wp, batch.deg_p, batch.wsum_p, pooled_mask_row)
+
+        c1_cap = batch.c1_graph.shape[0]
+        if batch.members1.size:
+            hc = member_max_pool(h2_t.T, batch.members1, batch.cluster1)
+        else:
+            hc = segment_max(h2_t.T, batch.cluster1, c1_cap)
+        pooled = segment_mean(hc, batch.c1_graph, batch.num_graphs)
+        out = nn.relu(nn.linear(params["fc1"], pooled))
+        return nn.linear(params["fc2"], out)
+
+
 def sgat_layer_dense(params: dict, x: jnp.ndarray, adj: jnp.ndarray, adj_w: jnp.ndarray) -> jnp.ndarray:
     """sGAT layer on ``[G, N, F]`` blocks with a scalar-edge-weighted adjacency:
 

@@ -703,6 +703,13 @@ class DiagClusteredBatch:
     node_mask: jax.Array  # bool [G, N]
     deg: jax.Array  # f32 [G*N] neighbor counts (FoutNet's mean denominator)
     deg_p: jax.Array  # f32 [G*K] pooled neighbor counts (distinct pairs)
+    # weighted variants (sGAT; [G, 0, 0] / [0] when not collated): scalar
+    # edge weights as a symmetric adjacency (bf16 storage by default, f32 =
+    # the exact-oracle mode) + precomputed row sums
+    adj_w: jax.Array  # [G, N, N]
+    adj_wp: jax.Array  # [G, K, K] pooled (member-edge weights SUMMED per pair)
+    wsum: jax.Array  # f32 [G*N]
+    wsum_p: jax.Array  # f32 [G*K]
     slot_cluster: jax.Array  # i32 [G*N/8] slot -> global pooled slot; pad = G*K
     members0s: jax.Array  # i32 [G*K, S0s] slot indices per pooled slot; pad = G*N/8
     adj_p_i8: jax.Array  # int8 [G, K, K] pooled adjacency (distinct pairs)
@@ -727,6 +734,8 @@ def collate_graphs_diag_clustered(
     pad_c1=None,
     pad_members0s=None,
     pad_members1=None,
+    with_edge_weights: bool = False,
+    weight_dtype: np.dtype | None = None,
 ) -> tuple[DiagClusteredBatch, list[str]]:
     """Collate entries (:func:`collate_graphs` schema, ``cluster0``/``cluster1``
     required) into a :class:`DiagClusteredBatch`. Pooled-graph semantics match
@@ -759,6 +768,13 @@ def collate_graphs_diag_clustered(
     x = np.zeros((num_graphs * n_cap, feat_dim), dtype=np.float32)
     adj = np.zeros((num_graphs, n_cap, n_cap), dtype=np.int8)
     node_mask = np.zeros((num_graphs, n_cap), dtype=bool)
+    if with_edge_weights:
+        # f32 accumulators; storage cast (bf16 default) happens at the end
+        adj_w = np.zeros((num_graphs, n_cap, n_cap), dtype=np.float32)
+        adj_wp = np.zeros((num_graphs, k_cap, k_cap), dtype=np.float32)
+    else:
+        adj_w = np.zeros((num_graphs, 0, 0), dtype=np.float32)
+        adj_wp = np.zeros((num_graphs, 0, 0), dtype=np.float32)
     slot_cluster = np.full(num_graphs * n_cap // 8, num_graphs * k_cap, dtype=np.int32)
     adj_p = np.zeros((num_graphs, k_cap, k_cap), dtype=np.int8)
     pooled_mask = np.zeros((num_graphs, k_cap), dtype=bool)
@@ -789,6 +805,13 @@ def collate_graphs_diag_clustered(
             keep = ci != cj
             adj_p[g, ci[keep], cj[keep]] = 1
             adj_p[g, cj[keep], ci[keep]] = 1
+            if with_edge_weights:
+                ea = np.asarray(entry["edge_attr"], dtype=np.float32).reshape(len(und), -1)[:, 0]
+                adj_w[g, pi, pj] = ea
+                adj_w[g, pj, pi] = ea
+                # coalesce parity: duplicate cluster pairs SUM their weights
+                np.add.at(adj_wp[g], (ci[keep], cj[keep]), ea[keep])
+                np.add.at(adj_wp[g], (cj[keep], ci[keep]), ea[keep])
         sc = plan["slot_col"]  # local pooled id per slot, -1 = padding
         base = g * n_cap // 8
         slot_cluster[base : base + len(sc)] = np.where(sc >= 0, sc + g * k_cap, num_graphs * k_cap)
@@ -823,6 +846,10 @@ def collate_graphs_diag_clustered(
         node_mask=node_mask,
         deg=adj.astype(np.float32).sum(axis=2).reshape(-1),
         deg_p=adj_p.astype(np.float32).sum(axis=2).reshape(-1),
+        adj_w=adj_w.astype(weight_dtype or ml_dtypes.bfloat16),
+        adj_wp=adj_wp.astype(weight_dtype or ml_dtypes.bfloat16),
+        wsum=adj_w.sum(axis=2).reshape(-1) if with_edge_weights else np.zeros(0, np.float32),
+        wsum_p=adj_wp.sum(axis=2).reshape(-1) if with_edge_weights else np.zeros(0, np.float32),
         slot_cluster=slot_cluster,
         members0s=members0s,
         adj_p_i8=adj_p,
@@ -861,6 +888,8 @@ def collate_graphs_diag_clustered_sharded(
     num_shards: int,
     pad_graphs_per_shard: int,
     pad_caps: dict | None = None,
+    with_edge_weights: bool = False,
+    weight_dtype: np.dtype | None = None,
 ) -> tuple[DiagClusteredBatch, list[str]]:
     """Round-robin :class:`DiagClusteredBatch` collation with a leading
     device axis (shard_map DP — ids are shard-global, so generic leading-axis
@@ -888,6 +917,8 @@ def collate_graphs_diag_clustered_sharded(
             pad_c1=caps["c1"],
             pad_members0s=caps["members0s_s"],
             pad_members1=caps["members1_s"],
+            with_edge_weights=with_edge_weights,
+            weight_dtype=weight_dtype,
         )
         batches.append(batch)
         names.extend(shard_names)

@@ -55,13 +55,14 @@ GS = GS_DEFAULT  # back-compat alias (tests size their batches off it)
 _ADJ_GROUP_BUDGET = 4 * 1024 * 1024
 
 
-def _pick_gs(num_graphs: int, nodes: int) -> int | None:
+def _pick_gs(num_graphs: int, nodes: int, itemsize: int = 1) -> int | None:
     """Largest group size <= GS that divides the batch, keeps the 2-D
     [fw, gs*N] blocks lane-legal (gs*N a multiple of 128, or the block
-    covering the whole array), and fits the adjacency group in VMEM.
+    covering the whole array), and fits the adjacency group in VMEM
+    (``itemsize`` = adjacency bytes/entry: int8 0/1 or bf16 weighted).
     None when no legal grouping exists."""
     for gs in range(min(GS_DEFAULT, num_graphs), 0, -1):
-        if num_graphs % gs or gs * nodes * nodes > _ADJ_GROUP_BUDGET:
+        if num_graphs % gs or gs * nodes * nodes * itemsize > _ADJ_GROUP_BUDGET:
             continue
         if (gs * nodes) % 128 == 0 or gs == num_graphs:
             return gs
@@ -80,11 +81,19 @@ def _hi_lo_split(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return hi_f32.astype(jnp.bfloat16), (x - hi_f32).astype(jnp.bfloat16)
 
 
-def supports(num_graphs: int, nodes: int) -> bool:
-    """Whether the TPU kernel covers this batch shape (else XLA fallback)."""
+def supports(num_graphs: int, nodes: int, adj_dtype=jnp.int8) -> bool:
+    """Whether the TPU kernel covers this batch shape (else XLA fallback).
+
+    f32 adjacencies never engage the kernel: its MXU passes load the
+    adjacency as bf16, and f32 weights are the collate's EXACT-oracle mode
+    (``weight_dtype=np.float32``) whose whole point is full precision — the
+    XLA fallback keeps HIGHEST there (mirrors ops/block_sparse.py's
+    weighted-BCSR split)."""
+    itemsize = jnp.dtype(adj_dtype).itemsize
     return (
         effective_platform() == "tpu"
-        and _pick_gs(num_graphs, nodes) is not None
+        and itemsize <= 2
+        and _pick_gs(num_graphs, nodes, itemsize) is not None
         and nodes % 8 == 0
         and nodes <= 2048  # one [gs, N, N] adjacency group must fit VMEM
     )
@@ -147,7 +156,7 @@ def _diag_kernel(adj_ref, *rest, gs, n, relu, split, pool):
 @functools.partial(jax.jit, static_argnames=("relu", "compute_dtype", "pool"))
 def _diag_spmm_tpu(adj_i8, x_t, mask, *, relu, compute_dtype="float32", pool=False):
     g, n, _ = adj_i8.shape
-    GS = _pick_gs(g, n) or min(GS_DEFAULT, g)  # noqa: N806 — local group size
+    GS = _pick_gs(g, n, adj_i8.dtype.itemsize) or min(GS_DEFAULT, g)  # noqa: N806 — local group size
     feat = x_t.shape[0]
     cd = jnp.dtype(compute_dtype)
     split = cd.itemsize == 4
@@ -193,7 +202,7 @@ def _diag_spmm_tpu(adj_i8, x_t, mask, *, relu, compute_dtype="float32", pool=Fal
 def _agg(adj_i8, x_t, compute_dtype):
     """Plain aggregation dispatch (no epilogue)."""
     g, n, _ = adj_i8.shape
-    if supports(g, n):
+    if supports(g, n, adj_i8.dtype):
         cd = "float32" if compute_dtype is None else jnp.dtype(compute_dtype).name
         return _diag_spmm_tpu(adj_i8, x_t, None, relu=False, compute_dtype=cd)
     return diag_spmm_t_xla(adj_i8, x_t.astype(compute_dtype) if compute_dtype is not None else x_t).astype(jnp.float32)
@@ -232,7 +241,7 @@ def diag_layer_t(
 
     @jax.custom_vjp
     def layer(fcx_t):
-        if supports(g, n):
+        if supports(g, n, adj_i8.dtype):
             cd = "float32" if compute_dtype is None else jnp.dtype(compute_dtype).name
             return _diag_spmm_tpu(adj_i8, fcx_t, node_mask, relu=True, compute_dtype=cd)
         h = _agg(adj_i8, fcx_t, compute_dtype)
@@ -283,7 +292,7 @@ def _pool_bwd_kernel(adj_ref, h_ref, gp_ref, out_ref, *, gs, n, split):
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))
 def _diag_pool_bwd_tpu(adj_i8, h, g_pool, *, compute_dtype="float32"):
     g, n, _ = adj_i8.shape
-    GS = _pick_gs(g, n) or min(GS_DEFAULT, g)  # noqa: N806 — local group size
+    GS = _pick_gs(g, n, adj_i8.dtype.itemsize) or min(GS_DEFAULT, g)  # noqa: N806 — local group size
     feat = h.shape[0]
     split = jnp.dtype(compute_dtype).itemsize == 4
     pad_f = (-feat) % 16
@@ -329,7 +338,7 @@ def diag_layer_pool_t(
 
     @jax.custom_vjp
     def layer(fcx_t):
-        if supports(g, n):
+        if supports(g, n, adj_i8.dtype):
             cd = "float32" if compute_dtype is None else jnp.dtype(compute_dtype).name
             _, pooled = _diag_spmm_tpu(adj_i8, fcx_t, node_mask, relu=True, compute_dtype=cd, pool=True)
             return pooled
@@ -338,7 +347,7 @@ def diag_layer_pool_t(
         return h.reshape(h.shape[0], g, n).sum(axis=2)
 
     def fwd(fcx_t):
-        if supports(g, n):
+        if supports(g, n, adj_i8.dtype):
             cd = "float32" if compute_dtype is None else jnp.dtype(compute_dtype).name
             h, pooled = _diag_spmm_tpu(adj_i8, fcx_t, node_mask, relu=True, compute_dtype=cd, pool=True)
             return pooled, h
@@ -347,7 +356,7 @@ def diag_layer_pool_t(
         return h.reshape(h.shape[0], g, n).sum(axis=2), h.astype(jnp.bfloat16)
 
     def bwd(h, g_pool):
-        if supports(g, n):
+        if supports(g, n, adj_i8.dtype):
             cd = "float32" if compute_dtype is None else jnp.dtype(compute_dtype).name
             return (_diag_pool_bwd_tpu(adj_i8, h, g_pool, compute_dtype=cd),)
         u = jnp.repeat(g_pool, n, axis=1) * (h > 0).astype(g_pool.dtype)
@@ -461,7 +470,7 @@ def _tower_bwd_kernel(adj_ref, gp_ref, sign_ref, h1_ref, w2_ref, t2_ref, t1_ref,
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))
 def _tower_fwd_tpu(adj_i8, x_t, mask, w1, w2, *, compute_dtype="float32"):
     g, n, _ = adj_i8.shape
-    GS = _pick_gs(g, n) or min(GS_DEFAULT, g)  # noqa: N806 — local group size
+    GS = _pick_gs(g, n, adj_i8.dtype.itemsize) or min(GS_DEFAULT, g)  # noqa: N806 — local group size
     feat = x_t.shape[0]
     c1, c2 = w1.shape[1], w2.shape[1]
     split = jnp.dtype(compute_dtype).itemsize == 4
@@ -504,7 +513,7 @@ def _tower_fwd_tpu(adj_i8, x_t, mask, w1, w2, *, compute_dtype="float32"):
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))
 def _tower_bwd_tpu(adj_i8, g_pool, sign, h1, w2, *, compute_dtype="float32"):
     g, n, _ = adj_i8.shape
-    GS = _pick_gs(g, n) or min(GS_DEFAULT, g)  # noqa: N806 — local group size
+    GS = _pick_gs(g, n, adj_i8.dtype.itemsize) or min(GS_DEFAULT, g)  # noqa: N806 — local group size
     c1, c2 = w2.shape
     split = jnp.dtype(compute_dtype).itemsize == 4
     gn = GS * n
@@ -556,13 +565,13 @@ def tower_pooled(
 
     @jax.custom_vjp
     def tower(w1, w2):
-        if supports(g, n):
+        if supports(g, n, adj_i8.dtype):
             _, _, pooled = _tower_fwd_tpu(adj_i8, x_t, node_mask, w1, w2, compute_dtype=cd)
             return pooled
         return _tower_ref(adj_i8, node_mask, x_t, w1, w2)[2]
 
     def fwd(w1, w2):
-        if supports(g, n):
+        if supports(g, n, adj_i8.dtype):
             h1, sign, pooled = _tower_fwd_tpu(adj_i8, x_t, node_mask, w1, w2, compute_dtype=cd)
             return pooled, (h1, sign, w2)
         h1, h2, pooled = _tower_ref(adj_i8, node_mask, x_t, w1, w2)
@@ -570,7 +579,7 @@ def tower_pooled(
 
     def bwd(res, g_pool):
         h1, sign, w2 = res
-        if supports(g, n):
+        if supports(g, n, adj_i8.dtype):
             t2, t1 = _tower_bwd_tpu(adj_i8, g_pool, sign, h1, w2, compute_dtype=cd)
         else:
             u2 = jnp.repeat(g_pool, n, axis=1) * (sign > 0)

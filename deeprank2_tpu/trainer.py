@@ -482,6 +482,7 @@ class Trainer:
             elif diag_clustered:
                 if not hasattr(self, "_bs_caps"):
                     self._bs_caps = {}
+                dc_weighted = getattr(self.neuralnet, "diag_clustered_edge_weights", False)
                 if num_shards > 1:
                     from deeprank2_tpu.ops.batch import collate_graphs_diag_clustered_sharded
 
@@ -491,6 +492,7 @@ class Trainer:
                         num_shards,
                         per_shard,
                         pad_caps={k: self._blocksparse_bucket(f"dc_{k}") for k in ("nodes", "clusters", "c1", "members0s_s", "members1_s")},
+                        with_edge_weights=dc_weighted,
                     )
                 else:
                     from deeprank2_tpu.ops.batch import collate_graphs_diag_clustered
@@ -503,6 +505,7 @@ class Trainer:
                         pad_c1=self._blocksparse_bucket("dc_c1"),
                         pad_members0s=self._blocksparse_bucket("dc_members0s_s"),
                         pad_members1=self._blocksparse_bucket("dc_members1_s"),
+                        with_edge_weights=dc_weighted,
                     )
             elif blocksparse:
                 if not hasattr(self, "_bs_caps"):

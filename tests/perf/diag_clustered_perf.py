@@ -9,7 +9,7 @@ discipline: cluster-major 8-lane slots, graph-diagonal Pallas aggregation
 on both the full and the collate-precomputed pooled adjacency, and the
 slot-pool kernel for depth-0 community pooling.
 
-    python tests/perf/diag_clustered_perf.py [--batched] [--fout]
+    python tests/perf/diag_clustered_perf.py [--batched] [--fout | --sgat]
 
 Timing follows bench.py (scan-chained, data-dependent sync, best of three).
 """
@@ -70,22 +70,28 @@ def main() -> None:
     real_edges = 2 * sum(e["edge_index"].shape[0] for e in entries)
 
     fout = "--fout" in sys.argv
+    sgat = "--sgat" in sys.argv
+    label = "fout" if fout else "sgat" if sgat else "ginet"
     if batched:
         from deeprank2_tpu.neuralnets.gnn.foutnet import FoutNetDense
         from deeprank2_tpu.neuralnets.gnn.ginet_dense import GINetClusteredDense
+        from deeprank2_tpu.neuralnets.gnn.sgat import SGATDense
         from deeprank2_tpu.ops.batch import collate_graphs_dense
 
-        batch, _ = collate_graphs_dense(entries, with_clusters=True, with_diag_operands=False)
-        model = (FoutNetDense if fout else GINetClusteredDense)(feat_dim, 2, 1)
-        name, steps, calls = ("fout" if fout else "ginet") + "_clustered_dense_batched", 100, 2
+        batch, _ = collate_graphs_dense(entries, with_clusters=True, with_edge_weights=sgat, with_diag_operands=False)
+        cls = FoutNetDense if fout else SGATDense if sgat else GINetClusteredDense
+        model = cls(feat_dim, 2, 1)
+        name, steps, calls = label + "_clustered_dense_batched", 100, 2
     else:
         from deeprank2_tpu.neuralnets.gnn.foutnet import FoutNetDiag
         from deeprank2_tpu.neuralnets.gnn.ginet_dense import GINetClusteredDiag
+        from deeprank2_tpu.neuralnets.gnn.sgat import SGATDiag
         from deeprank2_tpu.ops.batch import collate_graphs_diag_clustered
 
-        batch, _ = collate_graphs_diag_clustered(entries)
-        model = (FoutNetDiag if fout else GINetClusteredDiag)(feat_dim, 2, 1)
-        name, steps, calls = ("fout" if fout else "ginet") + "_clustered_diag", 250, 2
+        batch, _ = collate_graphs_diag_clustered(entries, with_edge_weights=sgat)
+        cls = FoutNetDiag if fout else SGATDiag if sgat else GINetClusteredDiag
+        model = cls(feat_dim, 2, 1)
+        name, steps, calls = label + "_clustered_diag", 250, 2
 
     batch_d = jax.device_put(batch)
     params = model.init(jax.random.PRNGKey(0))

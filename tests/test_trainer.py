@@ -140,6 +140,11 @@ def test_diag_clustered_model(srv_hdf5, tmp_path) -> None:
 
     _train(FoutNetDiag, ds, tmp_path)
 
+    from deeprank2_tpu.neuralnets.gnn.sgat import SGATDiag
+
+    ds_sgat = GraphDataset(hdf5_path=srv_hdf5, target="binary", clustering_method="mcl", edge_features=["distance"])
+    _train(SGATDiag, ds_sgat, tmp_path)
+
 
 def test_foutnet(srv_hdf5, tmp_path) -> None:
     ds = GraphDataset(hdf5_path=srv_hdf5, target="binary", clustering_method="mcl")

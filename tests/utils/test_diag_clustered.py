@@ -4,25 +4,32 @@ import jax
 import numpy as np
 import pytest
 
+import numpy as _np
+
 from deeprank2_tpu.neuralnets.gnn.foutnet import FoutNet, FoutNetDiag
 from deeprank2_tpu.neuralnets.gnn.ginet import GINet
 from deeprank2_tpu.neuralnets.gnn.ginet_dense import GINetClusteredDiag
+from deeprank2_tpu.neuralnets.gnn.sgat import SGAT, SGATDiag
 from deeprank2_tpu.ops.batch import collate_graphs, collate_graphs_diag_clustered, diag_clustered_requirements
 from tests.utils.test_clustered_blocksparse import _clustered_entries
 
 
 @pytest.mark.parametrize(
-    ("diag_cls", "coo_cls"),
-    [(GINetClusteredDiag, GINet), (FoutNetDiag, FoutNet)],
+    ("diag_cls", "coo_cls", "weighted"),
+    [(GINetClusteredDiag, GINet, False), (FoutNetDiag, FoutNet, False), (SGATDiag, SGAT, True)],
 )
-def test_diag_clustered_matches_coo(diag_cls, coo_cls) -> None:
+def test_diag_clustered_matches_coo(diag_cls, coo_cls, weighted) -> None:
     entries = _clustered_entries(edge_dim=1)
     model_d = diag_cls(13, 2, 1)
     model_coo = coo_cls(13, 2, 1)
     params = model_d.init(jax.random.PRNGKey(0))
 
     coo_batch, _ = collate_graphs(entries, pad_graphs=4)
-    d_batch, names = collate_graphs_diag_clustered(entries, pad_graphs=4)
+    # f32 weight storage = the exact-oracle collate mode (bf16 storage error
+    # is bounded separately below)
+    d_batch, names = collate_graphs_diag_clustered(
+        entries, pad_graphs=4, with_edge_weights=weighted, weight_dtype=_np.float32 if weighted else None
+    )
     assert names[:3] == [f"cbs-{g}" for g in range(3)]
     assert d_batch.adj_i8.shape[1] % 8 == 0
 
@@ -83,6 +90,20 @@ def test_diag_clustered_collate_bookkeeping() -> None:
     assert batch2.c1_graph.shape[0] == req["c1"]
     assert req["members0s_s"] == batch2.members0s.shape[1]
     assert req["members1_s"] == batch2.members1.shape[1]
+
+
+def test_sgat_diag_bf16_storage_error() -> None:
+    """Production bf16 weighted-adjacency storage vs the f32-exact build:
+    stays inside the bf16 band (mirrors the weighted-BCSR test)."""
+    entries = _clustered_entries(edge_dim=1)
+    model = SGATDiag(13, 2, 1)
+    params = model.init(jax.random.PRNGKey(0))
+    exact, _ = collate_graphs_diag_clustered(entries, pad_graphs=4, with_edge_weights=True, weight_dtype=_np.float32)
+    prod, _ = collate_graphs_diag_clustered(entries, pad_graphs=4, with_edge_weights=True)
+    a = np.asarray(model.apply(params, exact, training=False))[:3]
+    b = np.asarray(model.apply(params, prod, training=False))[:3]
+    np.testing.assert_allclose(b, a, rtol=2e-2, atol=2e-2)
+    assert np.abs(b - a).max() > 0.0
 
 
 @pytest.mark.parametrize("pad_graphs", [3])
