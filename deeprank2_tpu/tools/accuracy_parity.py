@@ -532,7 +532,16 @@ def _outputs_to_metrics(task: str, outputs: np.ndarray, y: np.ndarray) -> dict:
 # Config runners
 # ---------------------------------------------------------------------------
 
-CONFIG_NAMES = ("vanilla_srv_regress", "ginet_ppi_classif", "ginet_clustered_bcsr_classif", "fout_atom_classif", "sgat_atom_classif", "cnn_grid_classif", "ginet_edgepart_ba")
+CONFIG_NAMES = (
+    "vanilla_srv_regress",
+    "ginet_ppi_classif",
+    "ginet_clustered_bcsr_classif",
+    "ginet_clustered_diag_classif",
+    "fout_atom_classif",
+    "sgat_atom_classif",
+    "cnn_grid_classif",
+    "ginet_edgepart_ba",
+)
 
 
 def _make_chunks(entries: list[dict], batch_size: int, grid: bool, clustered: bool) -> list[dict]:
@@ -835,6 +844,17 @@ def run_all(data_dir: Path, out_dir: Path, configs: list[str], epochs: int, fold
 
     GINetBSNoDropout.__name__ = "GINetClusteredBlockSparse"
 
+    from deeprank2_tpu.neuralnets.gnn.ginet_dense import GINetClusteredDiag
+
+    class GINetDiagNoDropout(GINetClusteredDiag):
+        """The graph-diagonal clustered FAST PATH (PPI scale) under the same
+        parity gate: trains through the Trainer's diag-clustered collation
+        (slot8 layout + slot-pool kernels) against the torch mirror."""
+
+        dropout = 0.0
+
+    GINetDiagNoDropout.__name__ = "GINetClusteredDiag"
+
     corpus = featurize_corpus(data_dir, out_dir / "corpus")
     reports = []
     std = lambda feats: {f: {"standardize": True} for f in feats}  # noqa: E731
@@ -865,6 +885,15 @@ def run_all(data_dir: Path, out_dir: Path, configs: list[str], epochs: int, fold
             run_trainer_config(
                 "ginet_clustered_bcsr_classif", corpus["ppi_residue"], out_dir,
                 model_cls=GINetBSNoDropout, mirror_kind="ginet", task="classif", target="binary",
+                epochs=epochs, batch_size=3, clustered=True, folds=folds,
+                dataset_kwargs={"node_features": ppi_feats, "features_transform": std(ppi_feats)},
+            )
+        )
+    if "ginet_clustered_diag_classif" in configs:
+        reports.append(
+            run_trainer_config(
+                "ginet_clustered_diag_classif", corpus["ppi_residue"], out_dir,
+                model_cls=GINetDiagNoDropout, mirror_kind="ginet", task="classif", target="binary",
                 epochs=epochs, batch_size=3, clustered=True, folds=folds,
                 dataset_kwargs={"node_features": ppi_feats, "features_transform": std(ppi_feats)},
             )
