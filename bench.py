@@ -310,11 +310,19 @@ def featurization_result() -> dict:
 
     from tests.perf.ppi_perf import run
 
-    files = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "data", "pdb", "1ATN", "*.pdb")))
+    from tests.perf.srv_perf import run as srv_run
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(root, "tests", "data", "pdb", "1ATN", "*.pdb")))
     graph = run(files)
     grid = run(files[:2], with_grid=True)
+    # SRV protocol (reference srv_perf.py:67-81): 10 A residue graphs around
+    # variant residues of the vendored 101M
+    srv_pdb = os.path.join(root, "tests", "data", "pdb", "101M", "101M.pdb")
+    srv_graph = srv_run(srv_pdb, [20, 25, 27, 64, 89, 101, 118, 136])
+    srv_grid = srv_run(srv_pdb, [20, 25, 27], with_grid=True)
     return {
-        "protocol": "atomic, 5.5A, 6 feature modules (reference ppi_perf)",
+        "protocol": "atomic, 5.5A, 6 feature modules (reference ppi_perf); SRV 10A residue (srv_perf)",
         "graph_s_per_structure": round(graph["time_mean_s"], 3),
         "graph_std_s": round(graph["time_std_s"], 3),
         "graph_mb_per_structure": round(graph["mb_mean"], 3),
@@ -323,6 +331,12 @@ def featurization_result() -> dict:
         "ref_graph_grid_s_per_structure": 11.35,
         "speedup_graph": round(2.99 / graph["time_mean_s"], 1),
         "speedup_graph_grid": round(11.35 / grid["time_mean_s"], 1),
+        "srv_graph_s_per_structure": round(srv_graph["time_mean_s"], 3),
+        "srv_graph_grid_s_per_structure": round(srv_grid["time_mean_s"], 3),
+        "ref_srv_graph_s_per_structure": 2.20,
+        "ref_srv_graph_grid_s_per_structure": 2.85,
+        "speedup_srv_graph": round(2.20 / srv_graph["time_mean_s"], 1),
+        "speedup_srv_graph_grid": round(2.85 / srv_grid["time_mean_s"], 1),
     }
 
 
