@@ -102,27 +102,48 @@ def _tree_max(h: jnp.ndarray) -> jnp.ndarray:
     return m
 
 
+def _contain(h, mask, vp):
+    """Zero lanes past the true width ``vp`` (None = the grid divides
+    evenly). The final ragged block reads past the array; whatever Pallas
+    fills there must not reach the selection matmuls — an uncontained NaN
+    would poison VALID columns through the 0-weight products."""
+    if vp is None:
+        return h, mask
+    idx = pl.program_id(0) * TILE + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+    live = idx < vp
+    return jnp.where(live, h, 0.0), jnp.where(live, mask, 0.0)
+
+
 @plain_matmul_precision
-def _fwd_kernel(h_ref, mask_ref, gsel_ref, exp_ref, pooled_ref, ties_ref):
-    h = h_ref[:]  # [fs, T] f32, padded lanes pre-zeroed by the model's mask
+def _fwd_kernel(h_ref, mask_ref, gsel_ref, exp_ref, pooled_ref, ties_ref, *, vp):
+    # h: [fs, T] f32, padded lanes pre-zeroed by the model's mask
+    h, mask = _contain(h_ref[:], mask_ref[:], vp)
     gsel = gsel_ref[:]
     pooled = _sel3(_tree_max(h), gsel)  # [fs, T/8], exact
     pooled_ref[:] = pooled
     # tie counts: compare h against its group max broadcast back over the
     # group (exact expansion), count valid equal lanes with one 0/1 matmul
     mb = _sel3(pooled, exp_ref[:])  # [fs, T], exact
-    eq = jnp.where(h == mb, 1.0, 0.0) * mask_ref[:]
+    eq = jnp.where(h == mb, 1.0, 0.0) * mask
     ties_ref[:] = _dot_nt(eq.astype(jnp.bfloat16), exp_ref[:])
 
 
 @plain_matmul_precision
-def _bwd_kernel(h_ref, mask_ref, pooled_ref, ties_ref, g_ref, exp_ref, dh_ref, *, fs):
-    h = h_ref[:]
-    gd = g_ref[:] / jnp.maximum(ties_ref[:], 1.0)
+def _bwd_kernel(h_ref, mask_ref, pooled_ref, ties_ref, g_ref, exp_ref, dh_ref, *, fs, vp):
+    h, mask = _contain(h_ref[:], mask_ref[:], vp)
+    pooled, gd = pooled_ref[:], g_ref[:] / jnp.maximum(ties_ref[:], 1.0)
+    if vp is not None:
+        # the compact-side blocks read past vp/8 on the final block too;
+        # their garbage would poison valid lanes through the expansion
+        # matmul's 0-weight products if it were NaN
+        cidx = pl.program_id(0) * (TILE // SLOT) + jax.lax.broadcasted_iota(jnp.int32, (1, TILE // SLOT), 1)
+        clive = cidx < vp // SLOT
+        pooled = jnp.where(clive, pooled, 0.0)
+        gd = jnp.where(clive, gd, 0.0)
     # one stacked expansion for (pooled, g/ties): pooled must be exact for
     # the winner compare; the three-term split costs nothing extra for gd
-    e = _sel3(jnp.concatenate([pooled_ref[:], gd], axis=0), exp_ref[:])
-    eq = jnp.where(h == e[:fs], 1.0, 0.0) * mask_ref[:]
+    e = _sel3(jnp.concatenate([pooled, gd], axis=0), exp_ref[:])
+    eq = jnp.where(h == e[:fs], 1.0, 0.0) * mask
     dh_ref[:] = eq * e[fs:]
 
 
@@ -136,8 +157,14 @@ def _consts(tile: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def supports(num_lanes: int) -> bool:
-    """Whether the TPU kernel covers this activation width."""
-    return effective_platform() == "tpu" and num_lanes % TILE == 0 and num_lanes > 0
+    """Whether the TPU kernel covers this activation width.
+
+    Any 8-lane-aligned width works: the grid rounds up and the final block
+    reads past the array. That is safe BECAUSE ``num_lanes % 8 == 0`` — no
+    slot straddles the boundary, so out-of-bounds garbage only feeds slot
+    columns ``>= num_lanes/8``, whose output stores Pallas masks off (and
+    whose slots no member matrix references)."""
+    return effective_platform() == "tpu" and num_lanes % SLOT == 0 and num_lanes > 0
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -148,9 +175,9 @@ def _slot_fwd_tpu(h_t, mask_row, *, interpret=False):
         h_t = jnp.pad(h_t, ((0, pad_f), (0, 0)))
     fs = feat + pad_f
     gsel, exp = _consts(TILE)
-    grid = (vp // TILE,)
+    grid = (-(-vp // TILE),)  # ceil: the final block may read past vp (contained in-kernel)
     pooled, ties = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, vp=vp if vp % TILE else None),
         grid=grid,
         in_specs=[
             pl.BlockSpec((fs, TILE), lambda i: (0, i)),
@@ -183,8 +210,8 @@ def _slot_bwd_tpu(h_t, mask_row, pooled, ties, g, *, interpret=False):
     fs = feat + pad_f
     _, exp = _consts(TILE)
     dh = pl.pallas_call(
-        functools.partial(_bwd_kernel, fs=fs),
-        grid=(vp // TILE,),
+        functools.partial(_bwd_kernel, fs=fs, vp=vp if vp % TILE else None),
+        grid=(-(-vp // TILE),),
         in_specs=[
             pl.BlockSpec((fs, TILE), lambda i: (0, i)),
             pl.BlockSpec((1, TILE), lambda i: (0, i)),

@@ -75,3 +75,20 @@ def test_interpret_shapes(feat):
     p = slot_group_max(h, mask_row, interpret=True)
     ref, _ = _xla_fwd(h, mask_row)
     np.testing.assert_array_equal(np.asarray(p), np.asarray(ref))
+
+
+@pytest.mark.parametrize("vp", [TILE + 512, 3 * TILE - 8])
+def test_interpret_ragged_width(vp):
+    """Widths that do not divide the 1024-lane block: the final block reads
+    past the array; containment must keep outputs and gradients exact."""
+    h, mask_row = _case(vp=vp)
+    ref_p, _ = _xla_fwd(h, mask_row)
+    p = slot_group_max(h, mask_row, interpret=True)
+    np.testing.assert_array_equal(np.asarray(p), np.asarray(ref_p))
+
+    import jax
+
+    w = jnp.asarray(np.random.default_rng(1).standard_normal(ref_p.shape).astype(np.float32))
+    g_int = jax.grad(lambda x: (slot_group_max(x, mask_row, interpret=True) * w).sum())(h)
+    g_ref = jax.grad(lambda x: (slot_group_max(x, mask_row) * w).sum())(h)
+    np.testing.assert_array_equal(np.asarray(g_int), np.asarray(g_ref))
