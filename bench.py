@@ -237,64 +237,128 @@ def blocked_result(num_nodes: int = 100_000) -> dict:
 
 
 def clustered_result(num_nodes: int = 100_000) -> dict:
-    """GINetClusteredBlockSparse (community-pooling fast path) train step —
-    full graph + depth-0-pooled graph both on BCSR, scatter-free member-max
-    pooling. The COO twin measured 4.6M edges/s on this graph
-    (tests/perf/clustered_bcsr_perf.py --coo)."""
+    """Clustered (community-pooling) fast-path train steps at atomic scale —
+    full graph + depth-0-pooled graph both on BCSR, Pallas slot8 pooling —
+    for the whole model family: GINetClusteredBlockSparse, FoutNetBlockSparse,
+    SGATBlockSparse. The COO twins measured 4.4-5.9M edges/s on this graph
+    (tests/perf/clustered_bcsr_perf.py --coo). GINet's numbers stay at the
+    top level (round-over-round continuity); each model also gets its own
+    sub-object so regressions in any family member are driver-visible."""
     import jax
 
-    from deeprank2_tpu.neuralnets.gnn.clustered_blocksparse import GINetClusteredBlockSparse
+    from deeprank2_tpu.neuralnets.gnn.clustered_blocksparse import (
+        FoutNetBlockSparse,
+        GINetClusteredBlockSparse,
+        SGATBlockSparse,
+    )
     from deeprank2_tpu.ops.batch import collate_graphs_blocksparse_clustered
     from tests.perf.clustered_bcsr_perf import clustered_entry
 
     feat_dim, edge_dim = 38, 1
     entry = clustered_entry(num_nodes, feat_dim, edge_dim)
     real_edges = 2 * entry["edge_index"].shape[0]
-    # slot8 = the production layout (cluster-major 8-lane slots + Pallas
-    # slot pooling — what Trainer collates for these models)
-    batch, _ = collate_graphs_blocksparse_clustered([entry], slot8=True)
-    batch = jax.device_put(batch)
 
-    step_s = _measure(GINetClusteredBlockSparse(feat_dim, 2, edge_dim), batch, steps_per_call=250, calls=2)
-    # adjacency-stream roofline (full + pooled block streams, read twice —
-    # fwd + symmetric-VJP bwd; the slot8 layout carries ~+10 % blocks vs the
-    # unslotted order and the bound prices the REAL stream). The residual is
-    # the slot pool kernels (~0.14 ms) + slot member combine + glue,
-    # decomposed in ROADMAP round 4
-    adj_bytes = 2 * (batch.structure.blocks_t.nbytes + batch.structure_p.blocks_t.nbytes)
-    bound_s = adj_bytes / 819e9
-    return {
-        "num_nodes": num_nodes,
-        "edges_per_s": round(real_edges / step_s, 1),
-        "step_ms": round(step_s * 1e3, 3),
-        "adj_stream_bound_ms": round(bound_s * 1e3, 3),
-        "pct_of_adj_stream_bound": round(100.0 * bound_s / step_s, 1),
-    }
+    out: dict = {"num_nodes": num_nodes}
+    for key, cls in (
+        ("ginet", GINetClusteredBlockSparse),
+        ("foutnet", FoutNetBlockSparse),
+        ("sgat", SGATBlockSparse),
+    ):
+        # slot8 = the production layout (cluster-major 8-lane slots + Pallas
+        # slot pooling — what Trainer collates for these models); sGAT's
+        # weighted adjacency carries the edge scalar per cell (bf16 blocks)
+        weighted = getattr(cls, "clustered_blocksparse_edge_weights", False)
+        batch, _ = collate_graphs_blocksparse_clustered([entry], with_edge_weights=weighted, slot8=True)
+        batch = jax.device_put(batch)
+        step_s = _measure(cls(feat_dim, 2, edge_dim), batch, steps_per_call=250, calls=2)
+        # adjacency-stream roofline (full + pooled block streams, read twice
+        # — fwd + symmetric-VJP bwd; the slot8 layout carries ~+10 % blocks
+        # vs the unslotted order and the bound prices the REAL stream)
+        adj_bytes = 2 * (batch.structure.blocks_t.nbytes + batch.structure_p.blocks_t.nbytes)
+        bound_s = adj_bytes / 819e9
+        out[key] = {
+            "edges_per_s": round(real_edges / step_s, 1),
+            "step_ms": round(step_s * 1e3, 3),
+            "adj_stream_bound_ms": round(bound_s * 1e3, 3),
+            "pct_of_adj_stream_bound": round(100.0 * bound_s / step_s, 1),
+        }
+    out.update(out["ginet"])
+    return out
 
 
 def clustered_ppi_result() -> dict:
-    """GINetClusteredDiag — the clustered (community-pooling) GINet at PPI
-    scale (512 graphs x 160 nodes) on the graph-diagonal + slot-pool
-    machinery. The batched dense clustered formulation measures ~10.5 ms on
-    this batch (G*N-row scatters, tests/perf/diag_clustered_perf.py
-    --batched); this path replaces every scatter with slot-aligned kernels."""
+    """The clustered model family at PPI scale (512 graphs x 160 nodes) on
+    the graph-diagonal + slot-pool machinery: GINetClusteredDiag,
+    FoutNetDiag, SGATDiag. The batched dense clustered formulations measure
+    ~10.0-10.6 ms on this batch (G*N-row scatters — recorded round-4
+    measurements, tests/perf/diag_clustered_perf.py --batched); these paths
+    replace every scatter with slot-aligned kernels. GINet's numbers stay at
+    the top level (continuity), each model gets a sub-object."""
     import jax
 
+    from deeprank2_tpu.neuralnets.gnn.foutnet import FoutNetDiag
     from deeprank2_tpu.neuralnets.gnn.ginet_dense import GINetClusteredDiag
+    from deeprank2_tpu.neuralnets.gnn.sgat import SGATDiag
     from deeprank2_tpu.ops.batch import collate_graphs_diag_clustered
     from tests.perf.diag_clustered_perf import ppi_clustered_entries
 
     feat_dim = 38
     entries = ppi_clustered_entries(feat_dim=feat_dim)
     real_edges = 2 * sum(e["edge_index"].shape[0] for e in entries)
-    batch, _ = collate_graphs_diag_clustered(entries)
-    batch = jax.device_put(batch)
-    step_s = _measure(GINetClusteredDiag(feat_dim, 2, 1), batch, steps_per_call=250, calls=2)
+
+    # recorded round-4 batched-dense measurements per model (the formulation
+    # these fast paths replace), tests/perf/diag_clustered_perf.py --batched
+    batched_ref_ms = {"ginet": 10.58, "foutnet": 10.04, "sgat": 10.14}
+    out: dict = {"num_graphs": len(entries)}
+    for key, cls in (("ginet", GINetClusteredDiag), ("foutnet", FoutNetDiag), ("sgat", SGATDiag)):
+        weighted = key == "sgat"
+        batch, _ = collate_graphs_diag_clustered(entries, with_edge_weights=weighted)
+        batch = jax.device_put(batch)
+        step_s = _measure(cls(feat_dim, 2, 1), batch, steps_per_call=250, calls=2)
+        out[key] = {
+            "edges_per_s": round(real_edges / step_s, 1),
+            "step_ms": round(step_s * 1e3, 3),
+            "batched_dense_step_ms_r4": batched_ref_ms[key],
+        }
+    out.update(out["ginet"])
+    return out
+
+
+def cnn_result(batch_size: int = 128) -> dict:
+    """CnnClassification train step (reference grid protocol: 35x30x30 boxes,
+    33 mapped features) against its HBM-stream floor.
+
+    Why HBM is the honest floor (the blocked_decompose discipline — price
+    the binding constraint, not a convenient one): the conv stack does ~7
+    MACs per streamed byte (conv1: 1056 MACs per 132-byte input column),
+    far below the v5e ridge (~120 MACs/byte at bf16 peak), so an ideal
+    kernel is bandwidth-bound; the MAC term at peak is ~0.1 ms vs the
+    ~1.6 ms stream. The floor prices each tensor crossing HBM once per use
+    (x read fwd + once more for conv1's weight-grad; h1 written fwd and
+    read/written through the pool backward and weight-grad; conv2/pool2/FC
+    terms analogous, all small). XLA's actual conv3d lowering is
+    compute-limited at C_out=4/5 (~6 % MXU utilization — round-4 profile,
+    tests/perf/cnn_perf.py), which is what the gap to 100 % is made of."""
+    import jax
+
+    from deeprank2_tpu.neuralnets.cnn.model3d import CnnClassification
+    from tests.perf.cnn_perf import cnn_hbm_floor_bytes, grid_batch
+    from tests.perf.sol_perf import DEFAULT_PEAK_GBPS, PEAK_HBM_GBPS
+
+    num_features, box = 33, (35, 30, 30)
+    batch = jax.device_put(grid_batch(batch_size, num_features, box))
+    step_s = _measure(CnnClassification(num_features, box), batch, steps_per_call=50, calls=4)
+    device = jax.devices()[0]
+    peak = PEAK_HBM_GBPS.get(getattr(device, "device_kind", ""), DEFAULT_PEAK_GBPS)
+    floor_s = cnn_hbm_floor_bytes(batch_size, num_features, box) / (peak * 1e9)
     return {
-        "num_graphs": 512,
-        "edges_per_s": round(real_edges / step_s, 1),
+        "batch_size": batch_size,
+        "box": list(box),
+        "num_features": num_features,
+        "grids_per_s": round(batch_size / step_s, 1),
         "step_ms": round(step_s * 1e3, 3),
-        "batched_dense_step_ms_ref": 10.5,
+        "hbm_floor_ms": round(floor_s * 1e3, 3),
+        "pct_of_hbm_floor": round(100.0 * floor_s / step_s, 1),
     }
 
 
@@ -351,6 +415,7 @@ def main() -> None:
     blocked = blocked_result()
     clustered = clustered_result()
     clustered_ppi = clustered_ppi_result()
+    cnn = cnn_result()
     featurization = featurization_result()
     print(
         json.dumps(
@@ -369,6 +434,7 @@ def main() -> None:
                 "blocked": blocked,
                 "clustered": clustered,
                 "clustered_ppi": clustered_ppi,
+                "cnn": cnn,
                 "featurization": featurization,
             }
         )

@@ -326,8 +326,9 @@ def collate_graphs_dense(
             adj[g, und[:, 1], und[:, 0]] = 1.0
             if with_edge_weights:
                 ea = np.asarray(entry["edge_attr"], dtype=np.float32).reshape(len(und), -1)[:, 0]
-                adj_w[g, und[:, 0], und[:, 1]] = ea
-                adj_w[g, und[:, 1], und[:, 0]] = ea
+                # coalesce parity: duplicate pairs SUM their weights
+                np.add.at(adj_w[g], (und[:, 0], und[:, 1]), ea)
+                np.add.at(adj_w[g], (und[:, 1], und[:, 0]), ea)
         if with_clusters:
             c0 = np.asarray(entry["cluster0"], dtype=np.int32)
             c1 = np.asarray(entry["cluster1"], dtype=np.int32)
@@ -807,17 +808,21 @@ def collate_graphs_diag_clustered(
             adj_p[g, cj[keep], ci[keep]] = 1
             if with_edge_weights:
                 ea = np.asarray(entry["edge_attr"], dtype=np.float32).reshape(len(und), -1)[:, 0]
-                adj_w[g, pi, pj] = ea
-                adj_w[g, pj, pi] = ea
-                # coalesce parity: duplicate cluster pairs SUM their weights
+                # coalesce parity: duplicate pairs SUM their weights (node
+                # level too, matching the pooled side below)
+                np.add.at(adj_w[g], (pi, pj), ea)
+                np.add.at(adj_w[g], (pj, pi), ea)
                 np.add.at(adj_wp[g], (ci[keep], cj[keep]), ea[keep])
                 np.add.at(adj_wp[g], (cj[keep], ci[keep]), ea[keep])
         sc = plan["slot_col"]  # local pooled id per slot, -1 = padding
         base = g * n_cap // 8
         slot_cluster[base : base + len(sc)] = np.where(sc >= 0, sc + g * k_cap, num_graphs * k_cap)
-        pooled_mask[g, :n_c0] = True
+        # a gapped cluster0 id would make a zero-member pooled slot; mask it
+        # (and keep it out of the depth-1 mean) like the COO path's counts>0
+        valid0 = (np.bincount(c0, minlength=max(n_c0, 1))[:n_c0] > 0)[p_order] if c0.size else np.ones(n_c0, bool)
+        pooled_mask[g, :n_c0] = valid0
         # pooled slot j holds cluster p_order[j]; its depth-1 id offsets in
-        cluster1_g[g * k_cap : g * k_cap + n_c0] = c1[p_order] + c1_off
+        cluster1_g[g * k_cap : g * k_cap + n_c0] = np.where(valid0, c1[p_order] + c1_off, -1)
         cg = np.full(n_c1, -1, dtype=np.int64)
         if c1.size:
             cg[np.unique(c1)] = g

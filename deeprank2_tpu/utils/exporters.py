@@ -1,43 +1,51 @@
-"""Pluggable epoch-level output exporters (reference: deeprank2/utils/exporters.py).
+"""Epoch-granular training-output sinks (behavior parity with the reference
+plugin surface, deeprank2/utils/exporters.py:16-336).
 
-Same plugin surface: ``process(pass_name, epoch_number, entry_names,
-output_values, target_values, loss)`` per epoch, compatibility validation
-against output/target shapes, and the same three built-ins (HDF5, TensorBoard
-binary-classification metrics, scatter plots). Metrics are computed with
-numpy/sklearn instead of torch.
+An exporter receives, once per pass per epoch, the tuple ``(pass_name,
+epoch_number, entry_names, output_values, target_values, loss)`` and may do
+anything with it; the Trainer validates each exporter against the model's
+output/target shapes up front (``is_compatible_with``) and drives the
+collection as a context manager around ``train``/``test``. Three built-ins
+ship, matching the reference set:
 
-The HDF5 exporter writes with h5py directly (pandas ``to_hdf`` needs pytables,
-which is not a dependency here); :meth:`HDF5OutputExporter.read` returns the
-same per-phase DataFrame users would get from ``pd.read_hdf``.
+- :class:`HDF5OutputExporter` — every datapoint into one HDF5 file, pandas-
+  readable via :meth:`HDF5OutputExporter.read`. Written with h5py directly
+  (pandas ``to_hdf`` would pull in pytables, which this repo does not carry).
+- :class:`TensorboardBinaryClassificationExporter` — per-epoch cross
+  entropy, MCC, accuracy and ROC AUC scalars, computed in numpy/sklearn
+  rather than torch.
+- :class:`ScatterPlotExporter` — truth-vs-prediction scatter images on a
+  configurable epoch interval.
 """
 
 from __future__ import annotations
 
-import logging
+import math
 import os
 import random
-from math import sqrt
 
 import numpy as np
 
-_log = logging.getLogger(__name__)
+DEFAULT_OUTPUT_DIR = "./output"
 
 
 class OutputExporter:
-    """General exporter called whenever the network produces outputs."""
+    """Base sink: owns an output directory, defines the plugin hooks.
 
-    def __init__(self, directory_path: str | None = None):
-        if directory_path is None:
-            directory_path = "./output"
-        self._directory_path = directory_path
-        if not os.path.exists(self._directory_path):
-            os.makedirs(self._directory_path)
+    Subclasses override :meth:`process` (and usually
+    :meth:`is_compatible_with`); the context-manager hooks bracket a whole
+    train/test run so sinks can hold state across epochs.
+    """
+
+    def __init__(self, directory_path: str | None = None) -> None:
+        self._directory_path = DEFAULT_OUTPUT_DIR if directory_path is None else directory_path
+        os.makedirs(self._directory_path, exist_ok=True)
 
     def __enter__(self):
         return self
 
-    def __exit__(self, exception_type, exception, traceback):
-        """Overridable."""
+    def __exit__(self, *exc_info) -> None:
+        pass
 
     def process(
         self,
@@ -48,145 +56,157 @@ class OutputExporter:
         target_values: list,
         loss: float,
     ) -> None:
-        """The entry_names, output_values, target_values MUST have the same length."""
+        """Consume one pass's worth of per-entry outputs (the three lists are
+        index-aligned and equally long)."""
 
     def is_compatible_with(self, output_data_shape: int, target_data_shape: int | None = None) -> bool:  # noqa: ARG002
-        """True if this exporter can work with the given data shapes."""
+        """Whether this sink can handle the model's output/target widths."""
         return True
 
 
 class OutputExporterCollection:
-    """Runs several exporters at once."""
+    """Fans every hook out to a set of exporters."""
 
-    def __init__(self, *args: OutputExporter):
-        self._output_exporters = args
+    def __init__(self, *exporters: OutputExporter) -> None:
+        self._exporters = exporters
 
     def __enter__(self):
-        for output_exporter in self._output_exporters:
-            output_exporter.__enter__()
+        for ex in self._exporters:
+            ex.__enter__()
         return self
 
-    def __exit__(self, exception_type, exception, traceback):
-        for output_exporter in self._output_exporters:
-            output_exporter.__exit__(exception_type, exception, traceback)
+    def __exit__(self, *exc_info) -> None:
+        for ex in self._exporters:
+            ex.__exit__(*exc_info)
 
-    def process(self, *args) -> None:
-        for output_exporter in self._output_exporters:
-            output_exporter.process(*args)
+    def process(self, *epoch_args) -> None:
+        for ex in self._exporters:
+            ex.process(*epoch_args)
 
     def __iter__(self):
-        return iter(self._output_exporters)
+        return iter(self._exporters)
+
+
+def binary_classification_metrics(outputs: np.ndarray, targets: np.ndarray) -> dict[str, float]:
+    """Epoch metrics for 2-class probability outputs: cross entropy, MCC,
+    accuracy, and (when both classes are present) ROC AUC.
+
+    The trainer exports softmax probabilities, so cross entropy re-logs them
+    (renormalized — torch ``CrossEntropyLoss`` parity on logits that were
+    already softmaxed). MCC follows the reference's convention of emitting
+    0 when the numerator vanishes and nothing at all when only the
+    denominator does (deeprank2/utils/exporters.py:134-151).
+    """
+    n = targets.shape[0]
+    logp = np.log(np.clip(outputs, 1e-12, None))
+    logp -= np.log(np.exp(logp).sum(axis=1, keepdims=True))
+    metrics = {"cross entropy loss": float(-logp[np.arange(n), targets].mean())}
+
+    predicted = outputs.argmax(axis=1)
+    # confusion counts: index = 2*truth + prediction
+    cm = np.bincount(2 * (targets > 0) + (predicted > 0), minlength=4)
+    tn, fp, fn, tp = (int(c) for c in cm)
+    mcc_num = tn * tp - fp * fn
+    if mcc_num == 0:
+        metrics["MCC"] = 0.0
+    else:
+        mcc_den = math.sqrt((tn + fn) * (fp + tp) * (tn + fp) * (fn + tp))
+        if mcc_den != 0:
+            metrics["MCC"] = mcc_num / mcc_den
+    metrics["accuracy"] = (tp + tn) / max(n, 1)
+
+    if np.unique(targets).shape[0] == 2:  # noqa: PLR2004
+        import sklearn.metrics as skm
+
+        metrics["ROC AUC"] = float(skm.roc_auc_score(targets, outputs[:, 1]))
+    return metrics
 
 
 class TensorboardBinaryClassificationExporter(OutputExporter):
-    """TensorBoard metrics for binary classification: cross entropy, MCC,
-    accuracy, ROC AUC per epoch."""
+    """Binary-classification scalars (cross entropy / MCC / accuracy /
+    ROC AUC) into a TensorBoard event file, one point per epoch per pass."""
 
-    def __init__(self, directory_path: str):
+    def __init__(self, directory_path: str) -> None:
         super().__init__(directory_path)
-        from torch.utils.tensorboard import SummaryWriter
+        from torch.utils import tensorboard
 
-        self._writer = SummaryWriter(log_dir=directory_path)
+        self._writer = tensorboard.SummaryWriter(log_dir=directory_path)
 
     def __enter__(self):
         self._writer.__enter__()
         return self
 
-    def __exit__(self, exception_type, exception, traceback):
-        self._writer.__exit__(exception_type, exception, traceback)
+    def __exit__(self, *exc_info) -> None:
+        self._writer.__exit__(*exc_info)
 
     def process(
         self,
         pass_name: str,
         epoch_number: int,
-        entry_names: list[str],
+        entry_names: list[str],  # noqa: ARG002
         output_values: list,
         target_values: list,
         loss: float,  # noqa: ARG002
     ) -> None:
-        """Write classification metrics to tensorboard."""
-        outputs = np.asarray(output_values, dtype=np.float64)  # [N, 2] probabilities
-        target = np.asarray(target_values, dtype=np.int64)
-
-        # cross entropy on the probability outputs (torch parity: the trainer
-        # exports softmax probabilities, so re-log them)
-        logp = np.log(np.clip(outputs, 1e-12, None))
-        logp = logp - np.log(np.sum(np.exp(logp), axis=1, keepdims=True))
-        ce_loss = float(np.mean(-logp[np.arange(len(target)), target]))
-        self._writer.add_scalar(f"{pass_name} cross entropy loss", ce_loss, epoch_number)
-
-        probabilities = outputs[:, 1]
-        predictions = np.argmax(outputs, axis=1)
-        tp = int(np.sum((predictions > 0) & (target > 0)))
-        tn = int(np.sum((predictions <= 0) & (target <= 0)))
-        fp = int(np.sum((predictions > 0) & (target <= 0)))
-        fn = int(np.sum((predictions <= 0) & (target > 0)))
-
-        mcc_numerator = tn * tp - fp * fn
-        if mcc_numerator == 0:
-            self._writer.add_scalar(f"{pass_name} MCC", 0.0, epoch_number)
-        else:
-            mcc_denominator = sqrt((tn + fn) * (fp + tp) * (tn + fp) * (fn + tp))
-            if mcc_denominator != 0:
-                self._writer.add_scalar(f"{pass_name} MCC", mcc_numerator / mcc_denominator, epoch_number)
-
-        accuracy = (tp + tn) / max(tp + tn + fp + fn, 1)
-        self._writer.add_scalar(f"{pass_name} accuracy", accuracy, epoch_number)
-
-        if len(set(target.tolist())) == 2:  # noqa: PLR2004
-            from sklearn.metrics import roc_auc_score
-
-            roc_auc = roc_auc_score(target, probabilities)
-            self._writer.add_scalar(f"{pass_name} ROC AUC", roc_auc, epoch_number)
+        metrics = binary_classification_metrics(
+            np.asarray(output_values, dtype=np.float64),
+            np.asarray(target_values, dtype=np.int64),
+        )
+        for tag, value in metrics.items():
+            self._writer.add_scalar(f"{pass_name} {tag}", value, epoch_number)
 
     def is_compatible_with(self, output_data_shape: int, target_data_shape: int | None = None) -> bool:
-        """Binary classification: two-dimensional output, scalar target."""
-        return output_data_shape == 2 and target_data_shape == 1  # noqa: PLR2004
+        """Two-class probability rows against scalar class targets."""
+        return (output_data_shape, target_data_shape) == (2, 1)
+
+
+# fixed pass-name -> plot color assignment; anything unrecognized draws from
+# the fallback pool
+_SERIES_COLORS = {
+    "train": "blue",
+    "training": "blue",
+    "eval": "red",
+    "valid": "red",
+    "validation": "red",
+    "test": "green",
+    "testing": "green",
+}
+_FALLBACK_COLORS = ("yellow", "cyan", "magenta")
 
 
 class ScatterPlotExporter(OutputExporter):
-    """Scatter plots of target (x) vs output (y), every ``epoch_interval`` epochs."""
+    """Per-epoch truth(x)-vs-prediction(y) scatter images, redrawn with every
+    pass so one PNG accumulates all passes of its epoch."""
 
-    def __init__(self, directory_path: str, epoch_interval: int = 1):
+    def __init__(self, directory_path: str, epoch_interval: int = 1) -> None:
         super().__init__(directory_path)
-        self._epoch_interval = epoch_interval
+        self._every = epoch_interval
 
     def __enter__(self):
-        self._plot_data = {}
+        self._series: dict[int, dict[str, tuple]] = {}
         return self
 
-    def __exit__(self, exception_type, exception, traceback):
-        self._plot_data.clear()
+    def __exit__(self, *exc_info) -> None:
+        self._series.clear()
 
     def get_filename(self, epoch_number: int) -> str:
-        """Path of the plot image for one epoch."""
+        """Path of this epoch's scatter image."""
         return os.path.join(self._directory_path, f"scatter-{epoch_number}.png")
 
-    @staticmethod
-    def _get_color(pass_name: str) -> str:
-        pass_name = pass_name.lower().strip()
-        if pass_name in ("train", "training"):
-            return "blue"
-        if pass_name in ("eval", "valid", "validation"):
-            return "red"
-        if pass_name in ("test", "testing"):
-            return "green"
-        return random.choice(["yellow", "cyan", "magenta"])  # noqa: S311
-
-    @staticmethod
-    def _plot(epoch_number: int, data: dict, png_path: str) -> None:
+    def _draw(self, epoch_number: int) -> None:
         import matplotlib
 
         matplotlib.use("Agg")
-        from matplotlib import pyplot as plt
+        import matplotlib.pyplot as plt
 
         plt.title(f"Epoch {epoch_number}")
-        for pass_name, (truth_values, prediction_values) in data.items():
-            plt.scatter(truth_values, prediction_values, color=ScatterPlotExporter._get_color(pass_name), label=pass_name)
+        for series_name, (truths, predictions) in self._series[epoch_number].items():
+            color = _SERIES_COLORS.get(series_name.lower().strip()) or random.choice(_FALLBACK_COLORS)  # noqa: S311
+            plt.scatter(truths, predictions, color=color, label=series_name)
         plt.xlabel("truth")
         plt.ylabel("prediction")
         plt.legend()
-        plt.savefig(png_path)
+        plt.savefig(self.get_filename(epoch_number))
         plt.close()
 
     def process(
@@ -198,24 +218,21 @@ class ScatterPlotExporter(OutputExporter):
         target_values: list,
         loss: float,  # noqa: ARG002
     ) -> None:
-        """Store + redraw the plot if the epoch matches the interval."""
-        if epoch_number % self._epoch_interval == 0:
-            if epoch_number not in self._plot_data:
-                self._plot_data[epoch_number] = {}
-            self._plot_data[epoch_number][pass_name] = (target_values, output_values)
-            self._plot(epoch_number, self._plot_data[epoch_number], self.get_filename(epoch_number))
+        if epoch_number % self._every == 0:
+            self._series.setdefault(epoch_number, {})[pass_name] = (target_values, output_values)
+            self._draw(epoch_number)
 
     def is_compatible_with(self, output_data_shape: int, target_data_shape: int | None = None) -> bool:
-        """Regression only: scalar outputs and targets."""
-        return output_data_shape == 1 and target_data_shape == 1
+        """Scalar regression outputs against scalar targets."""
+        return (output_data_shape, target_data_shape) == (1, 1)
 
 
 class HDF5OutputExporter(OutputExporter):
-    """Saves every data point (phase, epoch, entry, output, target, loss) to
-    ``output_exporter.hdf5`` — the most general exporter; read back with
-    :meth:`read` into a pandas DataFrame."""
+    """The default, most general sink: every (phase, epoch, entry, output,
+    target, loss) datapoint lands in ``output_exporter.hdf5``, grouped by
+    phase, and reads back as a pandas DataFrame via :meth:`read`."""
 
-    def __init__(self, directory_path: str):
+    def __init__(self, directory_path: str) -> None:
         self.phase = None
         super().__init__(directory_path)
 
@@ -223,11 +240,11 @@ class HDF5OutputExporter(OutputExporter):
         self._rows: list[tuple] = []
         return self
 
-    def __exit__(self, exception_type, exception, traceback):
+    def __exit__(self, *exc_info) -> None:
         if self.phase is not None:
-            if self.phase == "validation":
-                self.phase = "training"
-            self._flush(self.phase)
+            # train+validation runs flush under "training" (reference quirk:
+            # both passes share the table keyed by the final training phase)
+            self._flush("training" if self.phase == "validation" else self.phase)
 
     @property
     def path(self) -> str:
@@ -250,17 +267,11 @@ class HDF5OutputExporter(OutputExporter):
             outputs = [np.atleast_1d(np.asarray(r[3], dtype=np.float64)) for r in rows]
             width = max((o.shape[0] for o in outputs), default=1)
             grp.create_dataset("output", data=np.stack([np.pad(o, (0, width - o.shape[0])) for o in outputs]) if rows else np.zeros((0, 1)))
-            grp.create_dataset(
-                "target",
-                data=np.array([np.nan if r[4] is None else float(r[4]) for r in rows], dtype=np.float64),
-            )
-            grp.create_dataset(
-                "loss",
-                data=np.array([np.nan if r[5] is None else float(r[5]) for r in rows], dtype=np.float64),
-            )
+            for col, idx in (("target", 4), ("loss", 5)):
+                grp.create_dataset(col, data=np.array([np.nan if r[idx] is None else float(r[idx]) for r in rows], dtype=np.float64))
 
     def read(self, phase: str):
-        """Read one phase back as a pandas DataFrame (columns like the reference's)."""
+        """One phase back as a DataFrame (reference column layout)."""
         import h5py
         import pandas as pd
 
@@ -287,7 +298,6 @@ class HDF5OutputExporter(OutputExporter):
         target_values: list,
         loss: float,
     ) -> None:
-        """Append this epoch's rows."""
         self.phase = pass_name
         for name, output, target in zip(entry_names, output_values, target_values):
             self._rows.append((pass_name, epoch_number, name, output, target, loss))

@@ -117,3 +117,48 @@ def test_diag_clustered_padded_graphs_inert(pad_graphs) -> None:
     a = np.asarray(model.apply(params, tight, training=False))[:2]
     b = np.asarray(model.apply(params, padded, training=False))[:2]
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+
+
+def test_diag_clustered_gapped_cluster0_ids() -> None:
+    """A cluster0 id with zero members (gapped ids) must not create a live
+    phantom pooled slot: its pooled_mask entry stays False and it is kept out
+    of the depth-1 mean (COO parity — the COO path's counts>0 masking makes
+    empty clusters inert there)."""
+    entries = _clustered_entries(num_graphs=2, sizes=(150, 90))
+    # gap the ids: shift every cluster0 id >= 1 up by one, so id 1 is empty
+    for e in entries:
+        c0 = np.asarray(e["cluster0"], dtype=np.int64)
+        c0 = np.where(c0 >= 1, c0 + 1, c0)
+        n_c0 = int(c0.max()) + 1
+        c1 = np.asarray(e["cluster1"], dtype=np.int64)
+        # cluster1 must have one entry per depth-0 id incl. the empty one
+        c1g = np.zeros(n_c0, dtype=np.int64)
+        c1g[np.unique(c0)] = c1
+        c1g[1] = c1[0]  # phantom cluster points at a real depth-1 id
+        e["cluster0"] = c0.astype(np.int32)
+        e["cluster1"] = c1g.astype(np.int32)
+
+    batch, _ = collate_graphs_diag_clustered(entries, pad_graphs=2)
+    pm = np.asarray(batch.pooled_mask)
+    sc = np.asarray(batch.slot_cluster)
+    k_cap = pm.shape[1]
+    c1_cap = batch.c1_graph.shape[0]
+    for g, e in enumerate(entries):
+        n_c0 = int(np.asarray(e["cluster0"]).max()) + 1
+        # exactly the populated ids are live
+        assert pm[g].sum() == n_c0 - 1
+        # the masked-off slot has no member slots and is OOB in cluster1
+        dead = np.nonzero(~pm[g][:n_c0])[0]
+        assert dead.shape[0] == 1
+        dead_global = g * k_cap + dead[0]
+        assert not np.any(sc == dead_global)
+        assert np.asarray(batch.cluster1)[dead_global] == c1_cap
+
+    # the model still matches the COO oracle on the gapped clustering
+    model_d = GINetClusteredDiag(13, 2, 1)
+    model_coo = GINet(13, 2, 1)
+    params = model_d.init(jax.random.PRNGKey(0))
+    coo_batch, _ = collate_graphs(entries, pad_graphs=2)
+    want = np.asarray(model_coo.apply(params, coo_batch, training=False))[:2]
+    got = np.asarray(model_d.apply(params, batch, training=False))[:2]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
