@@ -123,14 +123,17 @@ class GINetClusteredBlockSparse(_ClusteredBlockSparseBase):
     def apply(self, params: dict, batch: ClusteredBlockSparseBatch, training: bool = False, rng: jax.Array | None = None) -> jnp.ndarray:
         act = nn.relu
         x_t = batch.x.T  # [F, V]
-        # layer 1, both towers in one SpMM (channels [0:16] = internal tower)
+        # layer 1, both towers in one SpMM (channels [0:16] = internal tower).
+        # No mask multiplies anywhere in this model: GINet's bias lands
+        # BEFORE the SpMM (_lin_t), padded rows/columns of A are all-zero,
+        # so every padded activation is exactly relu(0) = 0 already — and
+        # the pool stages give 0 on empty clusters (FoutNet/sGAT add their
+        # bias AFTER aggregation and DO need the masks).
         fcx_t = jnp.concatenate([_lin_t(params["conv1"]["fc"], x_t), _lin_t(params["conv1_ext"]["fc"], x_t)], axis=0)
         h_t = act(self._spmm(batch.structure, fcx_t))
-        h_t = h_t * batch.node_mask[None, :]
 
         # depth-0 community pooling (max features; both towers share clusters)
         hp_t = _pool_max_t(h_t, batch)
-        hp_t = hp_t * batch.pooled_node_mask[None, :]
 
         # layer 2 on the pooled graph
         fcx2_t = jnp.concatenate(
@@ -138,7 +141,6 @@ class GINetClusteredBlockSparse(_ClusteredBlockSparseBase):
             axis=0,
         )
         h2_t = act(self._spmm(batch.structure_p, fcx2_t))
-        h2_t = h2_t * batch.pooled_node_mask[None, :]
 
         # pooled channel order [internal 0:32 || external 32:64] == the COO
         # model's post-pool concatenation order

@@ -56,20 +56,25 @@ DEFAULT_BLOCK = 128
 # adjacency blocks per run-padding quantum / per MXU contraction. Runs are
 # zero-padded to a KBATCH multiple; on banded atomic graphs the mean run
 # length is ~15 blocks, so KBATCH=16 pads the stream ~50 % while KBATCH=8
-# pads ~18 % — but the round-3 sweep (tests/perf/bcsr_decompose.py, v5e,
-# 100k-node graph) measured the SAME step time for both stream sizes: the
-# kernel is not HBM-bound at these shapes, so the smaller padding buys
-# nothing and KBATCH=16 keeps the fuller MXU contraction. Sweepable via
-# DR2_BCSR_* env vars.
-KBATCH = int(_os.environ.get("DR2_BCSR_KBATCH", "16"))
+# pads ~18 %. The round-5 sweep at the slot8 clustered bench shape (v5e,
+# 100k nodes) flipped the round-3 verdict: KBATCH=8/SUPER=16 runs the
+# clustered train step at 1.488 ms vs 16/8's 1.542 and the plain BCSR step
+# at 3.10 vs 3.15 ms, while storing 22 % fewer blocks (287 vs 369 MB) — the
+# kernel's time model is stream_bytes/BW + num_subs * ~75 ns of per-sub
+# scalar/slice/dot-issue work, and at kb=8 the padding savings beat the
+# doubled sub count. (A contiguous-column window layout that would delete
+# the per-sub gather entirely measured +121-141 % blocks on the
+# locality-ordered bench graph — scattered in-run columns — and was
+# rejected.) Sweepable via DR2_BCSR_* env vars; sharded/ring slices choose
+# per-structure quanta (parallel/blocksparse_partition.py:_choose_kbatch).
+KBATCH = int(_os.environ.get("DR2_BCSR_KBATCH", "8"))
 # KBATCH sub-batches per Pallas grid step: each step processes SUPER
 # sub-batches and writes completed (chunk, row-tile) output tiles with
 # explicit async DMA (each run is visited exactly once per SpMM, so flushes
 # are plain writes; waits are deferred one run via the parity double-buffer,
 # see _kernel_stream). Capacity pads to KBATCH*SUPER blocks; run padding
-# stays KBATCH-granular. Round-3 sweep: SUPER=8 beats 4 by ~3 % (fewer
-# grid steps); 8x16 int8 blocks/step = 2 MB pipelined payload.
-SUPER = int(_os.environ.get("DR2_BCSR_SUPER", "8"))
+# stays KBATCH-granular. 16x8 int8 blocks/step = 2 MB pipelined payload.
+SUPER = int(_os.environ.get("DR2_BCSR_SUPER", "16"))
 # tiles per x^T column chunk: sized so an F=64 f32 chunk fits the VMEM budget
 # next to the (now SUPER-deep) double-buffered block pipeline
 CHUNK_TILES = int(_os.environ.get("DR2_BCSR_CHUNK_TILES", "320"))
@@ -123,10 +128,25 @@ class BlockSparseStructure:
     # diagonal slice A[r, r] of it): gates the "VJP == same SpMM" shortcut.
     # A ring bucket A[d, s] with s != d is square-SHAPED but not symmetric.
     symmetric: bool = field(metadata={"static": True}, default=True)
+    # run-padding quantum / MXU contraction depth this structure was built
+    # with. The full single-chip adjacency keeps the global KBATCH (=16,
+    # measured stream-insensitive); sharded/ring SLICES have short runs whose
+    # ~50 % run padding is real multi-chip stream, so their builders pick a
+    # smaller quantum per structure (kbatch="auto", parallel/
+    # blocksparse_partition.py). -1 = the build-time global.
+    kbatch: int = field(metadata={"static": True}, default=-1)
+    # sub-batches per Pallas grid step; tiny sharded buckets drop below the
+    # global SUPER so their capacity floor is kbatch*super_batches, not
+    # kbatch*SUPER (a far ring step can hold 8 real blocks total)
+    super_batches: int = field(metadata={"static": True}, default=-1)
 
     def __post_init__(self):
         if self.num_row_tiles == -1:
             object.__setattr__(self, "num_row_tiles", self.num_tiles)
+        if self.kbatch == -1:
+            object.__setattr__(self, "kbatch", KBATCH)
+        if self.super_batches == -1:
+            object.__setattr__(self, "super_batches", SUPER)
 
     @property
     def num_blocks(self) -> int:
@@ -151,10 +171,14 @@ def required_blocks(
     block: int = DEFAULT_BLOCK,
     row_tile_range: tuple[int, int] | None = None,
     col_tile_range: tuple[int, int] | None = None,
+    kbatch: int | None = None,
 ) -> int:
-    """The KBATCH-padded block count :func:`build_blocksparse` would produce
-    for these (locality-ordered) pairs — the light requirements pass used to
-    equalize per-shard capacities before sharded collation."""
+    """The run-padded block count :func:`build_blocksparse` would produce for
+    these (locality-ordered) pairs — the light requirements pass used to
+    equalize per-shard capacities before sharded collation. ``kbatch``
+    overrides the global run-padding quantum (``kbatch=1`` returns the REAL
+    unique-block count, the denominator of padding-fraction accounting)."""
+    kb = kbatch or KBATCH
     und = np.asarray(und_pairs, dtype=np.int64).reshape(-1, 2)
     num_tiles = max(-(-num_nodes // block), 1)
     rows = np.concatenate([und[:, 0], und[:, 1]])
@@ -173,9 +197,9 @@ def required_blocks(
     key = (chunk * num_tiles + bi) * num_tiles + bj
     uniq = np.unique(key)
     if not uniq.size:
-        return KBATCH
+        return kb
     _, counts = np.unique(uniq // num_tiles, return_counts=True)
-    return max(int((-(-counts // KBATCH) * KBATCH).sum()), KBATCH)
+    return max(int((-(-counts // kb) * kb).sum()), kb)
 
 
 def build_blocksparse(
@@ -188,6 +212,8 @@ def build_blocksparse(
     to_device: bool = True,
     weights: np.ndarray | None = None,
     weight_dtype: np.dtype | None = None,
+    kbatch: int | None = None,
+    super_batches: int | None = None,
 ) -> BlockSparseStructure:
     """BCSR structure from *undirected* node-index pairs (mirrored internally,
     so the adjacency is symmetric by construction). Node indices must already
@@ -256,18 +282,20 @@ def build_blocksparse(
     uniq_row = ((uniq_key // num_tiles) % num_row_tiles).astype(np.int32)
     uniq_chunk = (uniq_key // (num_tiles * num_row_tiles)).astype(np.int32)
 
-    # group = one (chunk, row tile) run, padded to a KBATCH multiple with zero
-    # blocks so batches never straddle runs and the kernel needs no masks
+    # group = one (chunk, row tile) run, padded to a kbatch multiple with
+    # zero blocks so batches never straddle runs and the kernel needs no masks
+    kb = kbatch or KBATCH
     group_key = uniq_chunk.astype(np.int64) * num_row_tiles + uniq_row
     group_ids, group_counts = np.unique(group_key, return_counts=True)
-    pad_counts = -(-group_counts // KBATCH) * KBATCH
+    pad_counts = -(-group_counts // kb) * kb
     group_start = np.concatenate([[0], np.cumsum(pad_counts)])[:-1]
-    nb_pad = max(int(pad_counts.sum()), KBATCH)
+    nb_pad = max(int(pad_counts.sum()), kb)
 
     if callable(pad_blocks_to):
         pad_blocks_to = pad_blocks_to(nb_pad)
     cap = max(pad_blocks_to or 0, nb_pad)
-    cap = -(-cap // (KBATCH * SUPER)) * (KBATCH * SUPER)
+    sb = super_batches or SUPER
+    cap = -(-cap // (kb * sb)) * (kb * sb)
     if (pad_blocks_to or 0) and pad_blocks_to < nb_pad:
         msg = f"pad_blocks={pad_blocks_to} < required {nb_pad}"
         raise ValueError(msg)
@@ -300,11 +328,11 @@ def build_blocksparse(
         else:
             np.add.at(blocks, (k, cols % block, rows % block), wvals)
 
-    batch_row = block_row[::KBATCH].astype(np.int32)
-    batch_chunk = block_chunk[::KBATCH].astype(np.int32)
+    batch_row = block_row[::kb].astype(np.int32)
+    batch_chunk = block_chunk[::kb].astype(np.int32)
     # trailing capacity-pad batches: route to the last real batch's slab entry
     # (their blocks are zero, so they only re-accumulate zeros there)
-    nbatch_real = nb_pad // KBATCH
+    nbatch_real = nb_pad // kb
     batch_row[nbatch_real:] = batch_row[max(nbatch_real - 1, 0)]
     batch_chunk[nbatch_real:] = batch_chunk[max(nbatch_real - 1, 0)]
     # ...and point their block_col INTO the routed chunk (like in-run zero
@@ -459,6 +487,7 @@ def _spmm_impl(structure: BlockSparseStructure, x: jnp.ndarray, precision, compu
             precision=precision,
             compute_dtype=cd.name,
             transposed_io=transposed_io,
+            kbatch=structure.kbatch,
         )
     if transposed_io:
         return bcsr_spmm_xla(structure, x.T, precision).T
@@ -629,7 +658,7 @@ def _kernel_stream(
                 flush_cp(sub, 1 - parity).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("num_tiles", "num_chunks", "block", "num_row_tiles", "precision", "compute_dtype", "transposed_io"))
+@functools.partial(jax.jit, static_argnames=("num_tiles", "num_chunks", "block", "num_row_tiles", "precision", "compute_dtype", "transposed_io", "kbatch"))
 def _bcsr_spmm_tpu(
     blocks_t,
     block_col,
@@ -645,9 +674,11 @@ def _bcsr_spmm_tpu(
     num_row_tiles=None,
     compute_dtype="float32",
     transposed_io=False,
+    kbatch=None,
 ):
     if num_row_tiles is None:
         num_row_tiles = num_tiles
+    kbatch = kbatch or KBATCH
     cd = jnp.dtype(compute_dtype)
     split = cd.itemsize == 4
     feat = x.shape[0] if transposed_io else x.shape[1]
@@ -679,14 +710,14 @@ def _bcsr_spmm_tpu(
     else:
         x_operands = (x_t.astype(cd),)
 
-    num_subs = blocks_t.shape[0] // KBATCH
+    num_subs = blocks_t.shape[0] // kbatch
     buf_dtype = jnp.bfloat16 if split else cd
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_subs // SUPER,),
         in_specs=[
-            # SUPER*KBATCH blocks per grid step, pipelined by Mosaic
-            pl.BlockSpec((SUPER * KBATCH, block, block), lambda bi, *_: (bi, 0, 0), memory_space=pltpu.VMEM),
+            # SUPER*kbatch blocks per grid step, pipelined by Mosaic
+            pl.BlockSpec((SUPER * kbatch, block, block), lambda bi, *_: (bi, 0, 0), memory_space=pltpu.VMEM),
             # x^T (hi+lo pair when split); chunks DMA'd manually
             *[pl.BlockSpec(memory_space=pltpu.HBM) for _ in x_operands],
         ],
@@ -695,7 +726,7 @@ def _bcsr_spmm_tpu(
         scratch_shapes=[
             *[pltpu.VMEM((fw, chunk_tiles * block), buf_dtype) for _ in x_operands],  # resident x^T chunks
             # gather buffer (non-split only; split matmuls slice the chunks directly)
-            *([] if split else [pltpu.VMEM((fw, KBATCH * block), buf_dtype)]),
+            *([] if split else [pltpu.VMEM((fw, kbatch * block), buf_dtype)]),
             pltpu.VMEM((2, fw, block), jnp.float32),  # run accumulators (parity double-buffer)
             pltpu.SMEM((2,), jnp.int32),  # [runs started, current parity]
             pltpu.SemaphoreType.DMA((2,)),  # chunk-stream semaphores
@@ -707,7 +738,7 @@ def _bcsr_spmm_tpu(
         functools.partial(
             _kernel_stream,
             block=block,
-            kbatch=KBATCH,
+            kbatch=kbatch,
             chunk_tiles=chunk_tiles,
             precision=precision,
             compute_dtype=cd,

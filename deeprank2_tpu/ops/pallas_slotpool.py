@@ -27,20 +27,23 @@ group reduce in one pass at stream speed:
   (the backward compares ``h == max`` bit-for-bit) comes from a THREE-term
   bf16 split (8+8+8 mantissa bits cover f32's 24; each selection product is
   a single term, so the f32 accumulation reconstructs the value exactly —
-  a two-term split would round the low 8 bits and zero the gradients);
-- tie counts (needed so the backward splits the cotangent like
-  ``member_max_pool`` — even over max-achieving members, padding excluded)
-  are one more 0/1 matmul: ``eq @ group_indicator``, exact in bf16 because
-  counts are <= 8.
+  a two-term split would round the low 8 bits and zero the gradients).
 
 Semantics match :func:`member_max_pool` per 8-lane group: ``h >= 0`` with
 padded lanes zero (all models pool post-relu, masked), empty groups pool to
-0, gradient splits evenly over valid max-achieving lanes.
+0, and the backward routes the FULL cotangent to every valid max-achieving
+lane (no tie division — round-5 change: the tie-count machinery cost a
+second selection-matmul group plus an eq matmul per forward tile, and ties
+only matter on measure-zero sets: exact POSITIVE ties in continuous conv
+activations, or all-zero groups whose lanes are relu-dead downstream
+anyway — ``h == 0`` post-relu means the pre-activation was ``<= 0``, so the
+SpMM VJP's relu factor kills whatever arrives there).
 
 Reference parity: this implements the scatter_max half of PyG
 ``max_pool_x`` (reference deeprank2/utils/community_pooling.py:229-242) for
 the slot-aligned layout; the divergence from torch's single-winner gradient
-is the same documented measure-zero tie split as member_max_pool.
+(every tied winner gets the cotangent instead of the first) lives on the
+same measure-zero set as member_max_pool's documented convention.
 """
 
 from __future__ import annotations
@@ -77,12 +80,6 @@ _dot = functools.partial(
     dimension_numbers=(((1,), (0,)), ((), ())),
     preferred_element_type=jnp.float32,
 )
-# contraction over the LANE axis of both operands (eq [fs,T] x exp [T/8,T])
-_dot_nt = functools.partial(
-    jax.lax.dot_general,
-    dimension_numbers=(((1,), (1,)), ((), ())),
-    preferred_element_type=jnp.float32,
-)
 
 
 def _sel3(v: jnp.ndarray, sel: jnp.ndarray, dot=_dot) -> jnp.ndarray:
@@ -115,23 +112,19 @@ def _contain(h, mask, vp):
 
 
 @plain_matmul_precision
-def _fwd_kernel(h_ref, mask_ref, gsel_ref, exp_ref, pooled_ref, ties_ref, *, vp):
+def _fwd_kernel(h_ref, gsel_ref, pooled_ref, *, vp):
     # h: [fs, T] f32, padded lanes pre-zeroed by the model's mask
-    h, mask = _contain(h_ref[:], mask_ref[:], vp)
-    gsel = gsel_ref[:]
-    pooled = _sel3(_tree_max(h), gsel)  # [fs, T/8], exact
-    pooled_ref[:] = pooled
-    # tie counts: compare h against its group max broadcast back over the
-    # group (exact expansion), count valid equal lanes with one 0/1 matmul
-    mb = _sel3(pooled, exp_ref[:])  # [fs, T], exact
-    eq = jnp.where(h == mb, 1.0, 0.0) * mask
-    ties_ref[:] = _dot_nt(eq.astype(jnp.bfloat16), exp_ref[:])
+    h = h_ref[:]
+    if vp is not None:
+        idx = pl.program_id(0) * TILE + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+        h = jnp.where(idx < vp, h, 0.0)
+    pooled_ref[:] = _sel3(_tree_max(h), gsel_ref[:])  # [fs, T/8], exact
 
 
 @plain_matmul_precision
-def _bwd_kernel(h_ref, mask_ref, pooled_ref, ties_ref, g_ref, exp_ref, dh_ref, *, fs, vp):
+def _bwd_kernel(h_ref, mask_ref, pooled_ref, g_ref, exp_ref, dh_ref, *, fs, vp):
     h, mask = _contain(h_ref[:], mask_ref[:], vp)
-    pooled, gd = pooled_ref[:], g_ref[:] / jnp.maximum(ties_ref[:], 1.0)
+    pooled, gd = pooled_ref[:], g_ref[:]
     if vp is not None:
         # the compact-side blocks read past vp/8 on the final block too;
         # their garbage would poison valid lanes through the expansion
@@ -140,8 +133,8 @@ def _bwd_kernel(h_ref, mask_ref, pooled_ref, ties_ref, g_ref, exp_ref, dh_ref, *
         clive = cidx < vp // SLOT
         pooled = jnp.where(clive, pooled, 0.0)
         gd = jnp.where(clive, gd, 0.0)
-    # one stacked expansion for (pooled, g/ties): pooled must be exact for
-    # the winner compare; the three-term split costs nothing extra for gd
+    # one stacked expansion for (pooled, g): pooled must be exact for the
+    # winner compare; the three-term split costs nothing extra for gd
     e = _sel3(jnp.concatenate([pooled, gd], axis=0), exp_ref[:])
     eq = jnp.where(h == e[:fs], 1.0, 0.0) * mask
     dh_ref[:] = eq * e[fs:]
@@ -168,44 +161,35 @@ def supports(num_lanes: int) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _slot_fwd_tpu(h_t, mask_row, *, interpret=False):
+def _slot_fwd_tpu(h_t, *, interpret=False):
     feat, vp = h_t.shape
     pad_f = (-feat) % 8
     if pad_f:
         h_t = jnp.pad(h_t, ((0, pad_f), (0, 0)))
     fs = feat + pad_f
-    gsel, exp = _consts(TILE)
+    gsel, _ = _consts(TILE)
     grid = (-(-vp // TILE),)  # ceil: the final block may read past vp (contained in-kernel)
-    pooled, ties = pl.pallas_call(
+    pooled = pl.pallas_call(
         functools.partial(_fwd_kernel, vp=vp if vp % TILE else None),
         grid=grid,
         in_specs=[
             pl.BlockSpec((fs, TILE), lambda i: (0, i)),
-            pl.BlockSpec((1, TILE), lambda i: (0, i)),
             pl.BlockSpec((TILE, TILE // SLOT), lambda i: (0, 0)),
-            pl.BlockSpec((TILE // SLOT, TILE), lambda i: (0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((fs, TILE // SLOT), lambda i: (0, i)),
-            pl.BlockSpec((fs, TILE // SLOT), lambda i: (0, i)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((fs, vp // SLOT), jnp.float32),
-            jax.ShapeDtypeStruct((fs, vp // SLOT), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((fs, TILE // SLOT), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((fs, vp // SLOT), jnp.float32),
         interpret=interpret,
-    )(h_t, mask_row, jnp.asarray(gsel), jnp.asarray(exp))
-    return pooled[:feat], ties[:feat]
+    )(h_t, jnp.asarray(gsel))
+    return pooled[:feat]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _slot_bwd_tpu(h_t, mask_row, pooled, ties, g, *, interpret=False):
+def _slot_bwd_tpu(h_t, mask_row, pooled, g, *, interpret=False):
     feat, vp = h_t.shape
     pad_f = (-feat) % 8
     if pad_f:
         h_t = jnp.pad(h_t, ((0, pad_f), (0, 0)))
         pooled = jnp.pad(pooled, ((0, pad_f), (0, 0)))
-        ties = jnp.pad(ties, ((0, pad_f), (0, 0)))
         g = jnp.pad(g, ((0, pad_f), (0, 0)))
     fs = feat + pad_f
     _, exp = _consts(TILE)
@@ -217,24 +201,19 @@ def _slot_bwd_tpu(h_t, mask_row, pooled, ties, g, *, interpret=False):
             pl.BlockSpec((1, TILE), lambda i: (0, i)),
             pl.BlockSpec((fs, TILE // SLOT), lambda i: (0, i)),
             pl.BlockSpec((fs, TILE // SLOT), lambda i: (0, i)),
-            pl.BlockSpec((fs, TILE // SLOT), lambda i: (0, i)),
             pl.BlockSpec((TILE // SLOT, TILE), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((fs, TILE), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((fs, vp), jnp.float32),
         interpret=interpret,
-    )(h_t, mask_row, pooled, ties, g, jnp.asarray(exp))
+    )(h_t, mask_row, pooled, g, jnp.asarray(exp))
     return dh[:feat]
 
 
-def _xla_fwd(h_t: jnp.ndarray, mask_row: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _xla_fwd(h_t: jnp.ndarray, mask_row: jnp.ndarray) -> jnp.ndarray:  # noqa: ARG001 (contract parity with the kernel)
     """CPU fallback / oracle: the 3-D reshape formulation (fine off-TPU)."""
     feat, vp = h_t.shape
-    h3 = h_t.reshape(feat, vp // SLOT, SLOT)
-    pooled = h3.max(axis=2)
-    m3 = mask_row.reshape(1, vp // SLOT, SLOT)
-    ties = ((h3 == pooled[:, :, None]) * m3).sum(axis=2)
-    return pooled, ties
+    return h_t.reshape(feat, vp // SLOT, SLOT).max(axis=2)
 
 
 def slot_group_max(h_t: jnp.ndarray, mask_row: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
@@ -242,8 +221,10 @@ def slot_group_max(h_t: jnp.ndarray, mask_row: jnp.ndarray, *, interpret: bool =
 
     ``h_t`` must be non-negative with padded lanes zero (post-relu, masked —
     the member_max_pool contract); ``mask_row`` is the ``[1, V]`` f32
-    validity row (real nodes 1). Differentiable with the even-tie-split VJP;
-    gradient flows to ``h_t`` only (the mask is batch data).
+    validity row (real nodes 1). Differentiable; every valid max-achieving
+    lane receives the full cotangent (see the module docstring for why the
+    tie set is gradient-immaterial here); gradient flows to ``h_t`` only
+    (the mask is batch data).
     """
     vp = h_t.shape[1]
     on_tpu = supports(vp) or interpret
@@ -251,25 +232,22 @@ def slot_group_max(h_t: jnp.ndarray, mask_row: jnp.ndarray, *, interpret: bool =
     @jax.custom_vjp
     def pool(h):
         if on_tpu:
-            return _slot_fwd_tpu(h, mask_row, interpret=interpret)[0]
-        return _xla_fwd(h, mask_row)[0]
+            return _slot_fwd_tpu(h, interpret=interpret)
+        return _xla_fwd(h, mask_row)
 
     def fwd(h):
-        if on_tpu:
-            pooled, ties = _slot_fwd_tpu(h, mask_row, interpret=interpret)
-        else:
-            pooled, ties = _xla_fwd(h, mask_row)
-        return pooled, (h, pooled, ties)
+        pooled = pool(h)
+        return pooled, (h, pooled)
 
     def bwd(res, g):
-        h, pooled, ties = res
+        h, pooled = res
         if on_tpu:
-            return (_slot_bwd_tpu(h, mask_row, pooled, ties, g, interpret=interpret),)
+            return (_slot_bwd_tpu(h, mask_row, pooled, g, interpret=interpret),)
         feat, vp = h.shape
         h3 = h.reshape(feat, vp // SLOT, SLOT)
         m3 = mask_row.reshape(1, vp // SLOT, SLOT)
         eq = (h3 == pooled[:, :, None]) * m3
-        dh3 = eq * (g / jnp.maximum(ties, 1.0))[:, :, None]
+        dh3 = eq * g[:, :, None]
         return (dh3.reshape(feat, vp),)
 
     pool.defvjp(fwd, bwd)

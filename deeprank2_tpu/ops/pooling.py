@@ -111,10 +111,13 @@ def member_max_pool(
     cluster0 pooling scatter (plus its VJP twin) cost 1.74 ms of a 4.0 ms
     clustered-BCSR train step (profiled round 3). Member lists are static
     per batch, so the pool becomes a fused gather + S-way reduce, and the
-    custom VJP routes gradients back with GATHERS only (winner mask + even
-    tie split — relu'd inputs make zero-ties gradient-dead, and positive
-    ties are measure-zero, so this matches the scatter-max VJP within float
-    tolerance; the parity tests assert it against the COO models).
+    custom VJP routes gradients back with GATHERS only: every max-achieving
+    member gets the FULL cotangent (round-5 change — the tie-count pass
+    cost a second [S, C, F] compare+sum over the hot gather; ties only
+    matter on measure-zero sets: exact POSITIVE ties in continuous conv
+    activations, or zero-max members that are relu-dead downstream — so
+    this matches the scatter-max VJP within float tolerance; the parity
+    tests assert it against the COO models).
 
     Requires ``h >= 0`` with padded rows zero (all models pool post-relu,
     masked features): empty clusters then give 0, the torch_scatter
@@ -132,33 +135,24 @@ def member_max_pool(
         mt = members.T  # [S, C]
         safe = jnp.clip(mt, 0, v - 1)
         valid = (mt < v)[..., None]
-        return jnp.where(valid, h[safe], 0.0), valid  # [S, C, F], [S, C, 1]
+        return jnp.where(valid, h[safe], 0.0)  # [S, C, F]
 
     @jax.custom_vjp
     def pool(h):
-        return _gathered(h)[0].max(axis=0)
+        return _gathered(h).max(axis=0)
 
     def fwd(h):
-        gathered, valid = _gathered(h)
-        pooled = gathered.max(axis=0)
-        # tie counts per (cluster, feature), computed while the gather is hot
-        # (recomputing it in bwd cost a second [C,S,F] pass, profiled).
-        # Padded member slots are excluded: their fill value 0.0 compares
-        # equal to a zero max, which would over-divide the cotangent by S —
-        # with the mask, the zero-max gradient matches the scatter-max VJP.
-        ties = ((gathered == pooled[None, :, :]) & valid).sum(axis=0).astype(h.dtype)
-        return pooled, (h, pooled, ties)
+        pooled = pool(h)
+        return pooled, (h, pooled)
 
     def bwd(res, g):
-        h, pooled, ties = res
+        h, pooled = res
         c = jnp.clip(cluster, 0, num_c - 1)
         cvalid = (cluster < num_c)[:, None]
-        # one packed [C, 2F] gather instead of three same-index [C, F] ones;
-        # the g/ties divide happens on the POOLED side where it is [C, F]-
-        # sized. (Step-time neutral vs the 3F pack on v5e — row gathers are
-        # row-count-bound at ~1.3 us per 1k rows, bytes-per-row second-order
-        # — kept for the cheaper arithmetic and smaller residuals.)
-        packed = jnp.concatenate([pooled, g / jnp.maximum(ties, 1.0)], axis=1)[c]  # [V, 2F]
+        # one packed [C, 2F] gather instead of two same-index [C, F] ones
+        # (row gathers are row-count-bound at ~1.3 us per 1k rows on v5e,
+        # bytes-per-row second-order)
+        packed = jnp.concatenate([pooled, g], axis=1)[c]  # [V, 2F]
         winner = (h == packed[:, :f]) & cvalid
         d_h = jnp.where(winner, packed[:, f:], 0.0)
         return (d_h,)

@@ -42,7 +42,7 @@ def test_interpret_kernel_matches_oracle():
     """The Mosaic kernel (interpret mode) is bit-exact vs the XLA oracle,
     forward and backward, including ties and zero-max groups."""
     h, mask_row = _case()
-    ref_p, _ = _xla_fwd(h, mask_row)
+    ref_p = _xla_fwd(h, mask_row)
     p = slot_group_max(h, mask_row, interpret=True)
     np.testing.assert_array_equal(np.asarray(p), np.asarray(ref_p))
 
@@ -56,9 +56,10 @@ def test_interpret_kernel_matches_oracle():
     np.testing.assert_array_equal(np.asarray(g_int), np.asarray(g_ref))
 
 
-def test_gradient_tie_split_excludes_padding():
-    """A group whose max is 0 with padded lanes: gradient divides by the
-    REAL zero count only (the round-3 advisor semantics)."""
+def test_gradient_winners_exclude_padding():
+    """A group whose max is 0 with padded lanes: every VALID max lane gets
+    the full cotangent (round-5 summed-winner convention — zero-max lanes
+    are relu-dead in every model use), padded lanes get none."""
     vp = TILE
     h = np.zeros((1, vp), np.float32)
     mask = np.zeros(vp, np.float32)
@@ -66,14 +67,14 @@ def test_gradient_tie_split_excludes_padding():
     mask_row = jnp.asarray(mask.reshape(1, vp))
     g = jax.grad(lambda x: slot_group_max(x, mask_row).sum())(jnp.asarray(h))
     got = np.asarray(g)[0, :8]
-    np.testing.assert_allclose(got, [0.25, 0.25, 0.25, 0.25, 0, 0, 0, 0], atol=0)
+    np.testing.assert_allclose(got, [1.0, 1.0, 1.0, 1.0, 0, 0, 0, 0], atol=0)
 
 
 @pytest.mark.parametrize("feat", [7, 32])
 def test_interpret_shapes(feat):
     h, mask_row = _case(feat=feat, vp=TILE)
     p = slot_group_max(h, mask_row, interpret=True)
-    ref, _ = _xla_fwd(h, mask_row)
+    ref = _xla_fwd(h, mask_row)
     np.testing.assert_array_equal(np.asarray(p), np.asarray(ref))
 
 
@@ -82,7 +83,7 @@ def test_interpret_ragged_width(vp):
     """Widths that do not divide the 1024-lane block: the final block reads
     past the array; containment must keep outputs and gradients exact."""
     h, mask_row = _case(vp=vp)
-    ref_p, _ = _xla_fwd(h, mask_row)
+    ref_p = _xla_fwd(h, mask_row)
     p = slot_group_max(h, mask_row, interpret=True)
     np.testing.assert_array_equal(np.asarray(p), np.asarray(ref_p))
 

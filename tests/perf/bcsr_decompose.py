@@ -143,9 +143,59 @@ def main() -> None:
                 "bound_us": round(sol_us, 1),
                 "pct_speed_of_light": round(100.0 * sol_us / step_us, 1),
                 "edges_per_s": round(real_edges / (step_us / 1e6), 1),
+                "padding": padding_fractions(entry, num_nodes),
             }
         )
     )
+
+
+def padding_fractions(entry: dict, num_nodes: int, num_shards: int = 8) -> dict:
+    """Zero-block padding fractions at this shape (host arithmetic only):
+    the single-chip structure's run padding, and the 8-shard ring partition's
+    total padded fraction with the per-step auto-kbatch quanta
+    (round-4 verdict #7 gate: ring <= 25 %). ``required_blocks(kbatch=1)``
+    is the real unique-block denominator."""
+    import numpy as np
+
+    from deeprank2_tpu.ops import block_sparse as bs
+    from deeprank2_tpu.parallel.blocksparse_partition import _choose_kbatch
+
+    order = bs.locality_order(entry["pos"])
+    inv = np.empty(len(order), np.int64)
+    inv[order] = np.arange(len(order))
+    pairs = inv[np.asarray(entry["edge_index"], np.int64)]
+
+    real_full = bs.required_blocks(pairs, num_nodes, kbatch=1)
+    padded_full = bs.required_blocks(pairs, num_nodes)
+
+    block = bs.DEFAULT_BLOCK
+    nt = -(-num_nodes // block)
+    r_per = -(-nt // num_shards)
+    nn_pad = r_per * num_shards * block
+    ranges = [(d * r_per, (d + 1) * r_per) for d in range(num_shards)]
+
+    # mirror _build_ring_structures' bucketing + auto-kbatch choices
+    real_ring = padded_ring = 0
+    diag_rc = [(r, r) for r in ranges]
+    kb = _choose_kbatch([pairs] * num_shards, nn_pad, block, diag_rc)
+    cap = max(bs.required_blocks(pairs, nn_pad, row_tile_range=r, col_tile_range=r, kbatch=kb) for r in ranges)
+    padded_ring += cap * num_shards
+    real_ring += sum(bs.required_blocks(pairs, nn_pad, row_tile_range=r, col_tile_range=r, kbatch=1) for r in ranges)
+    for k in range(1, num_shards):
+        rc = [(ranges[d], ranges[(d - k) % num_shards]) for d in range(num_shards)]
+        kb = _choose_kbatch([pairs] * num_shards, nn_pad, block, rc)
+        cap = max(bs.required_blocks(pairs, nn_pad, row_tile_range=r, col_tile_range=c, kbatch=kb) for r, c in rc)
+        padded_ring += cap * num_shards
+        real_ring += sum(bs.required_blocks(pairs, nn_pad, row_tile_range=r, col_tile_range=c, kbatch=1) for r, c in rc)
+
+    return {
+        "kbatch": bs.KBATCH,
+        "full_real_blocks": real_full,
+        "full_padded_frac": round(padded_full / real_full - 1.0, 3),
+        "ring_shards": num_shards,
+        "ring_real_blocks": real_ring,
+        "ring_padded_frac": round(padded_ring / real_ring - 1.0, 3),
+    }
 
 
 if __name__ == "__main__":
