@@ -273,14 +273,33 @@ def clustered_result(num_nodes: int = 100_000) -> dict:
         step_s = _measure(cls(feat_dim, 2, edge_dim), batch, steps_per_call=250, calls=2)
         # adjacency-stream roofline (full + pooled block streams, read twice
         # — fwd + symmetric-VJP bwd; the slot8 layout carries ~+10 % blocks
-        # vs the unslotted order and the bound prices the REAL stream)
+        # vs the unslotted order and the bound prices the REAL stream).
+        # NOTE round 5: the KBATCH=8 layout stores ~22 % fewer padded
+        # blocks than round 4's KBATCH=16, so this denominator SHRANK while
+        # the step got faster — compare step_ms/edges_per_s across rounds,
+        # not this percentage.
         adj_bytes = 2 * (batch.structure.blocks_t.nbytes + batch.structure_p.blocks_t.nbytes)
         bound_s = adj_bytes / 819e9
+        # component floor: the stream plus the kernel's measured per-sub-
+        # batch overhead (60-62 ns/sub, solved from profiled train steps at
+        # two run-padding geometries — tests/perf/clustered_bcsr_perf.py
+        # --pin protocol note) plus the pooling stages' own floors (slot
+        # kernel HBM stream; member gathers at the measured ~1.3 ns/row
+        # XLA row-gather rate, round 3). Everything here recomputes from
+        # the live batch shapes; only the two rates are pinned constants.
+        subs = batch.structure.num_blocks / batch.structure.kbatch + batch.structure_p.num_blocks / batch.structure_p.kbatch
+        h_bytes = 32 * batch.structure.padded_nodes * 4
+        slotpool_s = (2 * h_bytes + 3 * h_bytes / 8) / 819e9  # fwd read + bwd read/write + compact-side traffic
+        gather_rows = batch.members0s.size + batch.slot_cluster.size + 2 * batch.members1.size
+        combine_s = gather_rows * 1.3e-9
+        floor_s = bound_s + 2 * subs * 62e-9 + slotpool_s + combine_s
         out[key] = {
             "edges_per_s": round(real_edges / step_s, 1),
             "step_ms": round(step_s * 1e3, 3),
             "adj_stream_bound_ms": round(bound_s * 1e3, 3),
             "pct_of_adj_stream_bound": round(100.0 * bound_s / step_s, 1),
+            "component_floor_ms": round(floor_s * 1e3, 3),
+            "pct_of_component_floor": round(100.0 * floor_s / step_s, 1),
         }
     out.update(out["ginet"])
     return out

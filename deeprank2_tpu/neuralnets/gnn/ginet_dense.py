@@ -227,8 +227,7 @@ class GINetClusteredDiag:
 
     def apply(self, params: dict, batch, training: bool = False, rng: jax.Array | None = None) -> jnp.ndarray:
         from deeprank2_tpu.ops.diag_spmm import diag_layer_t
-        from deeprank2_tpu.ops.pallas_slotpool import slot_group_max
-        from deeprank2_tpu.ops.pooling import member_max_pool
+        from deeprank2_tpu.ops.pooling import diag_depth0_pool, member_max_pool
         from deeprank2_tpu.ops.segment import segment_max, segment_mean
 
         def lin_t(p, x_t):
@@ -240,15 +239,10 @@ class GINetClusteredDiag:
         fcx = jnp.concatenate([lin_t(params["conv1"]["fc"], x_t), lin_t(params["conv1_ext"]["fc"], x_t)], axis=0)
         h_t = diag_layer_t(batch.adj_i8, batch.node_mask, fcx, self.compute_dtype)  # relu+mask fused
 
-        # depth-0 community pooling: aligned 8-lane slot max, then each
-        # cluster's slot partials combined through the member matrix
-        mask_row = batch.node_mask.astype(h_t.dtype).reshape(1, g * n)
-        p8 = slot_group_max(h_t, mask_row)  # [F, G*N/8]
+        # depth-0 community pooling: slot max + member combine (+ the
+        # node-level pool for mixed-layout small clusters)
         k_cap = batch.pooled_mask.shape[1]
-        if batch.members0s.size:
-            hp_t = member_max_pool(p8.T, batch.members0s, batch.slot_cluster).T  # [F, G*K]
-        else:
-            hp_t = segment_max(p8.T, batch.slot_cluster, g * k_cap).T
+        hp_t = diag_depth0_pool(h_t, batch)  # [F, G*K]
 
         fcx2 = jnp.concatenate([lin_t(params["conv2"]["fc"], hp_t[:16]), lin_t(params["conv2_ext"]["fc"], hp_t[16:])], axis=0)
         h2_t = diag_layer_t(batch.adj_p_i8, batch.pooled_mask, fcx2, self.compute_dtype)

@@ -130,8 +130,7 @@ class SGATDiag:
 
     def apply(self, params: dict, batch, training: bool = False, rng: jax.Array | None = None) -> jnp.ndarray:
         from deeprank2_tpu.ops.diag_spmm import diag_spmm_t
-        from deeprank2_tpu.ops.pallas_slotpool import slot_group_max
-        from deeprank2_tpu.ops.pooling import member_max_pool
+        from deeprank2_tpu.ops.pooling import diag_depth0_pool, member_max_pool
         from deeprank2_tpu.ops.segment import segment_max, segment_mean
 
         def sgat_t(p, x_t, adj_w, deg, wsum, mask_row):
@@ -148,12 +147,8 @@ class SGATDiag:
         mask_row = batch.node_mask.astype(jnp.float32).reshape(1, g * n)
         h_t = sgat_t(params["conv1"], batch.x_t, batch.adj_w, batch.deg, batch.wsum, mask_row)
 
-        p8 = slot_group_max(h_t, mask_row)
         k_cap = batch.pooled_mask.shape[1]
-        if batch.members0s.size:
-            hp_t = member_max_pool(p8.T, batch.members0s, batch.slot_cluster).T
-        else:
-            hp_t = segment_max(p8.T, batch.slot_cluster, g * k_cap).T
+        hp_t = diag_depth0_pool(h_t, batch)
 
         pooled_mask_row = batch.pooled_mask.astype(jnp.float32).reshape(1, g * k_cap)
         h2_t = sgat_t(params["conv2"], hp_t, batch.adj_wp, batch.deg_p, batch.wsum_p, pooled_mask_row)

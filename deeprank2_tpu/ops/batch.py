@@ -713,6 +713,11 @@ class DiagClusteredBatch:
     wsum_p: jax.Array  # f32 [G*K]
     slot_cluster: jax.Array  # i32 [G*N/8] slot -> global pooled slot; pad = G*K
     members0s: jax.Array  # i32 [G*K, S0s] slot indices per pooled slot; pad = G*N/8
+    # mixed layout (min_slot_nodes > 1; all size 0 when every cluster is
+    # slotted): small clusters pool at NODE level through these
+    members0n: jax.Array  # i32 [G*K, S0n] node indices per small pooled slot; pad = G*N
+    node_cluster0n: jax.Array  # i32 [G*N] node -> pooled slot (small clusters only); pad = G*K
+    pooled_from_slots: jax.Array  # bool [G*K] True = take the slot-combine value
     adj_p_i8: jax.Array  # int8 [G, K, K] pooled adjacency (distinct pairs)
     pooled_mask: jax.Array  # bool [G, K]
     cluster1: jax.Array  # i32 [G*K] pooled slot -> global depth-1 slot; pad = C1
@@ -737,11 +742,19 @@ def collate_graphs_diag_clustered(
     pad_members1=None,
     with_edge_weights: bool = False,
     weight_dtype: np.dtype | None = None,
+    min_slot_nodes: int | None = None,
+    pad_members0n=None,
 ) -> tuple[DiagClusteredBatch, list[str]]:
     """Collate entries (:func:`collate_graphs` schema, ``cluster0``/``cluster1``
     required) into a :class:`DiagClusteredBatch`. Pooled-graph semantics match
     :func:`collate_graphs_blocksparse_clustered` (self-loop pairs dropped,
-    duplicate pairs coalesced). ``pad_*`` may be ints or callables."""
+    duplicate pairs coalesced). ``pad_*`` may be ints or callables.
+
+    ``min_slot_nodes`` selects the layout: ``1`` = pure slot8, ``>1`` = the
+    MIXED layout (clusters below the threshold pack densely - capping the
+    quadratic dense-adjacency inflation on tiny-cluster data - and pool
+    through a node-level member matrix), ``None`` = decide from the data
+    (:func:`_auto_min_slot_nodes`)."""
     num_real = len(entries)
     num_graphs = pad_graphs or num_real
     if num_real > num_graphs:
@@ -750,7 +763,9 @@ def collate_graphs_diag_clustered(
     names = [e["entry_name"] for e in entries] + [""] * (num_graphs - num_real)
     feat_dim = entries[0]["x"].shape[1]
 
-    plans = [_slot8_plan(e, 8) for e in entries]
+    if min_slot_nodes is None:
+        min_slot_nodes = _auto_min_slot_nodes(entries)
+    plans = [_slot8_plan(e, 8, min_slot_nodes) for e in entries]
     n_req = max(p["cap"] for p in plans)
     if callable(pad_nodes):
         pad_nodes = pad_nodes(n_req)
@@ -777,6 +792,8 @@ def collate_graphs_diag_clustered(
         adj_w = np.zeros((num_graphs, 0, 0), dtype=np.float32)
         adj_wp = np.zeros((num_graphs, 0, 0), dtype=np.float32)
     slot_cluster = np.full(num_graphs * n_cap // 8, num_graphs * k_cap, dtype=np.int32)
+    node_cluster0n = np.full(num_graphs * n_cap, num_graphs * k_cap, dtype=np.int32)
+    from_slots = np.ones(num_graphs * k_cap, dtype=bool)
     adj_p = np.zeros((num_graphs, k_cap, k_cap), dtype=np.int8)
     pooled_mask = np.zeros((num_graphs, k_cap), dtype=bool)
     cluster1_g = np.full(num_graphs * k_cap, -1, dtype=np.int64)
@@ -814,9 +831,14 @@ def collate_graphs_diag_clustered(
                 np.add.at(adj_w[g], (pj, pi), ea)
                 np.add.at(adj_wp[g], (ci[keep], cj[keep]), ea[keep])
                 np.add.at(adj_wp[g], (cj[keep], ci[keep]), ea[keep])
-        sc = plan["slot_col"]  # local pooled id per slot, -1 = padding
+        sc = plan["slot_col"]  # local pooled id per slot, -1 = padding/mixed
         base = g * n_cap // 8
         slot_cluster[base : base + len(sc)] = np.where(sc >= 0, sc + g * k_cap, num_graphs * k_cap)
+        # mixed layout: small-cluster nodes pool at node level
+        small_nodes = np.flatnonzero(~plan["is_big"][c0]) if c0.size else np.zeros(0, np.int64)
+        if small_nodes.size:
+            node_cluster0n[g * n_cap + posmap[small_nodes]] = p_inv[c0[small_nodes]] + g * k_cap
+        from_slots[g * k_cap : g * k_cap + n_c0] = plan["is_big_local"]
         # a gapped cluster0 id would make a zero-member pooled slot; mask it
         # (and keep it out of the depth-1 mean) like the COO path's counts>0
         valid0 = (np.bincount(c0, minlength=max(n_c0, 1))[:n_c0] > 0)[p_order] if c0.size else np.ones(n_c0, bool)
@@ -844,6 +866,19 @@ def collate_graphs_diag_clustered(
 
     members0s = _member_matrix(slot_cluster, num_graphs * k_cap, num_graphs * n_cap // 8, pad_s=pad_members0s)
     members1 = _member_matrix(cluster1_arr, c1_cap, num_graphs * k_cap, pad_s=pad_members1)
+    # DP-sharded collation passes pad_members0n so every shard carries the
+    # mixed-layout leaves even when its own entries have no small clusters
+    if (node_cluster0n < num_graphs * k_cap).any() or pad_members0n is not None:
+        members0n = _member_matrix(node_cluster0n, num_graphs * k_cap, num_graphs * n_cap, pad_s=pad_members0n)
+        if members0n.size == 0:
+            msg = "mixed-layout member matrix exceeded the size guard; lower min_slot_nodes"
+            raise ValueError(msg)
+        nc0n = node_cluster0n
+        fslots = from_slots
+    else:
+        members0n = np.zeros((0, 0), dtype=np.int32)
+        nc0n = np.zeros(0, dtype=np.int32)
+        fslots = np.zeros(0, dtype=bool)
 
     return DiagClusteredBatch(
         x_t=np.ascontiguousarray(x.T),
@@ -857,6 +892,9 @@ def collate_graphs_diag_clustered(
         wsum_p=adj_wp.sum(axis=2).reshape(-1) if with_edge_weights else np.zeros(0, np.float32),
         slot_cluster=slot_cluster,
         members0s=members0s,
+        members0n=members0n,
+        node_cluster0n=nc0n,
+        pooled_from_slots=fslots,
         adj_p_i8=adj_p,
         pooled_mask=pooled_mask,
         cluster1=cluster1_arr,
@@ -868,10 +906,40 @@ def collate_graphs_diag_clustered(
     ), names
 
 
-def diag_clustered_requirements(entries: list[dict]) -> dict:
+def _auto_min_slot_nodes(entries: list[dict], threshold: float = 2.5) -> int:
+    """Pick the diag layout from the batch's cluster-size distribution:
+    pure slot8 (1) unless per-cluster 8-row padding would inflate the node
+    rows more than ``threshold``x, then the mixed layout (5 — the measured
+    optimum of the 3/5/9/17 threshold sweep). v5e measurements behind the
+    2.5x crossover (tests/perf/diag_clustered_perf.py --cell/--minslot,
+    512x160-node PPI batches, full train steps):
+
+      inflation 1.85 (avg 6.3-node clusters): pure 0.838 ms, mixed 1.137
+        -> pure wins 36 % (mild padding < the node-level pool's gathers)
+      inflation 3.15 (avg 2.73): pure 1.348, mixed 1.380 -> speed tie,
+        but mixed streams a [512,200,200] adjacency instead of
+        [512,504,504] (20 vs 130 MB -> 6.5x less HBM)
+      inflation 4.5 (avg 1.78): pure 4.441, mixed 2.249 -> mixed wins 2x
+        (the dense adjacency's quadratic blowup dominates everything)
+    """
+    total = slotted = 0
+    for e in entries:
+        c0 = np.asarray(e["cluster0"], dtype=np.int64)
+        if not c0.size:
+            continue
+        sizes = np.bincount(c0)
+        sizes = sizes[sizes > 0]
+        total += int(sizes.sum())
+        slotted += int((-(-sizes // 8) * 8).sum())
+    return 5 if slotted > threshold * max(total, 1) else 1
+
+
+def diag_clustered_requirements(entries: list[dict], min_slot_nodes: int | None = None) -> dict:
     """Capacities :func:`collate_graphs_diag_clustered` would need — the
     Trainer's grow-only bucket source (mirrors the collate's plan math)."""
-    plans = [_slot8_plan(e, 8) for e in entries]
+    if min_slot_nodes is None:
+        min_slot_nodes = _auto_min_slot_nodes(entries)
+    plans = [_slot8_plan(e, 8, min_slot_nodes) for e in entries]
     c1_total = 0
     s1 = 1
     for e in entries:
@@ -885,6 +953,7 @@ def diag_clustered_requirements(entries: list[dict]) -> dict:
         "c1": max(c1_total, 1),
         "members0s_s": max(p["max_slots"] for p in plans),
         "members1_s": s1,
+        "members0n_s": max(max(p["max_small"] for p in plans), 1),
     }
 
 
@@ -906,7 +975,10 @@ def collate_graphs_diag_clustered_sharded(
     template = entries[0]
     shards = [entries[s::num_shards] or [_dummy_entry(template)] for s in range(num_shards)]
 
-    reqs = [diag_clustered_requirements(shard) for shard in shards]
+    # ONE layout decision across shards (per-shard auto choices could
+    # differ, and the stacked leaves must be rectangular)
+    msn = _auto_min_slot_nodes(entries)
+    reqs = [diag_clustered_requirements(shard, min_slot_nodes=msn) for shard in shards]
     caps = {k: max(r[k] for r in reqs) for k in reqs[0]}
     for k, pad in (pad_caps or {}).items():
         caps[k] = pad(caps[k]) if callable(pad) else max(caps[k], pad)
@@ -922,8 +994,10 @@ def collate_graphs_diag_clustered_sharded(
             pad_c1=caps["c1"],
             pad_members0s=caps["members0s_s"],
             pad_members1=caps["members1_s"],
+            pad_members0n=caps["members0n_s"],
             with_edge_weights=with_edge_weights,
             weight_dtype=weight_dtype,
+            min_slot_nodes=msn,
         )
         batches.append(batch)
         names.extend(shard_names)
@@ -1012,7 +1086,7 @@ def _member_matrix(ids: np.ndarray, num_clusters: int, pad_value: int, pad_s=Non
     return members
 
 
-def _slot8_plan(entry: dict, block: int) -> dict:
+def _slot8_plan(entry: dict, block: int, min_slot_nodes: int = 1) -> dict:
     """Per-entry cluster-slot row plan (the ``slot8`` layout): nodes go
     cluster-major — clusters follow their locality order, members follow
     theirs — with every cluster padded to a multiple of 8 rows ("slots").
@@ -1022,10 +1096,20 @@ def _slot8_plan(entry: dict, block: int) -> dict:
     +10 % adjacency blocks at the 100k-node bench shape — measured cheaper
     than the 0.5 ms node-level pool it replaces).
 
+    ``min_slot_nodes > 1`` is the MIXED layout (round-4 verdict #5): only
+    clusters with at least that many members get 8-lane slots; smaller
+    clusters pack densely into a trailing region (no per-cluster padding)
+    and pool through a node-level member matrix instead of the slot kernel.
+    Tiny-cluster data (MCL on small residue graphs averages ~2.6 nodes)
+    otherwise inflates rows ~3x — and the dense diag adjacency
+    QUADRATICALLY (ops/batch.py:DiagClusteredBatch).
+
     Returns ``posmap`` (original node -> row), ``cap`` (row capacity),
     ``p_order``/``p_inv`` (the cluster locality permutation, identical to the
-    un-slotted collate's so pooled-graph layouts agree), and ``slot_col``
-    (slot -> LOCAL pooled slot id, -1 for trailing padding slots)."""
+    un-slotted collate's so pooled-graph layouts agree), ``slot_col``
+    (slot -> LOCAL pooled slot id, -1 for trailing/mixed slots), and the
+    mixed-layout bookkeeping (``is_big`` by original cluster id,
+    ``is_big_local`` by local pooled id, ``max_small``)."""
     from deeprank2_tpu.ops.block_sparse import locality_order
 
     v = entry["x"].shape[0]
@@ -1044,7 +1128,8 @@ def _slot8_plan(entry: dict, block: int) -> dict:
     p_inv[p_order] = np.arange(n_c0)
 
     sizes = counts[:n_c0].astype(np.int64)
-    nslots = -(-sizes // 8)
+    is_big = sizes >= min_slot_nodes if min_slot_nodes > 1 else np.ones(n_c0, dtype=bool)
+    nslots = -(-sizes // 8) * is_big
     slot_base = np.zeros(n_c0, dtype=np.int64)
     slot_base[p_order] = np.concatenate([[0], np.cumsum(nslots[p_order])])[:-1]
     total_slots = int(nslots.sum())
@@ -1057,9 +1142,17 @@ def _slot8_plan(entry: dict, block: int) -> dict:
     mrank = np.empty(v, dtype=np.int64)
     mrank[ord_in] = np.arange(v) - starts[c0[ord_in]]
 
-    posmap = 8 * slot_base[c0] + mrank  # cluster runs are contiguous
-    cap = max(-(-(8 * total_slots) // block) * block, block)
+    # small clusters: densely packed after the slotted region, p_order-major
+    ssizes = sizes * ~is_big
+    small_base = np.zeros(n_c0, dtype=np.int64)
+    small_base[p_order] = 8 * total_slots + np.concatenate([[0], np.cumsum(ssizes[p_order])])[:-1]
+
+    posmap = np.where(is_big[c0], 8 * slot_base[c0] + mrank, small_base[c0] + mrank)
+    rows_total = 8 * total_slots + int(ssizes.sum())
+    cap = max(-(-rows_total // block) * block, block)
     slot_col = np.full(cap // 8, -1, dtype=np.int64)
+    # local pooled ids run 0..n_c0-1 in p_order position order; small
+    # clusters contribute zero slots so the repeat skips them naturally
     slot_col[:total_slots] = np.repeat(np.arange(n_c0), nslots[p_order])
     return {
         "posmap": posmap,
@@ -1068,6 +1161,9 @@ def _slot8_plan(entry: dict, block: int) -> dict:
         "p_inv": p_inv,
         "slot_col": slot_col,
         "max_slots": int(nslots.max()) if n_c0 else 1,
+        "is_big": is_big,
+        "is_big_local": is_big[p_order] if n_c0 else np.ones(0, dtype=bool),
+        "max_small": int(ssizes.max()) if n_c0 and not is_big.all() else 0,
     }
 
 

@@ -367,6 +367,8 @@ def build_blocksparse(
         num_chunks=num_chunks,
         block=block,
         num_row_tiles=num_row_tiles if row_tile_range is not None else num_tiles,
+        kbatch=kb,
+        super_batches=sb,
         symmetric=(row_tile_range is None and col_tile_range is None)
         or (col_tile_range is not None and row_tile_range == col_tile_range),
     )
@@ -488,6 +490,7 @@ def _spmm_impl(structure: BlockSparseStructure, x: jnp.ndarray, precision, compu
             compute_dtype=cd.name,
             transposed_io=transposed_io,
             kbatch=structure.kbatch,
+            super_batches=structure.super_batches,
         )
     if transposed_io:
         return bcsr_spmm_xla(structure, x.T, precision).T
@@ -527,6 +530,7 @@ def _kernel_stream(
     compute_dtype,
     num_subs,
     split,
+    super_batches,
 ):
     """One grid step = SUPER sub-batches of KBATCH blocks each. The output
     tile of a (chunk, row-tile) run accumulates in a VMEM scratch and is
@@ -568,8 +572,8 @@ def _kernel_stream(
         runct[0] = 0
         runct[1] = 0
 
-    for k in range(SUPER):  # unrolled: SUPER is static
-        sub = bi * SUPER + k
+    for k in range(super_batches):  # unrolled: static per structure
+        sub = bi * super_batches + k
         prev = jnp.maximum(sub - 1, 0)
         chunk_changed = jnp.logical_or(sub == 0, batch_chunk_ref[sub] != batch_chunk_ref[prev])
         run_changed = jnp.logical_or(chunk_changed, batch_row_ref[sub] != batch_row_ref[prev])
@@ -658,7 +662,7 @@ def _kernel_stream(
                 flush_cp(sub, 1 - parity).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("num_tiles", "num_chunks", "block", "num_row_tiles", "precision", "compute_dtype", "transposed_io", "kbatch"))
+@functools.partial(jax.jit, static_argnames=("num_tiles", "num_chunks", "block", "num_row_tiles", "precision", "compute_dtype", "transposed_io", "kbatch", "super_batches"))
 def _bcsr_spmm_tpu(
     blocks_t,
     block_col,
@@ -675,10 +679,12 @@ def _bcsr_spmm_tpu(
     compute_dtype="float32",
     transposed_io=False,
     kbatch=None,
+    super_batches=None,
 ):
     if num_row_tiles is None:
         num_row_tiles = num_tiles
     kbatch = kbatch or KBATCH
+    sb = super_batches or SUPER
     cd = jnp.dtype(compute_dtype)
     split = cd.itemsize == 4
     feat = x.shape[0] if transposed_io else x.shape[1]
@@ -714,10 +720,10 @@ def _bcsr_spmm_tpu(
     buf_dtype = jnp.bfloat16 if split else cd
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_subs // SUPER,),
+        grid=(num_subs // sb,),
         in_specs=[
-            # SUPER*kbatch blocks per grid step, pipelined by Mosaic
-            pl.BlockSpec((SUPER * kbatch, block, block), lambda bi, *_: (bi, 0, 0), memory_space=pltpu.VMEM),
+            # sb*kbatch blocks per grid step, pipelined by Mosaic
+            pl.BlockSpec((sb * kbatch, block, block), lambda bi, *_: (bi, 0, 0), memory_space=pltpu.VMEM),
             # x^T (hi+lo pair when split); chunks DMA'd manually
             *[pl.BlockSpec(memory_space=pltpu.HBM) for _ in x_operands],
         ],
@@ -744,6 +750,7 @@ def _bcsr_spmm_tpu(
             compute_dtype=cd,
             num_subs=num_subs,
             split=split,
+            super_batches=sb,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_chunks, fw, num_row_tiles * block), jnp.float32),

@@ -161,6 +161,29 @@ def member_max_pool(
     return pool(h)
 
 
+def diag_depth0_pool(h_t: jnp.ndarray, batch) -> jnp.ndarray:
+    """Depth-0 community pooling for :class:`~deeprank2_tpu.ops.batch.DiagClusteredBatch`
+    activations (``[F, G*N]`` -> ``[F, G*K]``), shared by the diag model
+    family: the aligned 8-lane slot max (ops/pallas_slotpool.py) + per-
+    cluster slot combine for slotted clusters, and — mixed layout
+    (``min_slot_nodes > 1``) — a node-level member pool for the densely
+    packed small clusters, merged by the collate's ``pooled_from_slots``
+    routing (empty member rows give 0 on the unused side)."""
+    from deeprank2_tpu.ops.pallas_slotpool import slot_group_max
+
+    mask_row = batch.node_mask.astype(h_t.dtype).reshape(1, -1)
+    p8 = slot_group_max(h_t, mask_row)
+    k_tot = batch.pooled_mask.size
+    if batch.members0s.size:
+        hp = member_max_pool(p8.T, batch.members0s, batch.slot_cluster)  # [G*K, F]
+    else:
+        hp = segment_max(p8.T, batch.slot_cluster, k_tot)
+    if batch.members0n.size:
+        hp_n = member_max_pool(h_t.T, batch.members0n, batch.node_cluster0n)
+        hp = jnp.where(batch.pooled_from_slots[:, None], hp, hp_n)
+    return hp.T  # [F, G*K]
+
+
 def max_pool_x(
     cluster: jnp.ndarray,  # i32 [V] node -> cluster (padded OOB)
     x: jnp.ndarray,  # f32 [V, F]

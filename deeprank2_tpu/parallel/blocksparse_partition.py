@@ -122,29 +122,41 @@ def _collate_shard_arrays(entries: list[dict], num_shards: int, block: int, pad_
     return layout["pairs"], r_per, num_nodes, arrays, names, num_graphs
 
 
-def _choose_kbatch(buckets, num_nodes: int, block: int, rc_ranges, target_waste: float = 0.25) -> int:
-    """Smallest-padding run quantum for a stacked bucket group (round-4
-    verdict #7: sharded slices have short (chunk, row-tile) runs, so the
-    full-graph KBATCH=16 run padding is ~50 % of real blocks — dead stream
-    on the multi-chip paths, where bytes ARE the cost). Picks the largest
-    quantum from (16, 8, 4) whose total padded blocks (shared stacked
-    capacity included) stay within ``target_waste`` of the real count; the
-    shared capacity keeps the stacked pytree rectangular."""
-    from deeprank2_tpu.ops.block_sparse import required_blocks
+def _choose_quanta(buckets, num_nodes: int, block: int, rc_ranges, target_waste: float = 0.25) -> tuple[int, int]:
+    """Run quantum + grid depth ``(kbatch, super_batches)`` for a stacked
+    bucket group (round-4 verdict #7: sharded slices have short
+    (chunk, row-tile) runs, so the full-graph KBATCH=16 run padding is
+    ~50 % of real blocks — dead stream on the multi-chip paths, where bytes
+    ARE the cost). Picks the largest quantum from (16, 8, 4, 2) whose total
+    padded blocks (shared stacked capacity included) stay within
+    ``target_waste`` of the real count (falling back to 2), then shrinks the
+    per-grid-step depth for tiny buckets so their capacity floor is
+    ``kbatch * super_batches``, not ``kbatch * SUPER`` (a far ring step can
+    hold 8 real blocks total). The shared capacity keeps the stacked pytree
+    rectangular."""
+    from deeprank2_tpu.ops.block_sparse import SUPER, required_blocks
 
     real = sum(
         required_blocks(b, num_nodes, block, row_tile_range=r, col_tile_range=c, kbatch=1)
         for b, (r, c) in zip(buckets, rc_ranges)
     )
-    best = 4
-    for kb in (16, 8, 4):
-        cap = max(
+
+    def group_cap(kb: int) -> int:
+        return max(
             required_blocks(b, num_nodes, block, row_tile_range=r, col_tile_range=c, kbatch=kb)
             for b, (r, c) in zip(buckets, rc_ranges)
         )
+
+    kb, cap = 2, None
+    for cand in (16, 8, 4, 2):
+        cap = group_cap(cand)
         if cap * len(buckets) <= (1.0 + target_waste) * real:
-            return kb
-    return best
+            kb = cand
+            break
+    else:
+        cap = group_cap(kb)
+    sb = min(SUPER, max(1, -(-cap // kb)))
+    return kb, sb
 
 
 def collate_graphs_blocksparse_partitioned(
@@ -165,14 +177,14 @@ def collate_graphs_blocksparse_partitioned(
     pairs, r_per, num_nodes, arrays, names, num_graphs = _collate_shard_arrays(entries, num_shards, block, pad_tiles, pad_graphs)
 
     ranges = [(d * r_per, (d + 1) * r_per) for d in range(num_shards)]
-    kb = _choose_kbatch([pairs] * num_shards, num_nodes, block, [(rng, None) for rng in ranges])
+    kb, sb = _choose_quanta([pairs] * num_shards, num_nodes, block, [(rng, None) for rng in ranges])
     cap_blocks = max(required_blocks(pairs, num_nodes, block, row_tile_range=rng, kbatch=kb) for rng in ranges)
     if callable(pad_blocks):
         cap_blocks = pad_blocks(cap_blocks)
     elif pad_blocks is not None:
         cap_blocks = max(cap_blocks, pad_blocks)
     structures = [
-        build_blocksparse(pairs, num_nodes, block, pad_blocks_to=cap_blocks, row_tile_range=rng, to_device=False, kbatch=kb) for rng in ranges
+        build_blocksparse(pairs, num_nodes, block, pad_blocks_to=cap_blocks, row_tile_range=rng, to_device=False, kbatch=kb, super_batches=sb) for rng in ranges
     ]
     stacked = jax.tree.map(lambda *leaves: jnp.asarray(np.stack(leaves)), *structures)
 
@@ -226,14 +238,14 @@ def partition_blocksparse_batch(batch, num_shards: int, pad_blocks=None) -> Part
     pairs = _structure_pairs(st)
 
     ranges = [(d * r_per, (d + 1) * r_per) for d in range(num_shards)]
-    kb = _choose_kbatch([pairs] * num_shards, num_nodes, block, [(rng, None) for rng in ranges])
+    kb, sb = _choose_quanta([pairs] * num_shards, num_nodes, block, [(rng, None) for rng in ranges])
     cap_blocks = max(required_blocks(pairs, num_nodes, block, row_tile_range=rng, kbatch=kb) for rng in ranges)
     if callable(pad_blocks):
         cap_blocks = pad_blocks(cap_blocks)
     elif pad_blocks is not None:
         cap_blocks = max(cap_blocks, pad_blocks)
     structures = [
-        build_blocksparse(pairs, num_nodes, block, pad_blocks_to=cap_blocks, row_tile_range=rng, to_device=False, kbatch=kb) for rng in ranges
+        build_blocksparse(pairs, num_nodes, block, pad_blocks_to=cap_blocks, row_tile_range=rng, to_device=False, kbatch=kb, super_batches=sb) for rng in ranges
     ]
     stacked = jax.tree.map(lambda *leaves: jnp.asarray(np.stack(leaves)), *structures)
 
@@ -438,7 +450,7 @@ def _build_ring_structures(pairs: np.ndarray, num_nodes: int, block: int, num_sh
         return bucket_edges[lo:hi]
 
     diag_pairs = [bucket(d, d) for d in range(num_shards)]
-    kb_diag = _choose_kbatch(diag_pairs, num_nodes, block, [(rng, rng) for rng in ranges])
+    kb_diag, sb_diag = _choose_quanta(diag_pairs, num_nodes, block, [(rng, rng) for rng in ranges])
     cap_diag = max(
         required_blocks(diag_pairs[d], num_nodes, block, row_tile_range=rng, col_tile_range=rng, kbatch=kb_diag)
         for d, rng in enumerate(ranges)
@@ -448,7 +460,7 @@ def _build_ring_structures(pairs: np.ndarray, num_nodes: int, block: int, num_sh
     elif pad_blocks_diag is not None:
         cap_diag = max(cap_diag, pad_blocks_diag)
     diag_structs = [
-        build_blocksparse(diag_pairs[d], num_nodes, block, pad_blocks_to=cap_diag, row_tile_range=rng, col_tile_range=rng, to_device=False, kbatch=kb_diag)
+        build_blocksparse(diag_pairs[d], num_nodes, block, pad_blocks_to=cap_diag, row_tile_range=rng, col_tile_range=rng, to_device=False, kbatch=kb_diag, super_batches=sb_diag)
         for d, rng in enumerate(ranges)
     ]
     diag = jax.tree.map(lambda *leaves: jnp.asarray(np.stack(leaves)), *diag_structs)
@@ -462,7 +474,7 @@ def _build_ring_structures(pairs: np.ndarray, num_nodes: int, block: int, num_sh
     off_structs = []
     for k in range(1, num_shards):
         sources = [(d - k) % num_shards for d in range(num_shards)]
-        kb_k = _choose_kbatch(
+        kb_k, sb_k = _choose_quanta(
             [bucket(d, s) for d, s in enumerate(sources)], num_nodes, block,
             [(ranges[d], ranges[s]) for d, s in enumerate(sources)],
         )
@@ -480,7 +492,7 @@ def _build_ring_structures(pairs: np.ndarray, num_nodes: int, block: int, num_sh
             per_k.append(
                 build_blocksparse(
                     bucket(d, s), num_nodes, block, pad_blocks_to=cap_k,
-                    row_tile_range=ranges[d], col_tile_range=ranges[s], to_device=False, kbatch=kb_k,
+                    row_tile_range=ranges[d], col_tile_range=ranges[s], to_device=False, kbatch=kb_k, super_batches=sb_k,
                 )
             )
         off_structs.append(jax.tree.map(lambda *leaves: jnp.asarray(np.stack(leaves)), *per_k))

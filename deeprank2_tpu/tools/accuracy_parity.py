@@ -600,6 +600,9 @@ CONFIG_NAMES = (
     "vanilla_srv_regress",
     "vanilla_srv_classif",
     "ginet_ppi_classif",
+    "ginet_dense_diag_classif",
+    "ginet_bcsr_classif",
+    "vanilla_blocked_classif",
     "ginet_clustered_bcsr_classif",
     "ginet_clustered_diag_classif",
     "fout_atom_classif",
@@ -974,6 +977,55 @@ def run_all(data_dir: Path, out_dir: Path, configs: list[str], epochs: int, fold
                 model_cls=GINetNoDropout, mirror_kind="ginet", task="classif", target="binary",
                 epochs=epochs, batch_size=3, clustered=True, folds=folds,
                 dataset_kwargs={"node_features": ppi_feats, "features_transform": std(ppi_feats)},
+            )
+        )
+    if "ginet_dense_diag_classif" in configs:
+        from deeprank2_tpu.neuralnets.gnn.ginet_dense import GINetDense
+
+        class GINetDenseNoDropout(GINetDense):
+            """The dense graph-diagonal FAST PATH (the bench.py headline
+            model — flat [F, G*N] activations + ops/diag_spmm.py) under the
+            parity gate; on real TPU this exercises the Mosaic kernel +
+            bf16 MXU behaviors the CPU gate cannot (round-4 verdict #6)."""
+
+            dropout = 0.0
+
+        GINetDenseNoDropout.__name__ = "GINetDense"
+        reports.append(
+            run_trainer_config(
+                "ginet_dense_diag_classif", corpus["ppi_residue"], out_dir,
+                model_cls=GINetDenseNoDropout, mirror_kind="ginet_nocluster", task="classif", target="binary",
+                epochs=epochs, batch_size=3, clustered=False, folds=folds,
+                dataset_kwargs={"node_features": ppi_feats, "features_transform": std(ppi_feats)},
+            )
+        )
+    if "ginet_bcsr_classif" in configs:
+        from deeprank2_tpu.neuralnets.gnn.ginet_blocksparse import GINetBlockSparse
+
+        class GINetBSNoDrop(GINetBlockSparse):
+            """The no-cluster BCSR FAST PATH (ops/block_sparse.py SpMM
+            kernel) under the parity gate on atomic graphs."""
+
+            dropout = 0.0
+
+        GINetBSNoDrop.__name__ = "GINetBlockSparse"
+        reports.append(
+            run_trainer_config(
+                "ginet_bcsr_classif", corpus["ppi_atom"], out_dir,
+                model_cls=GINetBSNoDrop, mirror_kind="ginet_nocluster", task="classif", target="binary",
+                epochs=epochs, batch_size=3, clustered=False, folds=folds,
+                dataset_kwargs={"node_features": atom_feats, "features_transform": std(atom_feats)},
+            )
+        )
+    if "vanilla_blocked_classif" in configs:
+        from deeprank2_tpu.neuralnets.gnn.vanilla_gnn import VanillaNetworkBlocked
+
+        reports.append(
+            run_trainer_config(
+                "vanilla_blocked_classif", corpus["ppi_atom"], out_dir,
+                model_cls=VanillaNetworkBlocked, mirror_kind="vanilla", task="classif", target="binary",
+                epochs=epochs, batch_size=3, clustered=False, folds=folds,
+                dataset_kwargs={"node_features": atom_feats, "features_transform": std(atom_feats)},
             )
         )
     if "ginet_clustered_bcsr_classif" in configs:

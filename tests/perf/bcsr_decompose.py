@@ -158,7 +158,7 @@ def padding_fractions(entry: dict, num_nodes: int, num_shards: int = 8) -> dict:
     import numpy as np
 
     from deeprank2_tpu.ops import block_sparse as bs
-    from deeprank2_tpu.parallel.blocksparse_partition import _choose_kbatch
+    from deeprank2_tpu.parallel.blocksparse_partition import _choose_quanta
 
     order = bs.locality_order(entry["pos"])
     inv = np.empty(len(order), np.int64)
@@ -174,17 +174,14 @@ def padding_fractions(entry: dict, num_nodes: int, num_shards: int = 8) -> dict:
     nn_pad = r_per * num_shards * block
     ranges = [(d * r_per, (d + 1) * r_per) for d in range(num_shards)]
 
-    # mirror _build_ring_structures' bucketing + auto-kbatch choices
+    # mirror _build_ring_structures' bucketing + auto-quanta choices,
+    # including the kb*sb capacity floor the builder rounds to
     real_ring = padded_ring = 0
-    diag_rc = [(r, r) for r in ranges]
-    kb = _choose_kbatch([pairs] * num_shards, nn_pad, block, diag_rc)
-    cap = max(bs.required_blocks(pairs, nn_pad, row_tile_range=r, col_tile_range=r, kbatch=kb) for r in ranges)
-    padded_ring += cap * num_shards
-    real_ring += sum(bs.required_blocks(pairs, nn_pad, row_tile_range=r, col_tile_range=r, kbatch=1) for r in ranges)
-    for k in range(1, num_shards):
-        rc = [(ranges[d], ranges[(d - k) % num_shards]) for d in range(num_shards)]
-        kb = _choose_kbatch([pairs] * num_shards, nn_pad, block, rc)
+    for k in range(num_shards):
+        rc = [(r, r) for r in ranges] if k == 0 else [(ranges[d], ranges[(d - k) % num_shards]) for d in range(num_shards)]
+        kb, sb = _choose_quanta([pairs] * num_shards, nn_pad, block, rc)
         cap = max(bs.required_blocks(pairs, nn_pad, row_tile_range=r, col_tile_range=c, kbatch=kb) for r, c in rc)
+        cap = -(-cap // (kb * sb)) * (kb * sb)
         padded_ring += cap * num_shards
         real_ring += sum(bs.required_blocks(pairs, nn_pad, row_tile_range=r, col_tile_range=c, kbatch=1) for r, c in rc)
 

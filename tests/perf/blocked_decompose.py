@@ -30,6 +30,19 @@ floor the kernel runs at ~68 % of what this algorithm can do on this chip —
 the remaining distance to the HBM bound is irreducible MXU work, the price
 of running per-edge-feature message passing on a systolic array at 17x the
 COO path's throughput.
+
+Round-5: the "stream precomputed one-hot planes from HBM" lever (round-4
+verdict #4, the admitted untried item) is REJECTED by arithmetic before
+burning a compile: a slab needs its row plane ([EDGE_TILE=256, TILE_E=2048])
+plus K_SUB source planes (together another [256, 2048]) = 1 MB/slab even at
+int8; the bench graph's 6.55 M directed edges make 3200 slabs, and both the
+forward and the mirror-fused backward consume the planes, so the stream is
+2 x 3200 x 1 MB = 6.4 GB = ~7.8 ms at 819 GB/s — MORE than the ~4.9 ms of
+iota-compare synthesis it would replace (finding 2 above), before counting
+the doubled VMEM working set crowding the pipeline. Collate-time one-hot
+planes only pay off when edges-per-node is high enough that planes are
+REUSED across slabs; at ~33 edges/node each (node-tile, edge-slab) pair is
+touched ~once. Synthesis stays in-kernel.
 """
 
 from __future__ import annotations

@@ -18,6 +18,14 @@ not asserted), the slot-pool forward+backward kernels standalone, and the
 slot member combine standalone; prints the component sum against the full
 train step.
 
+Protocol caveat, measured round 5: the raw ``v = spmm(v)`` scan's
+sequential dependence + elementwise carry inflate the standalone rate to
+~109 ns/sub-batch; the IN-MODEL rate from profiled train steps at the
+same two geometries (jax.profiler per-op totals: K16 pair 1196 us over
+922 us stream / 1440 subs; K8 pair 1100 us over 788 us stream / 2523
+subs) solves to a consistent **60-62 ns/sub-batch** — use the in-model
+number for rooflines, the standalone pair for regression tracking.
+
 Timing follows bench.py (scan-chained, data-dependent sync, best of two).
 ``--profile DIR`` wraps one timed window per model in ``jax.profiler.trace``
 (summarize with ``python tests/perf/parse_trace.py DIR 150``); ``--only``

@@ -66,7 +66,10 @@ def main() -> None:
 
     batched = "--batched" in sys.argv
     feat_dim = 38
-    entries = ppi_clustered_entries(feat_dim=feat_dim)
+    cell = float(sys.argv[sys.argv.index("--cell") + 1]) if "--cell" in sys.argv else 10.0
+    entries = ppi_clustered_entries(feat_dim=feat_dim, cell=cell)
+    sizes = [e["x"].shape[0] / (int(e["cluster0"].max()) + 1) for e in entries]
+    print(f"# cell={cell} avg cluster size {sum(sizes)/len(sizes):.2f}", file=sys.stderr, flush=True)
     real_edges = 2 * sum(e["edge_index"].shape[0] for e in entries)
 
     fout = "--fout" in sys.argv
@@ -88,7 +91,9 @@ def main() -> None:
         from deeprank2_tpu.neuralnets.gnn.sgat import SGATDiag
         from deeprank2_tpu.ops.batch import collate_graphs_diag_clustered
 
-        batch, _ = collate_graphs_diag_clustered(entries, with_edge_weights=sgat)
+        msn = int(sys.argv[sys.argv.index("--minslot") + 1]) if "--minslot" in sys.argv else None
+        batch, _ = collate_graphs_diag_clustered(entries, with_edge_weights=sgat, min_slot_nodes=msn)
+        print(f"# n_cap={batch.adj_i8.shape[1]} mixed={bool(batch.members0n.size)}", file=sys.stderr, flush=True)
         cls = FoutNetDiag if fout else SGATDiag if sgat else GINetClusteredDiag
         model = cls(feat_dim, 2, 1)
         name, steps, calls = label + "_clustered_diag", 250, 2

@@ -54,11 +54,18 @@ def test_diag_clustered_collate_bookkeeping() -> None:
 
     nm = np.asarray(batch.node_mask)
     sc = np.asarray(batch.slot_cluster)
-    # real slots map into their own graph's pooled range; padding slots OOB
+    nc0n = np.asarray(batch.node_cluster0n) if batch.node_cluster0n.size else np.full(g_count * n_cap, g_count * k_cap)
+    # every real NODE is pooled exactly one way: through its slot (slotted
+    # cluster) or through the node-level map (mixed small cluster); either
+    # route lands in its own graph's pooled range
     for g in range(g_count):
-        rows = np.nonzero(nm[g])[0]
-        slots = np.unique((g * n_cap + rows) // 8)
-        assert ((sc[slots] >= g * k_cap) & (sc[slots] < (g + 1) * k_cap)).all()
+        rows = g * n_cap + np.nonzero(nm[g])[0]
+        via_slot = sc[rows // 8]
+        via_node = nc0n[rows]
+        one_way = (via_slot < g_count * k_cap) ^ (via_node < g_count * k_cap)
+        assert one_way.all()
+        pooled = np.where(via_slot < g_count * k_cap, via_slot, via_node)
+        assert ((pooled >= g * k_cap) & (pooled < (g + 1) * k_cap)).all()
     live = np.zeros(len(sc), bool)
     for g in range(g_count):
         rows = np.nonzero(nm[g])[0]
@@ -162,3 +169,64 @@ def test_diag_clustered_gapped_cluster0_ids() -> None:
     want = np.asarray(model_coo.apply(params, coo_batch, training=False))[:2]
     got = np.asarray(model_d.apply(params, batch, training=False))[:2]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_mixed_layout_tiny_clusters() -> None:
+    """Tiny clusters (avg ~2.6 nodes — real MCL output on small residue
+    graphs): the mixed layout must keep them densely packed (rows within
+    ~1.2x of the node count instead of the pure-slot8 ~3x) and still match
+    the COO oracle."""
+    from deeprank2_tpu.ops.batch import _slot8_plan
+
+    rng = np.random.default_rng(3)
+    entries = []
+    for g in range(3):
+        n = 120
+        pos = rng.uniform(0, 18, (n, 3)).astype(np.float32)
+        from scipy.spatial import cKDTree
+
+        pairs = cKDTree(pos).query_pairs(5.0, output_type="ndarray")
+        cell = np.floor(pos / 3.2).astype(np.int64)  # tiny spatial clusters
+        _, c0 = np.unique(cell[:, 0] * 10000 + cell[:, 1] * 100 + cell[:, 2], return_inverse=True)
+        n_c0 = int(c0.max()) + 1
+        psum = np.zeros((n_c0, 3))
+        np.add.at(psum, c0, pos)
+        pmean = psum / np.bincount(c0, minlength=n_c0)[:, None]
+        cell1 = np.floor(pmean / 8.0).astype(np.int64)
+        _, c1 = np.unique(cell1[:, 0] * 10000 + cell1[:, 1] * 100 + cell1[:, 2], return_inverse=True)
+        entries.append(
+            {
+                "x": rng.normal(size=(n, 13)).astype(np.float32),
+                "edge_index": pairs.astype(np.int64),
+                "edge_attr": rng.uniform(0.5, 3.0, size=(len(pairs), 1)).astype(np.float32),
+                "pos": pos,
+                "y": float(g % 2),
+                "cluster0": c0.astype(np.int32),
+                "cluster1": c1.astype(np.int32),
+                "entry_name": f"tiny-{g}",
+            }
+        )
+    avg = np.mean([e["x"].shape[0] / (int(e["cluster0"].max()) + 1) for e in entries])
+    assert avg < 4.0  # the regime this layout exists for
+
+    # row inflation: mixed vs pure slot8
+    mixed_cap = max(_slot8_plan(e, 8, 5)["cap"] for e in entries)
+    slot8_cap = max(_slot8_plan(e, 8, 1)["cap"] for e in entries)
+    assert mixed_cap <= 1.3 * 120
+    assert slot8_cap > 1.8 * 120  # what the pure layout would pay
+
+    model_d = GINetClusteredDiag(13, 2, 1)
+    model_coo = GINet(13, 2, 1)
+    params = model_d.init(jax.random.PRNGKey(0))
+    coo_batch, _ = collate_graphs(entries, pad_graphs=3)
+    d_batch, _ = collate_graphs_diag_clustered(entries, pad_graphs=3)
+    assert d_batch.members0n.size  # the mixed machinery actually engaged
+    want = np.asarray(model_coo.apply(params, coo_batch, training=False))[:3]
+    got = np.asarray(model_d.apply(params, d_batch, training=False))[:3]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    g_coo = jax.grad(lambda p: (model_coo.apply(p, coo_batch, training=False)[:3] ** 2).sum())(params)
+    g_d = jax.grad(lambda p: (model_d.apply(p, d_batch, training=False)[:3] ** 2).sum())(params)
+    flat_d = dict(jax.tree_util.tree_leaves_with_path(g_d))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g_coo):
+        np.testing.assert_allclose(np.asarray(flat_d[path]), np.asarray(leaf), rtol=1e-3, atol=1e-3, err_msg=str(path))
