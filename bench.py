@@ -162,6 +162,12 @@ def bcsr_result(num_nodes: int = 100_000) -> dict:
     sol_s = bound["bound_bytes"] / (peak * 1e9)
     out = {
         "num_nodes": num_nodes,
+        # round-5 geometry note: KBATCH=8 stores ~22 % fewer padded blocks
+        # than round 4's 16, so the HBM bound (the pct denominator) SHRANK
+        # while step_ms/edges_per_s improved — compare those across rounds.
+        # The near-f32 residual vs its own bound is the pinned-irreducible
+        # second MXU pass (tests/perf/bcsr_decompose.py round-4 tail note);
+        # the bf16 row shows the stream ceiling.
         "edges_per_s": round(real_edges / step_s, 1),
         "step_ms": round(step_s * 1e3, 3),
         "pct_speed_of_light": round(100.0 * sol_s / step_s, 1),

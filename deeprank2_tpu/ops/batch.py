@@ -867,8 +867,11 @@ def collate_graphs_diag_clustered(
     members0s = _member_matrix(slot_cluster, num_graphs * k_cap, num_graphs * n_cap // 8, pad_s=pad_members0s)
     members1 = _member_matrix(cluster1_arr, c1_cap, num_graphs * k_cap, pad_s=pad_members1)
     # DP-sharded collation passes pad_members0n so every shard carries the
-    # mixed-layout leaves even when its own entries have no small clusters
-    if (node_cluster0n < num_graphs * k_cap).any() or pad_members0n is not None:
+    # mixed-layout leaves even when its own entries have no small clusters.
+    # Pure-slot batches (min_slot_nodes == 1) skip the machinery entirely —
+    # the Trainer always passes its grow-only cap callable, and an all-OOB
+    # member matrix would still cost the model a dead G*K-row gather.
+    if min_slot_nodes > 1 and ((node_cluster0n < num_graphs * k_cap).any() or pad_members0n is not None):
         members0n = _member_matrix(node_cluster0n, num_graphs * k_cap, num_graphs * n_cap, pad_s=pad_members0n)
         if members0n.size == 0:
             msg = "mixed-layout member matrix exceeded the size guard; lower min_slot_nodes"
