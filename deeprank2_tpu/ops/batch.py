@@ -713,11 +713,6 @@ class DiagClusteredBatch:
     wsum_p: jax.Array  # f32 [G*K]
     slot_cluster: jax.Array  # i32 [G*N/8] slot -> global pooled slot; pad = G*K
     members0s: jax.Array  # i32 [G*K, S0s] slot indices per pooled slot; pad = G*N/8
-    # mixed layout (min_slot_nodes > 1; all size 0 when every cluster is
-    # slotted): small clusters pool at NODE level through these
-    members0n: jax.Array  # i32 [G*K, S0n] node indices per small pooled slot; pad = G*N
-    node_cluster0n: jax.Array  # i32 [G*N] node -> pooled slot (small clusters only); pad = G*K
-    pooled_from_slots: jax.Array  # bool [G*K] True = take the slot-combine value
     adj_p_i8: jax.Array  # int8 [G, K, K] pooled adjacency (distinct pairs)
     pooled_mask: jax.Array  # bool [G, K]
     cluster1: jax.Array  # i32 [G*K] pooled slot -> global depth-1 slot; pad = C1
@@ -726,6 +721,16 @@ class DiagClusteredBatch:
     y: jax.Array  # f32 [G]
     y_mask: jax.Array  # bool [G]
     num_graphs: int = field(metadata={"static": True})
+    # MIXED size-class region layout (round-5; empty tuple = pure slot8).
+    # (nb, n4, n2, n1, kbig): per-graph row caps of the slot8 region, the
+    # 4-lane, 2-lane, and 1-lane size-class regions, and the pooled capacity
+    # of the slotted segment. Each region pools with its own stride through
+    # the generalized slot kernel (ops/pallas_slotpool.py slot=2/4/8; the
+    # 1-lane region IS its pooled values) and the per-graph segments
+    # concatenate straight into pooled order — no node-level gathers.
+    # In this layout ``slot_cluster``/``members0s`` index the COMPACT big
+    # region (slots = G*nb/8, pooled = G*kbig).
+    region_caps: tuple = field(metadata={"static": True}, default=())
 
     @property
     def nodes_per_graph(self) -> int:
@@ -743,7 +748,7 @@ def collate_graphs_diag_clustered(
     with_edge_weights: bool = False,
     weight_dtype: np.dtype | None = None,
     min_slot_nodes: int | None = None,
-    pad_members0n=None,
+    pad_region_caps: dict | None = None,
 ) -> tuple[DiagClusteredBatch, list[str]]:
     """Collate entries (:func:`collate_graphs` schema, ``cluster0``/``cluster1``
     required) into a :class:`DiagClusteredBatch`. Pooled-graph semantics match
@@ -751,10 +756,13 @@ def collate_graphs_diag_clustered(
     duplicate pairs coalesced). ``pad_*`` may be ints or callables.
 
     ``min_slot_nodes`` selects the layout: ``1`` = pure slot8, ``>1`` = the
-    MIXED layout (clusters below the threshold pack densely - capping the
-    quadratic dense-adjacency inflation on tiny-cluster data - and pool
-    through a node-level member matrix), ``None`` = decide from the data
-    (:func:`_auto_min_slot_nodes`)."""
+    MIXED size-class region layout (clusters below the threshold pack at
+    stride 4/2/1 instead of paying 8-row slot padding — capping the
+    quadratic dense-adjacency inflation on tiny-cluster data — and pool
+    through the stride-s slot kernels), ``None`` = decide from the data
+    (:func:`_auto_min_slot_nodes`). ``pad_region_caps`` buckets the mixed
+    layout's per-region row caps (keys big/s4/s2/s1/kbig; ints or
+    callables)."""
     num_real = len(entries)
     num_graphs = pad_graphs or num_real
     if num_real > num_graphs:
@@ -765,7 +773,14 @@ def collate_graphs_diag_clustered(
 
     if min_slot_nodes is None:
         min_slot_nodes = _auto_min_slot_nodes(entries)
-    plans = [_slot8_plan(e, 8, min_slot_nodes) for e in entries]
+    if min_slot_nodes > 1:
+        return _collate_diag_mixed(
+            entries, names, num_graphs, feat_dim, min_slot_nodes,
+            pad_c1=pad_c1, pad_members0s=pad_members0s, pad_members1=pad_members1,
+            pad_region_caps=pad_region_caps, pad_clusters=pad_clusters,
+            with_edge_weights=with_edge_weights, weight_dtype=weight_dtype,
+        )
+    plans = [_slot8_plan(e, 8) for e in entries]
     n_req = max(p["cap"] for p in plans)
     if callable(pad_nodes):
         pad_nodes = pad_nodes(n_req)
@@ -792,8 +807,6 @@ def collate_graphs_diag_clustered(
         adj_w = np.zeros((num_graphs, 0, 0), dtype=np.float32)
         adj_wp = np.zeros((num_graphs, 0, 0), dtype=np.float32)
     slot_cluster = np.full(num_graphs * n_cap // 8, num_graphs * k_cap, dtype=np.int32)
-    node_cluster0n = np.full(num_graphs * n_cap, num_graphs * k_cap, dtype=np.int32)
-    from_slots = np.ones(num_graphs * k_cap, dtype=bool)
     adj_p = np.zeros((num_graphs, k_cap, k_cap), dtype=np.int8)
     pooled_mask = np.zeros((num_graphs, k_cap), dtype=bool)
     cluster1_g = np.full(num_graphs * k_cap, -1, dtype=np.int64)
@@ -831,14 +844,9 @@ def collate_graphs_diag_clustered(
                 np.add.at(adj_w[g], (pj, pi), ea)
                 np.add.at(adj_wp[g], (ci[keep], cj[keep]), ea[keep])
                 np.add.at(adj_wp[g], (cj[keep], ci[keep]), ea[keep])
-        sc = plan["slot_col"]  # local pooled id per slot, -1 = padding/mixed
+        sc = plan["slot_col"]  # local pooled id per slot, -1 = padding
         base = g * n_cap // 8
         slot_cluster[base : base + len(sc)] = np.where(sc >= 0, sc + g * k_cap, num_graphs * k_cap)
-        # mixed layout: small-cluster nodes pool at node level
-        small_nodes = np.flatnonzero(~plan["is_big"][c0]) if c0.size else np.zeros(0, np.int64)
-        if small_nodes.size:
-            node_cluster0n[g * n_cap + posmap[small_nodes]] = p_inv[c0[small_nodes]] + g * k_cap
-        from_slots[g * k_cap : g * k_cap + n_c0] = plan["is_big_local"]
         # a gapped cluster0 id would make a zero-member pooled slot; mask it
         # (and keep it out of the depth-1 mean) like the COO path's counts>0
         valid0 = (np.bincount(c0, minlength=max(n_c0, 1))[:n_c0] > 0)[p_order] if c0.size else np.ones(n_c0, bool)
@@ -866,22 +874,6 @@ def collate_graphs_diag_clustered(
 
     members0s = _member_matrix(slot_cluster, num_graphs * k_cap, num_graphs * n_cap // 8, pad_s=pad_members0s)
     members1 = _member_matrix(cluster1_arr, c1_cap, num_graphs * k_cap, pad_s=pad_members1)
-    # DP-sharded collation passes pad_members0n so every shard carries the
-    # mixed-layout leaves even when its own entries have no small clusters.
-    # Pure-slot batches (min_slot_nodes == 1) skip the machinery entirely —
-    # the Trainer always passes its grow-only cap callable, and an all-OOB
-    # member matrix would still cost the model a dead G*K-row gather.
-    if min_slot_nodes > 1 and ((node_cluster0n < num_graphs * k_cap).any() or pad_members0n is not None):
-        members0n = _member_matrix(node_cluster0n, num_graphs * k_cap, num_graphs * n_cap, pad_s=pad_members0n)
-        if members0n.size == 0:
-            msg = "mixed-layout member matrix exceeded the size guard; lower min_slot_nodes"
-            raise ValueError(msg)
-        nc0n = node_cluster0n
-        fslots = from_slots
-    else:
-        members0n = np.zeros((0, 0), dtype=np.int32)
-        nc0n = np.zeros(0, dtype=np.int32)
-        fslots = np.zeros(0, dtype=bool)
 
     return DiagClusteredBatch(
         x_t=np.ascontiguousarray(x.T),
@@ -895,9 +887,6 @@ def collate_graphs_diag_clustered(
         wsum_p=adj_wp.sum(axis=2).reshape(-1) if with_edge_weights else np.zeros(0, np.float32),
         slot_cluster=slot_cluster,
         members0s=members0s,
-        members0n=members0n,
-        node_cluster0n=nc0n,
-        pooled_from_slots=fslots,
         adj_p_i8=adj_p,
         pooled_mask=pooled_mask,
         cluster1=cluster1_arr,
@@ -907,6 +896,261 @@ def collate_graphs_diag_clustered(
         y_mask=y_mask,
         num_graphs=num_graphs,
     ), names
+
+
+def _resolve_cap(pad, req: int, quantum: int) -> int:
+    """Requirement -> capacity: apply an int/callable pad, round to quantum."""
+    if callable(pad):
+        pad = pad(req)
+    cap = max(req, pad or 0)
+    return -(-cap // quantum) * quantum if quantum > 1 else cap
+
+
+def _mixed_class(sizes: np.ndarray, min_slot_nodes: int) -> np.ndarray:
+    """Size class per cluster: 8 = slotted, else the 4/2/1-lane stride that
+    holds the cluster (zero-size gapped ids ride class 1: one masked lane)."""
+    return np.where(
+        sizes >= min_slot_nodes, 8, np.where(sizes > 2, 4, np.where(sizes == 2, 2, 1))  # noqa: PLR2004
+    )
+
+
+def _collate_diag_mixed(
+    entries: list[dict],
+    names: list[str],
+    num_graphs: int,
+    feat_dim: int,
+    min_slot_nodes: int,
+    *,
+    pad_c1=None,
+    pad_members0s=None,
+    pad_members1=None,
+    pad_region_caps: dict | None = None,
+    pad_clusters=None,
+    with_edge_weights: bool = False,
+    weight_dtype: np.dtype | None = None,
+) -> tuple[DiagClusteredBatch, list[str]]:
+    """The MIXED size-class region layout (see DiagClusteredBatch.region_caps).
+
+    Per graph, rows lay out as four fixed-cap regions
+    ``[slot8 big | stride-4 | stride-2 | stride-1]`` (each cap 8-aligned and
+    shared across graphs), clusters ordered by locality within each class.
+    Pooled slots mirror the same segmentation (``[kbig | n4/4 | n2/2 | n1]``,
+    padded groups = masked pooled slots), so depth-0 pooling is per-region
+    stride-s slot kernels whose outputs CONCATENATE straight into pooled
+    order — no node-level member gathers (the round-5 members0n formulation
+    cost ~260 us of row gathers per PPI step; this replaces it with ~tens of
+    us of rolls + selection matmuls).
+    """
+    from deeprank2_tpu.ops.block_sparse import locality_order
+
+    pads = dict(pad_region_caps or {})
+
+    # ---- pass 1: per-entry class assignment + region requirements ----
+    infos = []
+    reqs = {"big": 8, "s4": 0, "s2": 0, "s1": 0, "kbig": 1}
+    for e in entries:
+        v = e["x"].shape[0]
+        pos = np.asarray(e["pos"], dtype=np.float64)
+        c0 = np.asarray(e["cluster0"], dtype=np.int64)
+        if c0.shape[0] != v:
+            msg = f"cluster0 has {c0.shape[0]} entries for {v} nodes"
+            raise ValueError(msg)
+        n_c0 = int(c0.max()) + 1 if c0.size else 0
+        psum = np.zeros((max(n_c0, 1), 3))
+        np.add.at(psum, c0, pos)
+        counts = np.bincount(c0, minlength=max(n_c0, 1)).astype(np.float64)
+        pmean = psum / np.maximum(counts, 1.0)[:, None]
+        p_order = locality_order(pmean[:n_c0]) if n_c0 > 8 else np.arange(n_c0)  # noqa: PLR2004
+        sizes = counts[:n_c0].astype(np.int64)
+        cls = _mixed_class(sizes, min_slot_nodes)
+
+        # per-class rank in locality order
+        rank = np.zeros(n_c0, dtype=np.int64)
+        nslots = np.zeros(n_c0, dtype=np.int64)
+        slot_base = np.zeros(n_c0, dtype=np.int64)
+        for sc in (8, 4, 2, 1):
+            sel = p_order[cls[p_order] == sc]
+            rank[sel] = np.arange(len(sel))
+            if sc == 8:  # noqa: PLR2004
+                ns = -(-sizes[sel] // 8)
+                nslots[sel] = ns
+                slot_base[sel] = np.concatenate([[0], np.cumsum(ns)])[:-1]
+        n_big = int(nslots.sum()) * 8
+        c4 = int((cls == 4).sum())
+        c2 = int((cls == 2).sum())
+        c1n = int((cls == 1).sum())
+        reqs["big"] = max(reqs["big"], n_big)
+        reqs["s4"] = max(reqs["s4"], 4 * c4)
+        reqs["s2"] = max(reqs["s2"], 2 * c2)
+        reqs["s1"] = max(reqs["s1"], c1n)
+        reqs["kbig"] = max(reqs["kbig"], int((cls == 8).sum()))  # noqa: PLR2004
+
+        # member rank within cluster (locality order of nodes)
+        order = locality_order(pos) if v > 8 else np.arange(v)  # noqa: PLR2004
+        loc_rank = np.empty(v, dtype=np.int64)
+        loc_rank[order] = np.arange(v)
+        ord_in = np.lexsort((loc_rank, c0))
+        starts = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+        mrank = np.empty(v, dtype=np.int64)
+        mrank[ord_in] = np.arange(v) - starts[c0[ord_in]]
+        infos.append({"c0": c0, "cls": cls, "rank": rank, "slot_base": slot_base, "nslots": nslots, "mrank": mrank})
+
+    # ---- shared caps (8-aligned so regions stay stride- and tile-aligned) ----
+    nb = _resolve_cap(pads.get("big"), reqs["big"], 8)
+    n4 = _resolve_cap(pads.get("s4"), reqs["s4"], 8)
+    n2 = _resolve_cap(pads.get("s2"), reqs["s2"], 8)
+    n1 = _resolve_cap(pads.get("s1"), reqs["s1"], 8)
+    kbig = _resolve_cap(pads.get("kbig"), reqs["kbig"], 8)
+    n_cap = nb + n4 + n2 + n1
+    k_req = kbig + n4 // 4 + n2 // 2 + n1
+    k_cap = _resolve_cap(pad_clusters, k_req, 8)
+    region_caps = (nb, n4, n2, n1, kbig)
+    # pooled-slot base per class (class 8 -> 0)
+    kbase = {8: 0, 4: kbig, 2: kbig + n4 // 4, 1: kbig + n4 // 4 + n2 // 2}
+    rbase = {8: 0, 4: nb, 2: nb + n4, 1: nb + n4 + n2}
+    stride = {8: 8, 4: 4, 2: 2, 1: 1}
+
+    x = np.zeros((num_graphs * n_cap, feat_dim), dtype=np.float32)
+    adj = np.zeros((num_graphs, n_cap, n_cap), dtype=np.int8)
+    node_mask = np.zeros((num_graphs, n_cap), dtype=bool)
+    if with_edge_weights:
+        adj_w = np.zeros((num_graphs, n_cap, n_cap), dtype=np.float32)
+        adj_wp = np.zeros((num_graphs, k_cap, k_cap), dtype=np.float32)
+    else:
+        adj_w = np.zeros((num_graphs, 0, 0), dtype=np.float32)
+        adj_wp = np.zeros((num_graphs, 0, 0), dtype=np.float32)
+    # COMPACT big-region slot map: [G*nb/8] -> [G*kbig]
+    slot_cluster = np.full(num_graphs * nb // 8, num_graphs * kbig, dtype=np.int32)
+    adj_p = np.zeros((num_graphs, k_cap, k_cap), dtype=np.int8)
+    pooled_mask = np.zeros((num_graphs, k_cap), dtype=bool)
+    cluster1_g = np.full(num_graphs * k_cap, -1, dtype=np.int64)
+    c1_graphs: list[np.ndarray] = []
+    y = np.zeros(num_graphs, dtype=np.float32)
+    y_mask = np.zeros(num_graphs, dtype=bool)
+    c1_off = 0
+    for g, entry in enumerate(entries):
+        info = infos[g]
+        c0, cls, rank, mrank = info["c0"], info["cls"], info["rank"], info["mrank"]
+        n_c0 = len(cls)
+        c1 = np.asarray(entry["cluster1"], dtype=np.int64)
+        if c1.shape[0] != n_c0:
+            msg = f"cluster1 has {c1.shape[0]} entries for {n_c0} depth-0 clusters"
+            raise ValueError(msg)
+        n_c1 = int(c1.max()) + 1 if c1.size else 0
+
+        # cluster -> local pooled slot; cluster -> first row
+        pslot = np.empty(n_c0, dtype=np.int64)
+        row0 = np.empty(n_c0, dtype=np.int64)
+        for sc in (8, 4, 2, 1):
+            sel = cls == sc
+            pslot[sel] = kbase[sc] + rank[sel]
+            if sc == 8:  # noqa: PLR2004
+                row0[sel] = 8 * info["slot_base"][sel]
+            else:
+                row0[sel] = rbase[sc] + stride[sc] * rank[sel]
+        posmap = row0[c0] + mrank
+
+        x[g * n_cap + posmap] = entry["x"]
+        node_mask[g][posmap] = True
+        und = np.asarray(entry["edge_index"], dtype=np.int64).reshape(-1, 2)
+        if und.size:
+            pi, pj = posmap[und[:, 0]], posmap[und[:, 1]]
+            adj[g, pi, pj] = 1
+            adj[g, pj, pi] = 1
+            ci, cj = pslot[c0[und[:, 0]]], pslot[c0[und[:, 1]]]
+            keep = ci != cj
+            adj_p[g, ci[keep], cj[keep]] = 1
+            adj_p[g, cj[keep], ci[keep]] = 1
+            if with_edge_weights:
+                ea = np.asarray(entry["edge_attr"], dtype=np.float32).reshape(len(und), -1)[:, 0]
+                np.add.at(adj_w[g], (pi, pj), ea)
+                np.add.at(adj_w[g], (pj, pi), ea)
+                np.add.at(adj_wp[g], (ci[keep], cj[keep]), ea[keep])
+                np.add.at(adj_wp[g], (cj[keep], ci[keep]), ea[keep])
+
+        # big-region slots -> compact pooled ids
+        big = np.flatnonzero(cls == 8)  # noqa: PLR2004
+        if big.size:
+            base = g * nb // 8
+            # slots in increasing slot_base order = big clusters in their
+            # locality order
+            order8 = np.argsort(info["slot_base"][big], kind="stable")
+            sc8 = np.repeat(pslot[big][order8], info["nslots"][big][order8])
+            slot_cluster[base : base + len(sc8)] = sc8 + g * kbig
+
+        valid0 = np.bincount(c0, minlength=max(n_c0, 1))[:n_c0] > 0 if c0.size else np.ones(n_c0, bool)
+        pooled_mask[g][pslot] = valid0
+        cluster1_g[g * k_cap + pslot] = np.where(valid0, c1 + c1_off, -1)
+        cg = np.full(n_c1, -1, dtype=np.int64)
+        if c1.size:
+            cg[np.unique(c1)] = g
+        c1_graphs.append(cg)
+        c1_off += n_c1
+        if entry.get("y") is not None:
+            y[g] = entry["y"]
+            y_mask[g] = True
+
+    c1_cap = _resolve_cap(pad_c1, max(c1_off, 1), 1)
+    cluster1_arr = np.where(cluster1_g < 0, c1_cap, cluster1_g).astype(np.int32)
+    c1_graph = np.full(c1_cap, num_graphs, dtype=np.int32)
+    if c1_graphs:
+        cg = np.concatenate(c1_graphs)
+        c1_graph[: len(cg)] = np.where(cg < 0, num_graphs, cg)
+
+    members0s = _member_matrix(slot_cluster, num_graphs * kbig, num_graphs * nb // 8, pad_s=pad_members0s)
+    members1 = _member_matrix(cluster1_arr, c1_cap, num_graphs * k_cap, pad_s=pad_members1)
+
+    return DiagClusteredBatch(
+        x_t=np.ascontiguousarray(x.T),
+        adj_i8=adj,
+        node_mask=node_mask,
+        deg=adj.astype(np.float32).sum(axis=2).reshape(-1),
+        deg_p=adj_p.astype(np.float32).sum(axis=2).reshape(-1),
+        adj_w=adj_w.astype(weight_dtype or ml_dtypes.bfloat16),
+        adj_wp=adj_wp.astype(weight_dtype or ml_dtypes.bfloat16),
+        wsum=adj_w.sum(axis=2).reshape(-1) if with_edge_weights else np.zeros(0, np.float32),
+        wsum_p=adj_wp.sum(axis=2).reshape(-1) if with_edge_weights else np.zeros(0, np.float32),
+        slot_cluster=slot_cluster,
+        members0s=members0s,
+        adj_p_i8=adj_p,
+        pooled_mask=pooled_mask,
+        cluster1=cluster1_arr,
+        members1=members1,
+        c1_graph=c1_graph,
+        y=y,
+        y_mask=y_mask,
+        num_graphs=num_graphs,
+        region_caps=region_caps,
+    ), names
+
+
+def diag_mixed_requirements(entries: list[dict], min_slot_nodes: int) -> dict:
+    """Region requirements of :func:`_collate_diag_mixed` for these entries
+    (the sharded collate's shard-consistent cap source)."""
+    reqs = {"big": 8, "s4": 0, "s2": 0, "s1": 0, "kbig": 1}
+    c1_total, s1m = 0, 1
+    for e in entries:
+        c0 = np.asarray(e["cluster0"], dtype=np.int64)
+        n_c0 = int(c0.max()) + 1 if c0.size else 0
+        sizes = np.bincount(c0, minlength=max(n_c0, 1))[:n_c0]
+        cls = _mixed_class(sizes, min_slot_nodes)
+        reqs["big"] = max(reqs["big"], int((-(-sizes[cls == 8] // 8)).sum()) * 8)  # noqa: PLR2004
+        reqs["s4"] = max(reqs["s4"], 4 * int((cls == 4).sum()))
+        reqs["s2"] = max(reqs["s2"], 2 * int((cls == 2).sum()))
+        reqs["s1"] = max(reqs["s1"], int((cls == 1).sum()))
+        reqs["kbig"] = max(reqs["kbig"], int((cls == 8).sum()))  # noqa: PLR2004
+        reqs["members0s_s"] = max(
+            reqs.get("members0s_s", 1),
+            int((-(-sizes[cls == 8] // 8)).max()) if (cls == 8).any() else 1,  # noqa: PLR2004
+        )
+        c1 = np.asarray(e["cluster1"], dtype=np.int64)
+        if c1.size:
+            c1_total += int(c1.max()) + 1
+            s1m = max(s1m, int(np.bincount(c1).max()))
+    reqs["c1"] = max(c1_total, 1)
+    reqs["members1_s"] = s1m
+    reqs.setdefault("members0s_s", 1)
+    return reqs
 
 
 def _auto_min_slot_nodes(entries: list[dict], threshold: float = 2.5) -> int:
@@ -937,12 +1181,12 @@ def _auto_min_slot_nodes(entries: list[dict], threshold: float = 2.5) -> int:
     return 5 if slotted > threshold * max(total, 1) else 1
 
 
-def diag_clustered_requirements(entries: list[dict], min_slot_nodes: int | None = None) -> dict:
-    """Capacities :func:`collate_graphs_diag_clustered` would need — the
-    Trainer's grow-only bucket source (mirrors the collate's plan math)."""
-    if min_slot_nodes is None:
-        min_slot_nodes = _auto_min_slot_nodes(entries)
-    plans = [_slot8_plan(e, 8, min_slot_nodes) for e in entries]
+def diag_clustered_requirements(entries: list[dict], min_slot_nodes: int = 1) -> dict:
+    """Capacities the PURE-slot8 :func:`collate_graphs_diag_clustered` would
+    need — the Trainer's grow-only bucket source (mirrors the collate's plan
+    math). Mixed-layout requirements live in :func:`diag_mixed_requirements`."""
+    del min_slot_nodes
+    plans = [_slot8_plan(e, 8) for e in entries]
     c1_total = 0
     s1 = 1
     for e in entries:
@@ -956,7 +1200,6 @@ def diag_clustered_requirements(entries: list[dict], min_slot_nodes: int | None 
         "c1": max(c1_total, 1),
         "members0s_s": max(p["max_slots"] for p in plans),
         "members1_s": s1,
-        "members0n_s": max(max(p["max_small"] for p in plans), 1),
     }
 
 
@@ -981,10 +1224,32 @@ def collate_graphs_diag_clustered_sharded(
     # ONE layout decision across shards (per-shard auto choices could
     # differ, and the stacked leaves must be rectangular)
     msn = _auto_min_slot_nodes(entries)
-    reqs = [diag_clustered_requirements(shard, min_slot_nodes=msn) for shard in shards]
-    caps = {k: max(r[k] for r in reqs) for k in reqs[0]}
-    for k, pad in (pad_caps or {}).items():
-        caps[k] = pad(caps[k]) if callable(pad) else max(caps[k], pad)
+    if msn > 1:
+        reqs = [diag_mixed_requirements(shard, msn) for shard in shards]
+        caps = {k: max(r[k] for r in reqs) for k in reqs[0]}
+        for k, pad in (pad_caps or {}).items():
+            if k in caps:
+                caps[k] = pad(caps[k]) if callable(pad) else max(caps[k], pad)
+        region = {k: caps[k] for k in ("big", "s4", "s2", "s1", "kbig")}
+        extra = {
+            "pad_c1": caps["c1"],
+            "pad_members1": caps["members1_s"],
+            "pad_members0s": caps["members0s_s"],
+            "pad_region_caps": region,
+        }
+    else:
+        reqs = [diag_clustered_requirements(shard, min_slot_nodes=1) for shard in shards]
+        caps = {k: max(r[k] for r in reqs) for k in reqs[0]}
+        for k, pad in (pad_caps or {}).items():
+            if k in caps:
+                caps[k] = pad(caps[k]) if callable(pad) else max(caps[k], pad)
+        extra = {
+            "pad_nodes": caps["nodes"],
+            "pad_clusters": caps["clusters"],
+            "pad_c1": caps["c1"],
+            "pad_members0s": caps["members0s_s"],
+            "pad_members1": caps["members1_s"],
+        }
 
     batches = []
     names: list[str] = []
@@ -992,19 +1257,15 @@ def collate_graphs_diag_clustered_sharded(
         batch, shard_names = collate_graphs_diag_clustered(
             shard,
             pad_graphs=pad_graphs_per_shard,
-            pad_nodes=caps["nodes"],
-            pad_clusters=caps["clusters"],
-            pad_c1=caps["c1"],
-            pad_members0s=caps["members0s_s"],
-            pad_members1=caps["members1_s"],
-            pad_members0n=caps["members0n_s"],
             with_edge_weights=with_edge_weights,
             weight_dtype=weight_dtype,
             min_slot_nodes=msn,
+            **extra,
         )
         batches.append(batch)
         names.extend(shard_names)
-    return jax.tree.map(lambda *leaves: np.stack(leaves), *batches), names
+    stacked = jax.tree.map(lambda *leaves: np.stack(leaves), *batches)
+    return stacked, names
 
 
 @jax.tree_util.register_dataclass
@@ -1089,7 +1350,7 @@ def _member_matrix(ids: np.ndarray, num_clusters: int, pad_value: int, pad_s=Non
     return members
 
 
-def _slot8_plan(entry: dict, block: int, min_slot_nodes: int = 1) -> dict:
+def _slot8_plan(entry: dict, block: int) -> dict:
     """Per-entry cluster-slot row plan (the ``slot8`` layout): nodes go
     cluster-major — clusters follow their locality order, members follow
     theirs — with every cluster padded to a multiple of 8 rows ("slots").
@@ -1097,22 +1358,13 @@ def _slot8_plan(entry: dict, block: int, min_slot_nodes: int = 1) -> dict:
     (ops/pallas_slotpool.py) plus a tiny per-cluster combine over <= 9 slot
     partials, killing the node-count-bound member gathers (+7.8 % rows and
     +10 % adjacency blocks at the 100k-node bench shape — measured cheaper
-    than the 0.5 ms node-level pool it replaces).
-
-    ``min_slot_nodes > 1`` is the MIXED layout (round-4 verdict #5): only
-    clusters with at least that many members get 8-lane slots; smaller
-    clusters pack densely into a trailing region (no per-cluster padding)
-    and pool through a node-level member matrix instead of the slot kernel.
-    Tiny-cluster data (MCL on small residue graphs averages ~2.6 nodes)
-    otherwise inflates rows ~3x — and the dense diag adjacency
-    QUADRATICALLY (ops/batch.py:DiagClusteredBatch).
+    than the 0.5 ms node-level pool it replaces). Tiny-cluster batches use
+    the size-class region layout instead (:func:`_collate_diag_mixed`).
 
     Returns ``posmap`` (original node -> row), ``cap`` (row capacity),
     ``p_order``/``p_inv`` (the cluster locality permutation, identical to the
-    un-slotted collate's so pooled-graph layouts agree), ``slot_col``
-    (slot -> LOCAL pooled slot id, -1 for trailing/mixed slots), and the
-    mixed-layout bookkeeping (``is_big`` by original cluster id,
-    ``is_big_local`` by local pooled id, ``max_small``)."""
+    un-slotted collate's so pooled-graph layouts agree), and ``slot_col``
+    (slot -> LOCAL pooled slot id, -1 for trailing padding slots)."""
     from deeprank2_tpu.ops.block_sparse import locality_order
 
     v = entry["x"].shape[0]
@@ -1131,8 +1383,7 @@ def _slot8_plan(entry: dict, block: int, min_slot_nodes: int = 1) -> dict:
     p_inv[p_order] = np.arange(n_c0)
 
     sizes = counts[:n_c0].astype(np.int64)
-    is_big = sizes >= min_slot_nodes if min_slot_nodes > 1 else np.ones(n_c0, dtype=bool)
-    nslots = -(-sizes // 8) * is_big
+    nslots = -(-sizes // 8)
     slot_base = np.zeros(n_c0, dtype=np.int64)
     slot_base[p_order] = np.concatenate([[0], np.cumsum(nslots[p_order])])[:-1]
     total_slots = int(nslots.sum())
@@ -1145,17 +1396,9 @@ def _slot8_plan(entry: dict, block: int, min_slot_nodes: int = 1) -> dict:
     mrank = np.empty(v, dtype=np.int64)
     mrank[ord_in] = np.arange(v) - starts[c0[ord_in]]
 
-    # small clusters: densely packed after the slotted region, p_order-major
-    ssizes = sizes * ~is_big
-    small_base = np.zeros(n_c0, dtype=np.int64)
-    small_base[p_order] = 8 * total_slots + np.concatenate([[0], np.cumsum(ssizes[p_order])])[:-1]
-
-    posmap = np.where(is_big[c0], 8 * slot_base[c0] + mrank, small_base[c0] + mrank)
-    rows_total = 8 * total_slots + int(ssizes.sum())
-    cap = max(-(-rows_total // block) * block, block)
+    posmap = 8 * slot_base[c0] + mrank  # cluster runs are contiguous
+    cap = max(-(-(8 * total_slots) // block) * block, block)
     slot_col = np.full(cap // 8, -1, dtype=np.int64)
-    # local pooled ids run 0..n_c0-1 in p_order position order; small
-    # clusters contribute zero slots so the repeat skips them naturally
     slot_col[:total_slots] = np.repeat(np.arange(n_c0), nslots[p_order])
     return {
         "posmap": posmap,
@@ -1164,9 +1407,6 @@ def _slot8_plan(entry: dict, block: int, min_slot_nodes: int = 1) -> dict:
         "p_inv": p_inv,
         "slot_col": slot_col,
         "max_slots": int(nslots.max()) if n_c0 else 1,
-        "is_big": is_big,
-        "is_big_local": is_big[p_order] if n_c0 else np.ones(0, dtype=bool),
-        "max_small": int(ssizes.max()) if n_c0 and not is_big.all() else 0,
     }
 
 

@@ -88,14 +88,18 @@ def _sel3(v: jnp.ndarray, sel: jnp.ndarray, dot=_dot) -> jnp.ndarray:
     return dot(hi, sel) + dot(mid, sel) + dot(lo, sel)
 
 
-def _tree_max(h: jnp.ndarray) -> jnp.ndarray:
-    """Lane ``8j`` of the result holds ``max(h[:, 8j:8j+8])``; other lanes
-    hold cross-group garbage (never read — the selection matmul drops them).
-    Reads never wrap: lane ``8j`` looks at most 7 lanes ahead."""
+def _tree_max(h: jnp.ndarray, slot: int = SLOT) -> jnp.ndarray:
+    """Lane ``slot*j`` of the result holds ``max(h[:, slot*j : slot*(j+1)])``;
+    other lanes hold cross-group garbage (never read — the selection matmul
+    drops them). Reads never wrap: lane ``slot*j`` looks at most slot-1
+    lanes ahead. ``slot`` must be a power of two (2/4/8 — the mixed
+    layout's size-class regions use the narrow strides)."""
     m = h
-    for s in (1, 2, 4):
-        # roll requires a non-negative shift; T - s is the leftward roll by s
-        m = jnp.maximum(m, pltpu.roll(m, m.shape[1] - s, 1))
+    step = 1
+    while step < slot:
+        # roll requires a non-negative shift; T - step rolls left by step
+        m = jnp.maximum(m, pltpu.roll(m, m.shape[1] - step, 1))
+        step *= 2
     return m
 
 
@@ -112,25 +116,25 @@ def _contain(h, mask, vp):
 
 
 @plain_matmul_precision
-def _fwd_kernel(h_ref, gsel_ref, pooled_ref, *, vp):
+def _fwd_kernel(h_ref, gsel_ref, pooled_ref, *, vp, slot):
     # h: [fs, T] f32, padded lanes pre-zeroed by the model's mask
     h = h_ref[:]
     if vp is not None:
         idx = pl.program_id(0) * TILE + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
         h = jnp.where(idx < vp, h, 0.0)
-    pooled_ref[:] = _sel3(_tree_max(h), gsel_ref[:])  # [fs, T/8], exact
+    pooled_ref[:] = _sel3(_tree_max(h, slot), gsel_ref[:])  # [fs, T/slot], exact
 
 
 @plain_matmul_precision
-def _bwd_kernel(h_ref, mask_ref, pooled_ref, g_ref, exp_ref, dh_ref, *, fs, vp):
+def _bwd_kernel(h_ref, mask_ref, pooled_ref, g_ref, exp_ref, dh_ref, *, fs, vp, slot):
     h, mask = _contain(h_ref[:], mask_ref[:], vp)
     pooled, gd = pooled_ref[:], g_ref[:]
     if vp is not None:
-        # the compact-side blocks read past vp/8 on the final block too;
+        # the compact-side blocks read past vp/slot on the final block too;
         # their garbage would poison valid lanes through the expansion
         # matmul's 0-weight products if it were NaN
-        cidx = pl.program_id(0) * (TILE // SLOT) + jax.lax.broadcasted_iota(jnp.int32, (1, TILE // SLOT), 1)
-        clive = cidx < vp // SLOT
+        cidx = pl.program_id(0) * (TILE // slot) + jax.lax.broadcasted_iota(jnp.int32, (1, TILE // slot), 1)
+        clive = cidx < vp // slot
         pooled = jnp.where(clive, pooled, 0.0)
         gd = jnp.where(clive, gd, 0.0)
     # one stacked expansion for (pooled, g): pooled must be exact for the
@@ -141,50 +145,50 @@ def _bwd_kernel(h_ref, mask_ref, pooled_ref, g_ref, exp_ref, dh_ref, *, fs, vp):
 
 
 @functools.cache
-def _consts(tile: int) -> tuple[np.ndarray, np.ndarray]:
+def _consts(tile: int, slot: int = SLOT) -> tuple[np.ndarray, np.ndarray]:
     lanes = np.arange(tile)
-    groups = np.arange(tile // SLOT)
-    gsel = (lanes[:, None] == SLOT * groups[None, :]).astype(np.float32)
-    exp = (lanes[None, :] // SLOT == groups[:, None]).astype(np.float32)
+    groups = np.arange(tile // slot)
+    gsel = (lanes[:, None] == slot * groups[None, :]).astype(np.float32)
+    exp = (lanes[None, :] // slot == groups[:, None]).astype(np.float32)
     return gsel.astype(jnp.bfloat16), exp.astype(jnp.bfloat16)
 
 
-def supports(num_lanes: int) -> bool:
+def supports(num_lanes: int, slot: int = SLOT) -> bool:
     """Whether the TPU kernel covers this activation width.
 
-    Any 8-lane-aligned width works: the grid rounds up and the final block
-    reads past the array. That is safe BECAUSE ``num_lanes % 8 == 0`` — no
-    slot straddles the boundary, so out-of-bounds garbage only feeds slot
-    columns ``>= num_lanes/8``, whose output stores Pallas masks off (and
-    whose slots no member matrix references)."""
-    return effective_platform() == "tpu" and num_lanes % SLOT == 0 and num_lanes > 0
+    Any slot-aligned width works: the grid rounds up and the final block
+    reads past the array. That is safe BECAUSE ``num_lanes % slot == 0`` —
+    no group straddles the boundary, so out-of-bounds garbage only feeds
+    group columns ``>= num_lanes/slot``, whose output stores Pallas masks
+    off (and which no consumer references)."""
+    return effective_platform() == "tpu" and num_lanes % slot == 0 and num_lanes > 0
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _slot_fwd_tpu(h_t, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "slot"))
+def _slot_fwd_tpu(h_t, *, interpret=False, slot=SLOT):
     feat, vp = h_t.shape
     pad_f = (-feat) % 8
     if pad_f:
         h_t = jnp.pad(h_t, ((0, pad_f), (0, 0)))
     fs = feat + pad_f
-    gsel, _ = _consts(TILE)
+    gsel, _ = _consts(TILE, slot)
     grid = (-(-vp // TILE),)  # ceil: the final block may read past vp (contained in-kernel)
     pooled = pl.pallas_call(
-        functools.partial(_fwd_kernel, vp=vp if vp % TILE else None),
+        functools.partial(_fwd_kernel, vp=vp if vp % TILE else None, slot=slot),
         grid=grid,
         in_specs=[
             pl.BlockSpec((fs, TILE), lambda i: (0, i)),
-            pl.BlockSpec((TILE, TILE // SLOT), lambda i: (0, 0)),
+            pl.BlockSpec((TILE, TILE // slot), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((fs, TILE // SLOT), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((fs, vp // SLOT), jnp.float32),
+        out_specs=pl.BlockSpec((fs, TILE // slot), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((fs, vp // slot), jnp.float32),
         interpret=interpret,
     )(h_t, jnp.asarray(gsel))
     return pooled[:feat]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _slot_bwd_tpu(h_t, mask_row, pooled, g, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "slot"))
+def _slot_bwd_tpu(h_t, mask_row, pooled, g, *, interpret=False, slot=SLOT):
     feat, vp = h_t.shape
     pad_f = (-feat) % 8
     if pad_f:
@@ -192,16 +196,16 @@ def _slot_bwd_tpu(h_t, mask_row, pooled, g, *, interpret=False):
         pooled = jnp.pad(pooled, ((0, pad_f), (0, 0)))
         g = jnp.pad(g, ((0, pad_f), (0, 0)))
     fs = feat + pad_f
-    _, exp = _consts(TILE)
+    _, exp = _consts(TILE, slot)
     dh = pl.pallas_call(
-        functools.partial(_bwd_kernel, fs=fs, vp=vp if vp % TILE else None),
+        functools.partial(_bwd_kernel, fs=fs, vp=vp if vp % TILE else None, slot=slot),
         grid=(-(-vp // TILE),),
         in_specs=[
             pl.BlockSpec((fs, TILE), lambda i: (0, i)),
             pl.BlockSpec((1, TILE), lambda i: (0, i)),
-            pl.BlockSpec((fs, TILE // SLOT), lambda i: (0, i)),
-            pl.BlockSpec((fs, TILE // SLOT), lambda i: (0, i)),
-            pl.BlockSpec((TILE // SLOT, TILE), lambda i: (0, 0)),
+            pl.BlockSpec((fs, TILE // slot), lambda i: (0, i)),
+            pl.BlockSpec((fs, TILE // slot), lambda i: (0, i)),
+            pl.BlockSpec((TILE // slot, TILE), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((fs, TILE), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((fs, vp), jnp.float32),
@@ -210,14 +214,16 @@ def _slot_bwd_tpu(h_t, mask_row, pooled, g, *, interpret=False):
     return dh[:feat]
 
 
-def _xla_fwd(h_t: jnp.ndarray, mask_row: jnp.ndarray) -> jnp.ndarray:  # noqa: ARG001 (contract parity with the kernel)
+def _xla_fwd(h_t: jnp.ndarray, mask_row: jnp.ndarray, slot: int = SLOT) -> jnp.ndarray:  # noqa: ARG001 (contract parity with the kernel)
     """CPU fallback / oracle: the 3-D reshape formulation (fine off-TPU)."""
     feat, vp = h_t.shape
-    return h_t.reshape(feat, vp // SLOT, SLOT).max(axis=2)
+    return h_t.reshape(feat, vp // slot, slot).max(axis=2)
 
 
-def slot_group_max(h_t: jnp.ndarray, mask_row: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
-    """Max over every aligned 8-lane group: ``[F, V] -> [F, V/8]``.
+def slot_group_max(h_t: jnp.ndarray, mask_row: jnp.ndarray, *, interpret: bool = False, slot: int = SLOT) -> jnp.ndarray:
+    """Max over every aligned ``slot``-lane group: ``[F, V] -> [F, V/slot]``
+    (slot a power of two <= 8; the mixed layout's size-class regions use
+    2 and 4).
 
     ``h_t`` must be non-negative with padded lanes zero (post-relu, masked —
     the member_max_pool contract); ``mask_row`` is the ``[1, V]`` f32
@@ -227,13 +233,13 @@ def slot_group_max(h_t: jnp.ndarray, mask_row: jnp.ndarray, *, interpret: bool =
     (the mask is batch data).
     """
     vp = h_t.shape[1]
-    on_tpu = supports(vp) or interpret
+    on_tpu = supports(vp, slot) or interpret
 
     @jax.custom_vjp
     def pool(h):
         if on_tpu:
-            return _slot_fwd_tpu(h, interpret=interpret)
-        return _xla_fwd(h, mask_row)
+            return _slot_fwd_tpu(h, interpret=interpret, slot=slot)
+        return _xla_fwd(h, mask_row, slot)
 
     def fwd(h):
         pooled = pool(h)
@@ -242,10 +248,10 @@ def slot_group_max(h_t: jnp.ndarray, mask_row: jnp.ndarray, *, interpret: bool =
     def bwd(res, g):
         h, pooled = res
         if on_tpu:
-            return (_slot_bwd_tpu(h, mask_row, pooled, g, interpret=interpret),)
+            return (_slot_bwd_tpu(h, mask_row, pooled, g, interpret=interpret, slot=slot),)
         feat, vp = h.shape
-        h3 = h.reshape(feat, vp // SLOT, SLOT)
-        m3 = mask_row.reshape(1, vp // SLOT, SLOT)
+        h3 = h.reshape(feat, vp // slot, slot)
+        m3 = mask_row.reshape(1, vp // slot, slot)
         eq = (h3 == pooled[:, :, None]) * m3
         dh3 = eq * g[:, :, None]
         return (dh3.reshape(feat, vp),)

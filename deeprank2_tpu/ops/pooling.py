@@ -164,24 +164,54 @@ def member_max_pool(
 def diag_depth0_pool(h_t: jnp.ndarray, batch) -> jnp.ndarray:
     """Depth-0 community pooling for :class:`~deeprank2_tpu.ops.batch.DiagClusteredBatch`
     activations (``[F, G*N]`` -> ``[F, G*K]``), shared by the diag model
-    family: the aligned 8-lane slot max (ops/pallas_slotpool.py) + per-
-    cluster slot combine for slotted clusters, and — mixed layout
-    (``min_slot_nodes > 1``) — a node-level member pool for the densely
-    packed small clusters, merged by the collate's ``pooled_from_slots``
-    routing (empty member rows give 0 on the unused side)."""
+    family.
+
+    Pure slot8 batches: the aligned 8-lane slot max (ops/pallas_slotpool.py)
+    + per-cluster slot combine. MIXED batches (``region_caps`` set): each
+    size-class region pools with its own stride through the generalized
+    slot kernel (the 1-lane region IS its pooled values) and the per-graph
+    segments concatenate straight into pooled order — no node-level member
+    gathers anywhere."""
     from deeprank2_tpu.ops.pallas_slotpool import slot_group_max
 
-    mask_row = batch.node_mask.astype(h_t.dtype).reshape(1, -1)
-    p8 = slot_group_max(h_t, mask_row)
-    k_tot = batch.pooled_mask.size
-    if batch.members0s.size:
-        hp = member_max_pool(p8.T, batch.members0s, batch.slot_cluster)  # [G*K, F]
-    else:
-        hp = segment_max(p8.T, batch.slot_cluster, k_tot)
-    if batch.members0n.size:
-        hp_n = member_max_pool(h_t.T, batch.members0n, batch.node_cluster0n)
-        hp = jnp.where(batch.pooled_from_slots[:, None], hp, hp_n)
-    return hp.T  # [F, G*K]
+    if not batch.region_caps:
+        mask_row = batch.node_mask.astype(h_t.dtype).reshape(1, -1)
+        p8 = slot_group_max(h_t, mask_row)
+        k_tot = batch.pooled_mask.size
+        if batch.members0s.size:
+            hp = member_max_pool(p8.T, batch.members0s, batch.slot_cluster)  # [G*K, F]
+        else:
+            hp = segment_max(p8.T, batch.slot_cluster, k_tot)
+        return hp.T  # [F, G*K]
+
+    nb, n4, n2, n1, kbig = batch.region_caps
+    f = h_t.shape[0]
+    num_graphs, k_cap = batch.pooled_mask.shape
+    n_cap = batch.node_mask.shape[1]
+    h3 = h_t.reshape(f, num_graphs, n_cap)
+    m3 = batch.node_mask.astype(h_t.dtype)
+
+    segs = []
+    if nb:
+        hb = h3[:, :, :nb].reshape(f, num_graphs * nb)
+        mb = m3[:, :nb].reshape(1, num_graphs * nb)
+        p8 = slot_group_max(hb, mb)  # [F, G*nb/8]
+        comb = member_max_pool(p8.T, batch.members0s, batch.slot_cluster)  # [G*kbig, F]
+        segs.append(comb.T.reshape(f, num_graphs, kbig))
+    off = nb
+    for stride, ns in ((4, n4), (2, n2)):
+        if ns:
+            hs = h3[:, :, off : off + ns].reshape(f, num_graphs * ns)
+            ms = m3[:, off : off + ns].reshape(1, num_graphs * ns)
+            ps = slot_group_max(hs, ms, slot=stride)
+            segs.append(ps.reshape(f, num_graphs, ns // stride))
+        off += ns
+    if n1:
+        segs.append(h3[:, :, off : off + n1])
+    hp3 = jnp.concatenate(segs, axis=2) if len(segs) > 1 else segs[0]
+    if hp3.shape[2] < k_cap:
+        hp3 = jnp.pad(hp3, ((0, 0), (0, 0), (0, k_cap - hp3.shape[2])))
+    return hp3.reshape(f, num_graphs * k_cap)
 
 
 def max_pool_x(

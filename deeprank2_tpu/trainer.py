@@ -491,7 +491,10 @@ class Trainer:
                         entries,
                         num_shards,
                         per_shard,
-                        pad_caps={k: self._blocksparse_bucket(f"dc_{k}") for k in ("nodes", "clusters", "c1", "members0s_s", "members1_s", "members0n_s")},
+                        pad_caps={
+                            k: self._blocksparse_bucket(f"dc_{k}")
+                            for k in ("nodes", "clusters", "c1", "members0s_s", "members1_s", "big", "s4", "s2", "s1", "kbig")
+                        },
                         with_edge_weights=dc_weighted,
                     )
                 else:
@@ -505,7 +508,7 @@ class Trainer:
                         pad_c1=self._blocksparse_bucket("dc_c1"),
                         pad_members0s=self._blocksparse_bucket("dc_members0s_s"),
                         pad_members1=self._blocksparse_bucket("dc_members1_s"),
-                        pad_members0n=self._blocksparse_bucket("dc_members0n_s"),
+                        pad_region_caps={k: self._blocksparse_bucket(f"dc_region_{k}") for k in ("big", "s4", "s2", "s1", "kbig")},
                         with_edge_weights=dc_weighted,
                     )
             elif blocksparse:

@@ -93,3 +93,18 @@ def test_interpret_ragged_width(vp):
     g_int = jax.grad(lambda x: (slot_group_max(x, mask_row, interpret=True) * w).sum())(h)
     g_ref = jax.grad(lambda x: (slot_group_max(x, mask_row) * w).sum())(h)
     np.testing.assert_array_equal(np.asarray(g_int), np.asarray(g_ref))
+
+
+@pytest.mark.parametrize("slot", [2, 4])
+def test_generalized_stride_interpret(slot):
+    """The stride-2/4 variants (mixed-layout size-class regions): interpret
+    kernel vs the XLA oracle, fwd and bwd."""
+    h, mask_row = _case(vp=2 * TILE)
+    ref_p = _xla_fwd(h, mask_row, slot)
+    p = slot_group_max(h, mask_row, interpret=True, slot=slot)
+    np.testing.assert_array_equal(np.asarray(p), np.asarray(ref_p))
+
+    w = jnp.asarray(np.random.default_rng(2).standard_normal(ref_p.shape).astype(np.float32))
+    g_int = jax.grad(lambda x: (slot_group_max(x, mask_row, interpret=True, slot=slot) * w).sum())(h)
+    g_ref = jax.grad(lambda x: (slot_group_max(x, mask_row, slot=slot) * w).sum())(h)
+    np.testing.assert_array_equal(np.asarray(g_int), np.asarray(g_ref))

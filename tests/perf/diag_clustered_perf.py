@@ -93,7 +93,7 @@ def main() -> None:
 
         msn = int(sys.argv[sys.argv.index("--minslot") + 1]) if "--minslot" in sys.argv else None
         batch, _ = collate_graphs_diag_clustered(entries, with_edge_weights=sgat, min_slot_nodes=msn)
-        print(f"# n_cap={batch.adj_i8.shape[1]} mixed={bool(batch.members0n.size)}", file=sys.stderr, flush=True)
+        print(f"# n_cap={batch.adj_i8.shape[1]} region_caps={batch.region_caps}", file=sys.stderr, flush=True)
         cls = FoutNetDiag if fout else SGATDiag if sgat else GINetClusteredDiag
         model = cls(feat_dim, 2, 1)
         name, steps, calls = label + "_clustered_diag", 250, 2

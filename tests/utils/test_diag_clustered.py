@@ -48,24 +48,20 @@ def test_diag_clustered_matches_coo(diag_cls, coo_cls, weighted) -> None:
 
 def test_diag_clustered_collate_bookkeeping() -> None:
     entries = _clustered_entries(num_graphs=2, sizes=(150, 90))
-    batch, _ = collate_graphs_diag_clustered(entries, pad_graphs=3)
+    # explicit pure layout: the slot-space assertions below are about the
+    # slot8 bookkeeping (the mixed region layout has its own test)
+    batch, _ = collate_graphs_diag_clustered(entries, pad_graphs=3, min_slot_nodes=1)
     g_count, n_cap, _ = batch.adj_i8.shape
     k_cap = batch.pooled_mask.shape[1]
 
+    assert not batch.region_caps
     nm = np.asarray(batch.node_mask)
     sc = np.asarray(batch.slot_cluster)
-    nc0n = np.asarray(batch.node_cluster0n) if batch.node_cluster0n.size else np.full(g_count * n_cap, g_count * k_cap)
-    # every real NODE is pooled exactly one way: through its slot (slotted
-    # cluster) or through the node-level map (mixed small cluster); either
-    # route lands in its own graph's pooled range
+    # real slots map into their own graph's pooled range; padding slots OOB
     for g in range(g_count):
-        rows = g * n_cap + np.nonzero(nm[g])[0]
-        via_slot = sc[rows // 8]
-        via_node = nc0n[rows]
-        one_way = (via_slot < g_count * k_cap) ^ (via_node < g_count * k_cap)
-        assert one_way.all()
-        pooled = np.where(via_slot < g_count * k_cap, via_slot, via_node)
-        assert ((pooled >= g * k_cap) & (pooled < (g + 1) * k_cap)).all()
+        rows = np.nonzero(nm[g])[0]
+        slots = np.unique((g * n_cap + rows) // 8)
+        assert ((sc[slots] >= g * k_cap) & (sc[slots] < (g + 1) * k_cap)).all()
     live = np.zeros(len(sc), bool)
     for g in range(g_count):
         rows = np.nonzero(nm[g])[0]
@@ -90,7 +86,7 @@ def test_diag_clustered_collate_bookkeeping() -> None:
     # requirements mirror the collate
     req = diag_clustered_requirements(entries)
     batch2, _ = collate_graphs_diag_clustered(
-        entries, pad_nodes=req["nodes"], pad_clusters=req["clusters"], pad_c1=req["c1"]
+        entries, pad_nodes=req["nodes"], pad_clusters=req["clusters"], pad_c1=req["c1"], min_slot_nodes=1
     )
     assert batch2.adj_i8.shape[1] == -(-req["nodes"] // 8) * 8
     assert batch2.pooled_mask.shape[1] == -(-req["clusters"] // 8) * 8
@@ -145,7 +141,7 @@ def test_diag_clustered_gapped_cluster0_ids() -> None:
         e["cluster0"] = c0.astype(np.int32)
         e["cluster1"] = c1g.astype(np.int32)
 
-    batch, _ = collate_graphs_diag_clustered(entries, pad_graphs=2)
+    batch, _ = collate_graphs_diag_clustered(entries, pad_graphs=2, min_slot_nodes=1)
     pm = np.asarray(batch.pooled_mask)
     sc = np.asarray(batch.slot_cluster)
     k_cap = pm.shape[1]
@@ -161,7 +157,18 @@ def test_diag_clustered_gapped_cluster0_ids() -> None:
         assert not np.any(sc == dead_global)
         assert np.asarray(batch.cluster1)[dead_global] == c1_cap
 
+    # the mixed region layout masks the phantom too (one dead pooled slot
+    # per graph, kept out of cluster1)
+    mixed, _ = collate_graphs_diag_clustered(entries, pad_graphs=2, min_slot_nodes=5)
+    assert mixed.region_caps
+    pm_m = np.asarray(mixed.pooled_mask)
+    for g, e in enumerate(entries):
+        n_c0 = int(np.asarray(e["cluster0"]).max()) + 1
+        assert pm_m[g].sum() == n_c0 - 1
+
     # the model still matches the COO oracle on the gapped clustering
+    # (default = auto layout)
+    batch, _ = collate_graphs_diag_clustered(entries, pad_graphs=2)
     model_d = GINetClusteredDiag(13, 2, 1)
     model_coo = GINet(13, 2, 1)
     params = model_d.init(jax.random.PRNGKey(0))
@@ -176,7 +183,7 @@ def test_mixed_layout_tiny_clusters() -> None:
     graphs): the mixed layout must keep them densely packed (rows within
     ~1.2x of the node count instead of the pure-slot8 ~3x) and still match
     the COO oracle."""
-    from deeprank2_tpu.ops.batch import _slot8_plan
+    from deeprank2_tpu.ops.batch import _slot8_plan, diag_mixed_requirements
 
     rng = np.random.default_rng(3)
     entries = []
@@ -209,10 +216,11 @@ def test_mixed_layout_tiny_clusters() -> None:
     avg = np.mean([e["x"].shape[0] / (int(e["cluster0"].max()) + 1) for e in entries])
     assert avg < 4.0  # the regime this layout exists for
 
-    # row inflation: mixed vs pure slot8
-    mixed_cap = max(_slot8_plan(e, 8, 5)["cap"] for e in entries)
-    slot8_cap = max(_slot8_plan(e, 8, 1)["cap"] for e in entries)
-    assert mixed_cap <= 1.3 * 120
+    # row inflation: mixed region layout vs pure slot8
+    req = diag_mixed_requirements(entries, 5)
+    mixed_cap = req["big"] + req["s4"] + req["s2"] + req["s1"]
+    slot8_cap = max(_slot8_plan(e, 8)["cap"] for e in entries)
+    assert mixed_cap <= 1.5 * 120
     assert slot8_cap > 1.8 * 120  # what the pure layout would pay
 
     model_d = GINetClusteredDiag(13, 2, 1)
@@ -220,7 +228,7 @@ def test_mixed_layout_tiny_clusters() -> None:
     params = model_d.init(jax.random.PRNGKey(0))
     coo_batch, _ = collate_graphs(entries, pad_graphs=3)
     d_batch, _ = collate_graphs_diag_clustered(entries, pad_graphs=3)
-    assert d_batch.members0n.size  # the mixed machinery actually engaged
+    assert d_batch.region_caps  # the mixed region layout actually engaged
     want = np.asarray(model_coo.apply(params, coo_batch, training=False))[:3]
     got = np.asarray(model_d.apply(params, d_batch, training=False))[:3]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
