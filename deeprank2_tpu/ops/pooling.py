@@ -196,7 +196,10 @@ def diag_depth0_pool(h_t: jnp.ndarray, batch) -> jnp.ndarray:
         hb = h3[:, :, :nb].reshape(f, num_graphs * nb)
         mb = m3[:, :nb].reshape(1, num_graphs * nb)
         p8 = slot_group_max(hb, mb)  # [F, G*nb/8]
-        comb = member_max_pool(p8.T, batch.members0s, batch.slot_cluster)  # [G*kbig, F]
+        if batch.members0s.size:
+            comb = member_max_pool(p8.T, batch.members0s, batch.slot_cluster)  # [G*kbig, F]
+        else:  # one pathological cluster tripped the member-matrix size guard
+            comb = segment_max(p8.T, batch.slot_cluster, num_graphs * kbig)
         segs.append(comb.T.reshape(f, num_graphs, kbig))
     off = nb
     for stride, ns in ((4, n4), (2, n2)):
