@@ -781,20 +781,8 @@ def collate_graphs_diag_clustered(
             with_edge_weights=with_edge_weights, weight_dtype=weight_dtype,
         )
     plans = [_slot8_plan(e, 8) for e in entries]
-    n_req = max(p["cap"] for p in plans)
-    if callable(pad_nodes):
-        pad_nodes = pad_nodes(n_req)
-    n_cap = -(-max(n_req, pad_nodes or 8) // 8) * 8
-    if n_req > n_cap:
-        msg = f"pad_nodes={n_cap} < required {n_req}"
-        raise ValueError(msg)
-    k_req = max(max(len(p["p_inv"]), 1) for p in plans)
-    if callable(pad_clusters):
-        pad_clusters = pad_clusters(k_req)
-    k_cap = -(-max(k_req, pad_clusters or 8) // 8) * 8
-    if k_req > k_cap:
-        msg = f"pad_clusters={k_cap} < required {k_req}"
-        raise ValueError(msg)
+    n_cap = _resolve_cap(pad_nodes, max(max(p["cap"] for p in plans), 8), 8)
+    k_cap = _resolve_cap(pad_clusters, max(max(max(len(p["p_inv"]), 1) for p in plans), 8), 8)
 
     x = np.zeros((num_graphs * n_cap, feat_dim), dtype=np.float32)
     adj = np.zeros((num_graphs, n_cap, n_cap), dtype=np.int8)
@@ -862,10 +850,7 @@ def collate_graphs_diag_clustered(
             y[g] = entry["y"]
             y_mask[g] = True
 
-    c1_req = max(c1_off, 1)
-    if callable(pad_c1):
-        pad_c1 = pad_c1(c1_req)
-    c1_cap = max(c1_req, pad_c1 or 0)
+    c1_cap = _resolve_cap(pad_c1, max(c1_off, 1), 1)
     cluster1_arr = np.where(cluster1_g < 0, c1_cap, cluster1_g).astype(np.int32)
     c1_graph = np.full(c1_cap, num_graphs, dtype=np.int32)
     if c1_graphs:
@@ -908,9 +893,15 @@ def _resolve_cap(pad, req: int, quantum: int) -> int:
 
 def _mixed_class(sizes: np.ndarray, min_slot_nodes: int) -> np.ndarray:
     """Size class per cluster: 8 = slotted, else the 4/2/1-lane stride that
-    holds the cluster (zero-size gapped ids ride class 1: one masked lane)."""
+    holds the cluster (zero-size gapped ids ride class 1: one masked lane).
+
+    A stride-s class can only hold clusters of size <= s, so any cluster
+    larger than 4 nodes slots regardless of ``min_slot_nodes`` — the
+    effective threshold is min(min_slot_nodes, 5). (Without the clamp,
+    min_slot_nodes > 5 would overflow the stride-4 region and corrupt the
+    layout — caught by the round-5 self-review.)"""
     return np.where(
-        sizes >= min_slot_nodes, 8, np.where(sizes > 2, 4, np.where(sizes == 2, 2, 1))  # noqa: PLR2004
+        (sizes >= min_slot_nodes) | (sizes > 4), 8, np.where(sizes > 2, 4, np.where(sizes == 2, 2, 1))  # noqa: PLR2004
     )
 
 
@@ -1210,6 +1201,7 @@ def collate_graphs_diag_clustered_sharded(
     pad_caps: dict | None = None,
     with_edge_weights: bool = False,
     weight_dtype: np.dtype | None = None,
+    min_slot_nodes: int | None = None,
 ) -> tuple[DiagClusteredBatch, list[str]]:
     """Round-robin :class:`DiagClusteredBatch` collation with a leading
     device axis (shard_map DP — ids are shard-global, so generic leading-axis
@@ -1222,8 +1214,9 @@ def collate_graphs_diag_clustered_sharded(
     shards = [entries[s::num_shards] or [_dummy_entry(template)] for s in range(num_shards)]
 
     # ONE layout decision across shards (per-shard auto choices could
-    # differ, and the stacked leaves must be rectangular)
-    msn = _auto_min_slot_nodes(entries)
+    # differ, and the stacked leaves must be rectangular); the Trainer pins
+    # its own decision across BATCHES and passes it explicitly
+    msn = min_slot_nodes if min_slot_nodes is not None else _auto_min_slot_nodes(entries)
     if msn > 1:
         reqs = [diag_mixed_requirements(shard, msn) for shard in shards]
         caps = {k: max(r[k] for r in reqs) for k in reqs[0]}

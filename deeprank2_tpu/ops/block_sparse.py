@@ -129,11 +129,11 @@ class BlockSparseStructure:
     # A ring bucket A[d, s] with s != d is square-SHAPED but not symmetric.
     symmetric: bool = field(metadata={"static": True}, default=True)
     # run-padding quantum / MXU contraction depth this structure was built
-    # with. The full single-chip adjacency keeps the global KBATCH (=16,
-    # measured stream-insensitive); sharded/ring SLICES have short runs whose
-    # ~50 % run padding is real multi-chip stream, so their builders pick a
-    # smaller quantum per structure (kbatch="auto", parallel/
-    # blocksparse_partition.py). -1 = the build-time global.
+    # with. The full single-chip adjacency keeps the global KBATCH (8 since
+    # the round-5 sweep — see the constant's comment); sharded/ring SLICES
+    # have short runs whose run padding is real multi-chip stream, so their
+    # builders pick per-bucket quanta (parallel/blocksparse_partition.py:
+    # _choose_quanta). -1 = the build-time global.
     kbatch: int = field(metadata={"static": True}, default=-1)
     # sub-batches per Pallas grid step; tiny sharded buckets drop below the
     # global SUPER so their capacity floor is kbatch*super_batches, not

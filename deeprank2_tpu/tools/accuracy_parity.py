@@ -728,8 +728,18 @@ def _run_fold(
     probe_params = jax.tree.map(np.asarray, trainer.params)
     probe_mirror = TorchMirror(mirror_kind, probe_params, task)
     trainer.configure_optimizers()
-    trainer.train(nepoch=1, batch_size=batch_size, shuffle=False, validate=False, best_model=False, filename=None)
-    pdf = exporter.read("training")
+    # the probe writes to its own exporter: re-entering the fold's exporter
+    # would overwrite the persisted N-epoch trajectories with 1-epoch data
+    from deeprank2_tpu.utils.exporters import OutputExporterCollection
+
+    probe_exporter = HDF5OutputExporter(str(run_dir / "probe"))
+    saved_exporters = trainer._output_exporters
+    trainer._output_exporters = OutputExporterCollection(probe_exporter)
+    try:
+        trainer.train(nepoch=1, batch_size=batch_size, shuffle=False, validate=False, best_model=False, filename=None)
+    finally:
+        trainer._output_exporters = saved_exporters
+    pdf = probe_exporter.read("training")
     pdf = pdf[(pdf["phase"] == "training") & (pdf["epoch"] == 1)]
     probe_loss_jax = float(pdf["loss"].iloc[0])
     probe_loss_torch, _ = probe_mirror.train_pass(chunks)

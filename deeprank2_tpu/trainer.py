@@ -483,6 +483,16 @@ class Trainer:
                 if not hasattr(self, "_bs_caps"):
                     self._bs_caps = {}
                 dc_weighted = getattr(self.neuralnet, "diag_clustered_edge_weights", False)
+                # pin the pure-vs-mixed layout decision on the FIRST batch:
+                # a dataset near the inflation crossover would otherwise
+                # flip layouts batch to batch — region_caps is static pytree
+                # metadata, so every flip means a fresh trace + Mosaic
+                # compiles and a second family of grow-only buckets
+                if "dc_layout_msn" not in self._bs_caps:
+                    from deeprank2_tpu.ops.batch import _auto_min_slot_nodes
+
+                    self._bs_caps["dc_layout_msn"] = _auto_min_slot_nodes(entries)
+                dc_msn = self._bs_caps["dc_layout_msn"]
                 if num_shards > 1:
                     from deeprank2_tpu.ops.batch import collate_graphs_diag_clustered_sharded
 
@@ -491,6 +501,7 @@ class Trainer:
                         entries,
                         num_shards,
                         per_shard,
+                        min_slot_nodes=dc_msn,
                         pad_caps={
                             k: self._blocksparse_bucket(f"dc_{k}")
                             for k in ("nodes", "clusters", "c1", "members0s_s", "members1_s", "big", "s4", "s2", "s1", "kbig")
@@ -510,6 +521,7 @@ class Trainer:
                         pad_members1=self._blocksparse_bucket("dc_members1_s"),
                         pad_region_caps={k: self._blocksparse_bucket(f"dc_region_{k}") for k in ("big", "s4", "s2", "s1", "kbig")},
                         with_edge_weights=dc_weighted,
+                        min_slot_nodes=dc_msn,
                     )
             elif blocksparse:
                 if not hasattr(self, "_bs_caps"):

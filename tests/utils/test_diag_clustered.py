@@ -238,3 +238,22 @@ def test_mixed_layout_tiny_clusters() -> None:
     flat_d = dict(jax.tree_util.tree_leaves_with_path(g_d))
     for path, leaf in jax.tree_util.tree_leaves_with_path(g_coo):
         np.testing.assert_allclose(np.asarray(flat_d[path]), np.asarray(leaf), rtol=1e-3, atol=1e-3, err_msg=str(path))
+
+
+def test_mixed_layout_large_threshold_clamps() -> None:
+    """min_slot_nodes > 5 must not overflow the stride-4 region: sizes 5..8
+    slot regardless (a stride-s class only holds clusters of size <= s).
+    Without the clamp, a size-6 cluster under min_slot_nodes=9 overwrote
+    neighbouring clusters' rows (round-5 self-review repro)."""
+    entries = _clustered_entries(num_graphs=2, sizes=(150, 90))
+    total = sum(e["x"].shape[0] for e in entries)
+    batch, _ = collate_graphs_diag_clustered(entries, pad_graphs=2, min_slot_nodes=9)
+    assert int(np.asarray(batch.node_mask).sum()) == total  # nothing overwritten
+
+    model_d = GINetClusteredDiag(13, 2, 1)
+    model_coo = GINet(13, 2, 1)
+    params = model_d.init(jax.random.PRNGKey(0))
+    coo_batch, _ = collate_graphs(entries, pad_graphs=2)
+    want = np.asarray(model_coo.apply(params, coo_batch, training=False))[:2]
+    got = np.asarray(model_d.apply(params, batch, training=False))[:2]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
