@@ -264,7 +264,16 @@ def clustered_result(num_nodes: int = 100_000) -> dict:
     entry = clustered_entry(num_nodes, feat_dim, edge_dim)
     real_edges = 2 * entry["edge_index"].shape[0]
 
-    out: dict = {"num_nodes": num_nodes}
+    out: dict = {
+        "num_nodes": num_nodes,
+        "bound_note": (
+            "round-5 KBATCH=8 layout stores ~22% fewer padded blocks than round 4, so the "
+            "adj-stream denominator SHRANK while steps got faster (1.538->1.43 ms GINet); "
+            "compare step_ms/edges_per_s across rounds and judge efficiency by "
+            "pct_of_component_floor (stream + measured 62ns/sub-batch overhead + pool floors; "
+            "decomposition: tests/perf/clustered_bcsr_perf.py --pin)"
+        ),
+    }
     for key, cls in (
         ("ginet", GINetClusteredBlockSparse),
         ("foutnet", FoutNetBlockSparse),
