@@ -257,3 +257,46 @@ def test_mixed_layout_large_threshold_clamps() -> None:
     want = np.asarray(model_coo.apply(params, coo_batch, training=False))[:2]
     got = np.asarray(model_d.apply(params, batch, training=False))[:2]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_mixed_layout_fuzz_matches_coo(seed) -> None:
+    """Property check over random cluster-size distributions and layout
+    thresholds: every (entries, min_slot_nodes) combination must match the
+    COO oracle forward — layouts are representation, never semantics."""
+    rng = np.random.default_rng(seed)
+    entries = []
+    for g in range(3):
+        n_clusters = int(rng.integers(5, 25))
+        sizes = rng.integers(1, 13, size=n_clusters)
+        n = int(sizes.sum())
+        c0 = np.repeat(np.arange(n_clusters), sizes)
+        rng.shuffle(c0)
+        pos = rng.uniform(0, 20, (n, 3)).astype(np.float32)
+        from scipy.spatial import cKDTree
+
+        pairs = cKDTree(pos).query_pairs(6.0, output_type="ndarray")
+        if not len(pairs):
+            pairs = np.array([[0, 1]])
+        c1 = rng.integers(0, max(n_clusters // 3, 1), size=n_clusters)
+        entries.append(
+            {
+                "x": rng.normal(size=(n, 13)).astype(np.float32),
+                "edge_index": pairs.astype(np.int64),
+                "edge_attr": rng.uniform(0.5, 3.0, size=(len(pairs), 1)).astype(np.float32),
+                "pos": pos,
+                "y": float(g % 2),
+                "cluster0": c0.astype(np.int32),
+                "cluster1": c1.astype(np.int32),
+                "entry_name": f"fz-{g}",
+            }
+        )
+    model_d = GINetClusteredDiag(13, 2, 1)
+    model_coo = GINet(13, 2, 1)
+    params = model_d.init(jax.random.PRNGKey(0))
+    coo_batch, _ = collate_graphs(entries, pad_graphs=3)
+    want = np.asarray(model_coo.apply(params, coo_batch, training=False))[:3]
+    for msn in (1, 3, 5, 9):
+        d_batch, _ = collate_graphs_diag_clustered(entries, pad_graphs=3, min_slot_nodes=msn)
+        got = np.asarray(model_d.apply(params, d_batch, training=False))[:3]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4, err_msg=f"min_slot_nodes={msn}")
