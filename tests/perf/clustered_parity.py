@@ -41,14 +41,21 @@ def main() -> None:
     mask_row = jax.device_put(jnp.asarray(mask.reshape(1, vp)))
     assert supports(vp), "slot kernel path not engaged"
 
-    pooled = slot_group_max(h_d, mask_row)
-    ref, _ = _xla_fwd(h_d, mask_row)
-    kernel_fwd_err = float(jnp.abs(pooled - ref).max())
+    # all three strides (8 = slot8 layout; 2/4 = the mixed size-class
+    # regions), each bit-exact vs the XLA oracle + the full-cotangent
+    # winner rule (the round-5 convention — every valid max lane gets g)
+    kernel_fwd_err = kernel_bwd_err = 0.0
+    for slot in (8, 4, 2):
+        pooled = slot_group_max(h_d, mask_row, slot=slot)
+        ref = _xla_fwd(h_d, mask_row, slot)
+        kernel_fwd_err = max(kernel_fwd_err, float(jnp.abs(pooled - ref).max()))
 
-    w = jnp.asarray(rng.standard_normal(ref.shape).astype(np.float32))
-    g_kernel = jax.grad(lambda x: (slot_group_max(x, mask_row) * w).sum())(h_d)
-    g_ref = jax.grad(lambda x: (_xla_fwd(x, mask_row)[0] * w).sum())(h_d)
-    kernel_bwd_err = float(jnp.abs(g_kernel - g_ref).max())
+        w = jnp.asarray(rng.standard_normal(ref.shape).astype(np.float32))
+        g_kernel = jax.grad(lambda x, slot=slot, w=w: (slot_group_max(x, mask_row, slot=slot) * w).sum())(h_d)
+        h3 = h_d.reshape(feat, vp // slot, slot)
+        m3 = mask_row.reshape(1, vp // slot, slot)
+        g_oracle = ((h3 == ref[:, :, None]) * m3 * w[:, :, None]).reshape(feat, vp)
+        kernel_bwd_err = max(kernel_bwd_err, float(jnp.abs(g_kernel - g_oracle).max()))
 
     # model-level: both clustered fast paths vs the COO oracle on hardware
     from tests.utils.test_clustered_blocksparse import _clustered_entries
