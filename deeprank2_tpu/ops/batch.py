@@ -1403,6 +1403,17 @@ def _slot8_plan(entry: dict, block: int) -> dict:
     }
 
 
+# x^T chunk size for the CLUSTERED collate's full-graph structure: its
+# consumers contract at fw <= 32 (GINet's fused dual tower; FoutNet/sGAT at
+# 16), so the chunk can be twice the global CHUNK_TILES and still fit VMEM
+# (32 x 640 x 128 x 4B = 10.5 MB chunk + 4 MB block pipeline — the CT640
+# configuration ran on-chip in the round-5 sweep). Fewer chunks = fewer
+# slab mask+sums and chunk-switch DMAs per SpMM. MUST be used consistently
+# by the build and the requirements pass (chunk boundaries change the
+# run-padded block count).
+_CLUSTERED_CHUNK_TILES = 640
+
+
 def collate_graphs_blocksparse_clustered(
     entries: list[dict],
     block: int = 128,
@@ -1611,7 +1622,8 @@ def collate_graphs_blocksparse_clustered(
     pairs = layout["pairs"]
     w_full = np.concatenate(weights_full) if with_edge_weights and weights_full else None
     structure = build_blocksparse(
-        pairs, num_nodes=node_cap, block=block, pad_blocks_to=pad_blocks, weights=w_full, weight_dtype=weight_dtype
+        pairs, num_nodes=node_cap, block=block, pad_blocks_to=pad_blocks, weights=w_full, weight_dtype=weight_dtype,
+        chunk_tiles=_CLUSTERED_CHUNK_TILES,
     )
     p_pairs = np.concatenate(pooled_pairs) if pooled_pairs else np.zeros((0, 2), np.int64)
     p_w = np.concatenate(pooled_weights) if with_edge_weights and pooled_weights else None
@@ -1736,7 +1748,7 @@ def clustered_blocksparse_requirements(entries: list[dict], block: int = 128, sl
     p_pairs = np.concatenate(pooled_pairs) if pooled_pairs else np.zeros((0, 2), np.int64)
     req = {
         "tiles": layout["num_tiles"],
-        "blocks": required_blocks(layout["pairs"], layout["num_tiles"] * block, block),
+        "blocks": required_blocks(layout["pairs"], layout["num_tiles"] * block, block, chunk_tiles=_CLUSTERED_CHUNK_TILES),
         "pooled_tiles": pooled_tiles,
         "pooled_blocks": required_blocks(p_pairs, pooled_tiles * block, block),
         "c1": max(c1_total, 1),

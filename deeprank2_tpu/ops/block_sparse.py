@@ -139,6 +139,12 @@ class BlockSparseStructure:
     # global SUPER so their capacity floor is kbatch*super_batches, not
     # kbatch*SUPER (a far ring step can hold 8 real blocks total)
     super_batches: int = field(metadata={"static": True}, default=-1)
+    # tiles per x^T column chunk (the chunk sort is baked into the block
+    # order at build time). The global default is sized for fw=64 f32
+    # operands; builders whose consumers contract at fw<=32 (the clustered
+    # collate) can double it — fewer chunk slabs to mask+sum per SpMM and
+    # fewer chunk-switch DMAs.
+    chunk_tiles: int = field(metadata={"static": True}, default=-1)
 
     def __post_init__(self):
         if self.num_row_tiles == -1:
@@ -147,6 +153,8 @@ class BlockSparseStructure:
             object.__setattr__(self, "kbatch", KBATCH)
         if self.super_batches == -1:
             object.__setattr__(self, "super_batches", SUPER)
+        if self.chunk_tiles == -1:
+            object.__setattr__(self, "chunk_tiles", CHUNK_TILES)
 
     @property
     def num_blocks(self) -> int:
@@ -172,13 +180,16 @@ def required_blocks(
     row_tile_range: tuple[int, int] | None = None,
     col_tile_range: tuple[int, int] | None = None,
     kbatch: int | None = None,
+    chunk_tiles: int | None = None,
 ) -> int:
     """The run-padded block count :func:`build_blocksparse` would produce for
     these (locality-ordered) pairs — the light requirements pass used to
     equalize per-shard capacities before sharded collation. ``kbatch``
     overrides the global run-padding quantum (``kbatch=1`` returns the REAL
-    unique-block count, the denominator of padding-fraction accounting)."""
+    unique-block count, the denominator of padding-fraction accounting);
+    ``chunk_tiles`` must match the build's."""
     kb = kbatch or KBATCH
+    ct = chunk_tiles or CHUNK_TILES
     und = np.asarray(und_pairs, dtype=np.int64).reshape(-1, 2)
     num_tiles = max(-(-num_nodes // block), 1)
     rows = np.concatenate([und[:, 0], und[:, 1]])
@@ -193,7 +204,7 @@ def required_blocks(
         sel = (bj >= c0) & (bj < c1)
         bi, bj = bi[sel], bj[sel] - c0
         num_tiles = max(c1 - c0, 1)
-    chunk = bj // CHUNK_TILES
+    chunk = bj // ct
     key = (chunk * num_tiles + bi) * num_tiles + bj
     uniq = np.unique(key)
     if not uniq.size:
@@ -214,6 +225,7 @@ def build_blocksparse(
     weight_dtype: np.dtype | None = None,
     kbatch: int | None = None,
     super_batches: int | None = None,
+    chunk_tiles: int | None = None,
 ) -> BlockSparseStructure:
     """BCSR structure from *undirected* node-index pairs (mirrored internally,
     so the adjacency is symmetric by construction). Node indices must already
@@ -270,9 +282,10 @@ def build_blocksparse(
         rows, cols, bi, bj = rows[sel], cols[sel] - c0 * block, bi[sel], bj[sel] - c0
         wvals = wvals[sel] if wvals is not None else None
         num_tiles = max(c1 - c0, 1)
-    num_chunks = -(-num_tiles // CHUNK_TILES)
+    ct = chunk_tiles or CHUNK_TILES
+    num_chunks = -(-num_tiles // ct)
     bi_local = bi - t0
-    chunk = bj // CHUNK_TILES
+    chunk = bj // ct
     key = (chunk * num_row_tiles + bi_local) * num_tiles + bj
     order = np.argsort(key, kind="stable")
     uniq_key, inverse_sorted = np.unique(key[order], return_inverse=True)
@@ -311,7 +324,7 @@ def build_blocksparse(
         s, c = group_start[gi], pad_counts[gi]
         block_row[s : s + c] = g_row
         block_chunk[s : s + c] = g_chunk
-        block_col[s : s + c] = g_chunk * CHUNK_TILES  # zero-pads point in-chunk
+        block_col[s : s + c] = g_chunk * ct  # zero-pads point in-chunk
         visited[g_chunk, g_row] = True
 
     # destination slot of each unique block: its group's start + rank inside
@@ -340,7 +353,7 @@ def build_blocksparse(
     # the kernel's ``local = block_col - chunk*CHUNK_TILES`` negative and the
     # xchunk slice out of bounds (garbage reads; harmless only by accident
     # because the pad block is all-zero)
-    block_col[nb_pad:] = batch_chunk[max(nbatch_real - 1, 0)] * CHUNK_TILES
+    block_col[nb_pad:] = batch_chunk[max(nbatch_real - 1, 0)] * ct
     if nb == 0:
         visited[0, 0] = True  # the artificial zero batch writes slab (0, 0)
 
@@ -369,6 +382,7 @@ def build_blocksparse(
         num_row_tiles=num_row_tiles if row_tile_range is not None else num_tiles,
         kbatch=kb,
         super_batches=sb,
+        chunk_tiles=ct,
         symmetric=(row_tile_range is None and col_tile_range is None)
         or (col_tile_range is not None and row_tile_range == col_tile_range),
     )
@@ -473,7 +487,7 @@ def _spmm_impl(structure: BlockSparseStructure, x: jnp.ndarray, precision, compu
     sublane = 16  # operands ride the MXU as bf16 in both paths (hi+lo pair for f32)
     feat = x.shape[0] if transposed_io else x.shape[1]
     fw = feat + (-feat) % sublane
-    chunk_tiles = min(CHUNK_TILES, structure.num_tiles)
+    chunk_tiles = min(structure.chunk_tiles, structure.num_tiles)
     if effective_platform() == "tpu" and fw * chunk_tiles * structure.block * cd.itemsize <= _XCHUNK_VMEM_BUDGET:
         return _bcsr_spmm_tpu(
             structure.blocks_t,
@@ -484,6 +498,7 @@ def _spmm_impl(structure: BlockSparseStructure, x: jnp.ndarray, precision, compu
             x,
             num_tiles=structure.num_tiles,
             num_chunks=structure.num_chunks,
+            chunk_tiles_cfg=structure.chunk_tiles,
             block=structure.block,
             num_row_tiles=structure.num_row_tiles,
             precision=precision,
@@ -662,7 +677,7 @@ def _kernel_stream(
                 flush_cp(sub, 1 - parity).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("num_tiles", "num_chunks", "block", "num_row_tiles", "precision", "compute_dtype", "transposed_io", "kbatch", "super_batches"))
+@functools.partial(jax.jit, static_argnames=("num_tiles", "num_chunks", "block", "num_row_tiles", "precision", "compute_dtype", "transposed_io", "kbatch", "super_batches", "chunk_tiles_cfg"))
 def _bcsr_spmm_tpu(
     blocks_t,
     block_col,
@@ -680,6 +695,7 @@ def _bcsr_spmm_tpu(
     transposed_io=False,
     kbatch=None,
     super_batches=None,
+    chunk_tiles_cfg=None,
 ):
     if num_row_tiles is None:
         num_row_tiles = num_tiles
@@ -698,7 +714,8 @@ def _bcsr_spmm_tpu(
             x = jnp.pad(x, ((0, 0), (0, pad_f)))
         x_t = x.T  # [F, N]: features on sublanes, nodes on lanes
     fw = feat + pad_f
-    chunk_tiles = min(CHUNK_TILES, num_tiles) if num_chunks == 1 else CHUNK_TILES
+    ct_cfg = chunk_tiles_cfg or CHUNK_TILES
+    chunk_tiles = min(ct_cfg, num_tiles) if num_chunks == 1 else ct_cfg
     pad_n = num_chunks * chunk_tiles * block - x_t.shape[1]
     if pad_n:
         x_t = jnp.pad(x_t, ((0, 0), (0, pad_n)))
