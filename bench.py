@@ -316,6 +316,16 @@ def clustered_result(num_nodes: int = 100_000) -> dict:
             "component_floor_ms": round(floor_s * 1e3, 3),
             "pct_of_component_floor": round(100.0 * floor_s / step_s, 1),
         }
+        if key == "ginet":
+            # bf16 fast-training variant (single-pass MXU instead of the
+            # near-f32 hi/lo pair; same convention as the dense/bcsr rows)
+            import jax.numpy as jnp
+
+            step16_s = _measure(cls(feat_dim, 2, edge_dim, compute_dtype=jnp.bfloat16), batch, steps_per_call=250, calls=2)
+            out[key]["bf16"] = {
+                "edges_per_s": round(real_edges / step16_s, 1),
+                "step_ms": round(step16_s * 1e3, 3),
+            }
     out.update(out["ginet"])
     return out
 
